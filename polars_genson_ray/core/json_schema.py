@@ -1,0 +1,479 @@
+"""Genson-style commutative JSON-schema merge core.
+
+A :class:`SchemaNode` accumulates JSON values (``add_object``) and/or JSON
+schemas (``add_schema``) and emits the merged JSON Schema (``to_schema``).
+The merge is commutative and associative up to the canonicalisation applied
+by ``reorder_unions`` — the property the Ray engine exploits to reduce
+per-block partial schemas with a dataset-level aggregate.
+
+Semantics replicate the reference engine's strategy lattice:
+  - node routing/emission: genson-core/src/genson_rs/node.rs:43-182
+  - object strategy (first-seen field order via insertion-ordered dicts,
+    required = intersection): genson-core/src/genson_rs/strategy/object.rs
+  - list/tuple strategies: genson-core/src/genson_rs/strategy/array.rs
+  - scalar strategies incl. integer->number widening:
+    genson-core/src/genson_rs/strategy/scalar.rs:125-181
+  - extra-keyword first-wins merge: genson-core/src/genson_rs/strategy/base.rs:27-40
+  - builder $schema handling: genson-core/src/genson_rs/builder.rs:8-102
+
+This is a fresh Python implementation (plain dicts as the schema IR), not a
+transliteration of the Rust.
+"""
+
+from __future__ import annotations
+
+import copy
+import re
+
+__all__ = ["SchemaNode", "SchemaBuilder"]
+
+_DEFAULT_SCHEMA_URI = "http://json-schema.org/schema#"
+_NULL_SCHEMA_URI = "NULL"
+
+
+def _deepcopy(v):
+    return copy.deepcopy(v)
+
+
+class _Strategy:
+    """Base strategy: collects non-``type`` keywords first-wins."""
+
+    __slots__ = ("extra_keywords",)
+
+    def __init__(self):
+        self.extra_keywords = {}
+
+    def add_extra_keywords(self, schema: dict) -> None:
+        for k, v in schema.items():
+            if k != "type" and k not in self.extra_keywords:
+                self.extra_keywords[k] = _deepcopy(v)
+
+    def add_schema(self, schema: dict) -> None:
+        self.add_extra_keywords(schema)
+
+    def add_object(self, obj) -> None:
+        pass
+
+    def to_schema(self) -> dict:
+        return _deepcopy(self.extra_keywords)
+
+    # match_schema / match_object are provided as static-like methods on
+    # subclasses via the registry below.
+
+
+class _NullStrategy(_Strategy):
+    JS_TYPE = "null"
+
+    @staticmethod
+    def match_schema(schema):
+        return schema.get("type") == "null"
+
+    @staticmethod
+    def match_object(obj):
+        return obj is None
+
+    def to_schema(self):
+        s = _deepcopy(self.extra_keywords)
+        s["type"] = self.JS_TYPE
+        return s
+
+
+class _BooleanStrategy(_NullStrategy):
+    JS_TYPE = "boolean"
+
+    @staticmethod
+    def match_schema(schema):
+        return schema.get("type") == "boolean"
+
+    @staticmethod
+    def match_object(obj):
+        return isinstance(obj, bool)
+
+
+class _StringStrategy(_NullStrategy):
+    JS_TYPE = "string"
+
+    @staticmethod
+    def match_schema(schema):
+        return schema.get("type") == "string"
+
+    @staticmethod
+    def match_object(obj):
+        return isinstance(obj, str)
+
+
+class _NumberStrategy(_Strategy):
+    """integer until a float value or a ``number`` schema is seen."""
+
+    __slots__ = ("number_type",)
+
+    def __init__(self):
+        super().__init__()
+        self.number_type = "integer"
+
+    @staticmethod
+    def match_schema(schema):
+        return schema.get("type") in ("number", "integer")
+
+    @staticmethod
+    def match_object(obj):
+        return isinstance(obj, (int, float)) and not isinstance(obj, bool)
+
+    def add_schema(self, schema):
+        self.add_extra_keywords(schema)
+        if schema.get("type") == "number":
+            self.number_type = "number"
+
+    def add_object(self, obj):
+        if isinstance(obj, float):
+            self.number_type = "number"
+
+    def to_schema(self):
+        s = _deepcopy(self.extra_keywords)
+        s["type"] = self.number_type
+        return s
+
+
+class _TypelessStrategy(_Strategy):
+    """Placeholder for ``{}`` schemas; folded into the first typed strategy."""
+
+    @staticmethod
+    def match_schema(schema):
+        if isinstance(schema, dict):
+            return "type" not in schema
+        return True
+
+    @staticmethod
+    def match_object(obj):
+        return False
+
+
+class _ObjectStrategy(_Strategy):
+    __slots__ = ("properties", "pattern_properties", "required", "include_empty_required")
+
+    def __init__(self):
+        super().__init__()
+        self.properties: dict[str, SchemaNode] = {}
+        self.pattern_properties: dict[str, SchemaNode] = {}
+        self.required: set[str] | None = None
+        self.include_empty_required = False
+
+    @staticmethod
+    def match_schema(schema):
+        return schema.get("type") == "object"
+
+    @staticmethod
+    def match_object(obj):
+        return isinstance(obj, dict)
+
+    def add_object(self, obj: dict):
+        props_seen = set()
+        for prop, subobj in obj.items():
+            matched_pattern = False
+            if prop not in self.properties:
+                for pattern, node in self.pattern_properties.items():
+                    if re.search(pattern, prop):
+                        node.add_object(subobj)
+                        matched_pattern = True
+                        break
+            if not matched_pattern:
+                props_seen.add(prop)
+                node = self.properties.get(prop)
+                if node is None:
+                    node = self.properties[prop] = SchemaNode()
+                node.add_object(subobj)
+        if self.required is None:
+            self.required = props_seen
+        else:
+            self.required &= props_seen
+
+    def add_schema(self, schema: dict):
+        self.add_extra_keywords(schema)
+        props = schema.get("properties")
+        if isinstance(props, dict):
+            for prop, sub_schema in props.items():
+                node = self.properties.get(prop)
+                if node is None:
+                    node = self.properties[prop] = SchemaNode()
+                node.add_schema(sub_schema)
+        pprops = schema.get("patternProperties")
+        if isinstance(pprops, dict):
+            for pattern, sub_schema in pprops.items():
+                node = self.pattern_properties.get(pattern)
+                if node is None:
+                    node = self.pattern_properties[pattern] = SchemaNode()
+                node.add_schema(sub_schema)
+        if "required" in schema and isinstance(schema["required"], list):
+            req = schema["required"]
+            if not req:
+                self.include_empty_required = True
+            req_set = {r for r in req if isinstance(r, str)}
+            if self.required is None:
+                self.required = req_set
+            else:
+                self.required &= req_set
+
+    def to_schema(self):
+        s = _deepcopy(self.extra_keywords)
+        s["type"] = "object"
+        if self.properties:
+            s["properties"] = {p: n.to_schema() for p, n in self.properties.items()}
+        if self.pattern_properties:
+            s["patternProperties"] = {
+                p: n.to_schema() for p, n in self.pattern_properties.items()
+            }
+        if self.required is not None or self.include_empty_required:
+            req = sorted(self.required) if self.required else []
+            if req or self.include_empty_required:
+                s["required"] = req
+            else:
+                s.pop("required", None)
+        else:
+            s.pop("required", None)
+        return s
+
+
+class _ListStrategy(_Strategy):
+    """Single unified ``items`` schema for all elements."""
+
+    __slots__ = ("items",)
+
+    def __init__(self):
+        super().__init__()
+        self.items = SchemaNode()
+
+    @staticmethod
+    def match_schema(schema):
+        return schema.get("type") == "array" and isinstance(schema.get("items"), dict)
+
+    @staticmethod
+    def match_object(obj):
+        return isinstance(obj, list)
+
+    def add_object(self, obj: list):
+        for el in obj:
+            self.items.add_object(el)
+
+    def add_schema(self, schema: dict):
+        # NB: the reference ListStrategy does NOT merge extra keywords
+        # (genson-core/src/genson_rs/strategy/array.rs:103-112).
+        if "items" in schema:
+            self.items.add_schema(schema["items"])
+
+    def to_schema(self):
+        s = _deepcopy(self.extra_keywords)
+        s["type"] = "array"
+        s["items"] = self.items.to_schema()
+        return s
+
+
+class _TupleStrategy(_Strategy):
+    """Positional ``items`` array of schemas (only built from tuple schemas)."""
+
+    __slots__ = ("items",)
+
+    def __init__(self):
+        super().__init__()
+        self.items = [SchemaNode()]
+
+    @staticmethod
+    def match_schema(schema):
+        return schema.get("type") == "array" and isinstance(schema.get("items"), list)
+
+    @staticmethod
+    def match_object(obj):
+        return isinstance(obj, list)
+
+    def _grow(self, n):
+        while len(self.items) < n:
+            self.items.append(SchemaNode())
+
+    def add_object(self, obj: list):
+        self._grow(len(obj))
+        for node, el in zip(self.items, obj):
+            node.add_object(el)
+
+    def add_schema(self, schema: dict):
+        self.add_extra_keywords(schema)
+        items = schema.get("items")
+        if isinstance(items, list):
+            self._grow(len(items))
+            for node, sub in zip(self.items, items):
+                node.add_schema(sub)
+
+    def to_schema(self):
+        s = _deepcopy(self.extra_keywords)
+        s["type"] = "array"
+        if self.items:
+            s["items"] = [n.to_schema() for n in self.items]
+        return s
+
+
+# Match order mirrors genson_rs/strategy/mod.rs:30-68 (Object, List, Tuple,
+# Null, Boolean, Number, String). For raw objects only List matches arrays.
+_OBJECT_ORDER = (
+    _ObjectStrategy,
+    _ListStrategy,
+    _NullStrategy,
+    _BooleanStrategy,
+    _NumberStrategy,
+    _StringStrategy,
+)
+_SCHEMA_ORDER = (
+    _ObjectStrategy,
+    _ListStrategy,
+    _TupleStrategy,
+    _NullStrategy,
+    _BooleanStrategy,
+    _NumberStrategy,
+    _StringStrategy,
+)
+
+
+class SchemaNode:
+    """Mergeable schema accumulator (one active strategy per JSON type seen)."""
+
+    __slots__ = ("active_strategies",)
+
+    def __init__(self):
+        self.active_strategies: list[_Strategy] = []
+
+    # -- schema decomposition ------------------------------------------------
+
+    @staticmethod
+    def _get_subschemas(schema):
+        if isinstance(schema, dict):
+            anyof = schema.get("anyOf")
+            if isinstance(anyof, list):
+                out = []
+                for sub in anyof:
+                    out.extend(SchemaNode._get_subschemas(sub))
+                return out
+            types = schema.get("type")
+            if isinstance(types, list):
+                out = []
+                for t in types:
+                    new_schema = dict(schema)
+                    new_schema["type"] = t
+                    out.append(new_schema)
+                return out
+            return [schema]
+        return [schema]
+
+    # -- merge entry points --------------------------------------------------
+
+    def add_schema(self, schema) -> "SchemaNode":
+        if isinstance(schema, SchemaNode):
+            schema = schema.to_schema()
+        for subschema in self._get_subschemas(schema):
+            strategy = self._get_or_create(subschema, for_schema=True)
+            if strategy is not None:
+                strategy.add_schema(subschema)
+        return self
+
+    def add_object(self, obj) -> "SchemaNode":
+        strategy = self._get_or_create(obj, for_schema=False)
+        if strategy is None:
+            raise ValueError(f"Could not find matching schema type for object: {obj!r}")
+        strategy.add_object(obj)
+        return self
+
+    # -- strategy lookup -----------------------------------------------------
+
+    def _get_or_create(self, schema_or_obj, for_schema: bool):
+        if for_schema:
+            for strat in self.active_strategies:
+                if type(strat).match_schema(schema_or_obj):
+                    return strat
+        else:
+            for strat in self.active_strategies:
+                if type(strat).match_object(schema_or_obj):
+                    return strat
+
+        order = _SCHEMA_ORDER if for_schema else _OBJECT_ORDER
+        match = "match_schema" if for_schema else "match_object"
+        for cls in order:
+            if getattr(cls, match)(schema_or_obj):
+                strategy = cls()
+                # Incorporate a trailing typeless strategy into the new typed
+                # strategy (genson_rs/node.rs:223-230).
+                if self.active_strategies and isinstance(
+                    self.active_strategies[-1], _TypelessStrategy
+                ):
+                    strategy.add_schema(self.active_strategies[-1].to_schema())
+                    self.active_strategies.pop()
+                self.active_strategies.append(strategy)
+                return strategy
+
+        if for_schema and _TypelessStrategy.match_schema(schema_or_obj):
+            if not self.active_strategies:
+                self.active_strategies.append(_TypelessStrategy())
+            return self.active_strategies[0]
+        if for_schema:
+            raise ValueError(
+                f"Could not find matching schema type for schema: {schema_or_obj!r}"
+            )
+        return None
+
+    # -- emission ------------------------------------------------------------
+
+    def to_schema(self) -> dict:
+        scalar_types: set[str] = set()
+        generated: list[dict] = []
+        for strat in self.active_strategies:
+            schema = strat.to_schema()
+            if len(schema) == 1 and "type" in schema and isinstance(schema["type"], str):
+                scalar_types.add(schema["type"])
+            else:
+                generated.append(schema)
+        if scalar_types:
+            if len(scalar_types) == 1:
+                generated.append({"type": next(iter(scalar_types))})
+            else:
+                generated.append({"type": sorted(scalar_types)})
+        if len(generated) == 1:
+            return generated[0]
+        if generated:
+            return {"anyOf": generated}
+        return {}
+
+
+class SchemaBuilder:
+    """Holds the ``$schema`` URI handling plus the root :class:`SchemaNode`.
+
+    ``schema_uri`` semantics mirror genson_rs/builder.rs:13-41:
+    ``"AUTO"`` → adopt the first merged schema's ``$schema`` (default URI if
+    none seen); an explicit URI → always emit it; ``None`` → omit ``$schema``.
+    """
+
+    __slots__ = ("schema_uri", "root_node")
+
+    def __init__(self, schema_uri: str | None = "AUTO"):
+        self.root_node = SchemaNode()
+        if schema_uri is None:
+            self.schema_uri = _NULL_SCHEMA_URI
+        elif schema_uri == "AUTO":
+            self.schema_uri = None
+        else:
+            self.schema_uri = schema_uri
+
+    def add_schema(self, schema: dict) -> None:
+        if not isinstance(schema, dict):
+            raise ValueError("Invalid schema type - must be a valid JSON object")
+        if "$schema" in schema and self.schema_uri is None:
+            schema = dict(schema)
+            self.schema_uri = schema.pop("$schema")
+        self.root_node.add_schema(schema)
+
+    def add_object(self, obj) -> None:
+        self.root_node.add_object(obj)
+
+    def to_schema(self) -> dict:
+        if self.schema_uri == _NULL_SCHEMA_URI:
+            base = {}
+        elif self.schema_uri is None:
+            base = {"$schema": _DEFAULT_SCHEMA_URI}
+        else:
+            base = {"$schema": self.schema_uri}
+        base.update(self.root_node.to_schema())
+        return base
