@@ -1,44 +1,160 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship validation pipeline (schema inference +
+constraint eval over the deterministic image+caption table) plus a
+distributed schema inference over sf0.001 ``events.props``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one entry per implemented operator/pipeline from
+SURVEY.md §2 (and the training-data extension ops); ``oracle_sql()`` gives
+DuckDB equivalents for the SQL-expressible ones.
+
+Ray is initialised by the driver before import — nothing here calls
+``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from polars_genson_ray.pipelines import queries as Q  # noqa: E402
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline; driver checks it runs and yields >=0 rows."""
+    sf_dir = "/root/testdata/sf0.001"
+    # distributed genson inference over a real testdata JSON column
+    schema_df = Q.r_schema_infer_events_props(sf_dir)
+    # full image-table validation (violations, stats, drift, lineage)
+    report_df = Q.r_validation_image_table(sf_dir)
+    report_df["events_props_schema"] = schema_df["schema_json"].iloc[0]
+    return report_df
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # aggregations / scans / top-k
+        "pricing_summary": Q.q_pricing_summary,
+        "doc_lang_counts": Q.q_doc_lang_counts,
+        "distinct_users": Q.q_distinct_users,
+        "quantity_quantiles": Q.q_quantity_quantiles,
+        "part_pruned_filter": Q.q_part_pruned_filter,
+        "top_events": Q.q_top_events,
+        # constraint checks
+        "duplicate_user_events": Q.q_duplicate_user_events,
+        "referential_orphans": Q.q_referential_orphans,
+        # joins
+        "nation_revenue": Q.q_nation_revenue,
+        # JSON / schema-inference ops
+        "json_extract_props": Q.q_json_extract_props,
+        "schema_infer_events_props": Q.r_schema_infer_events_props,
+        "avro_schema_events_props": Q.r_avro_schema_events_props,
+        "normalise_events_props": Q.r_normalise_events_props,
+        # text analysis / dedup
+        "token_counts": Q.q_token_counts,
+        "doc_quality": Q.q_doc_quality,
+        "exact_dedup_docs": Q.q_exact_dedup_docs,
+        "doc_fingerprints": Q.r_doc_fingerprints,
+        "langid_docs": Q.r_langid_docs,
+        "minhash_neardup_docs": Q.r_minhash_neardup_docs,
+        "simhash_docs": Q.r_simhash_docs,
+        # embedding similarity
+        "ann_topk": Q.q_ann_topk,
+        "embedding_neardup": Q.r_embedding_neardup,
+        # windows / sessions
+        "event_windows_hourly": Q.q_event_windows_hourly,
+        "sessions": Q.r_sessions,
+        # flagship validation pipeline
+        "validation_image_table": Q.r_validation_image_table,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "doc_lang_counts": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+        "distinct_users": "SELECT COUNT(DISTINCT user_id) AS n_distinct FROM events",
+        "quantity_quantiles": """
+            SELECT UNNEST([0.25, 0.5, 0.75, 0.9]) AS q,
+                   UNNEST(quantile_disc(l_quantity, [0.25, 0.5, 0.75, 0.9])) AS value
+            FROM lineitem
+        """,
+        "part_pruned_filter": (
+            "SELECT p_partkey, p_name, p_size FROM part WHERE p_size > 40"
+        ),
+        "top_events": """
+            SELECT event_id, event_type, value FROM events
+            ORDER BY value DESC, event_id LIMIT 10
+        """,
+        "duplicate_user_events": """
+            SELECT user_id, COUNT(*) AS cnt FROM events
+            GROUP BY user_id HAVING COUNT(*) > 1
+        """,
+        "referential_orphans": """
+            SELECT user_id, COUNT(*) AS n FROM events
+            WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+            GROUP BY user_id
+        """,
+        "nation_revenue": """
+            SELECT n.n_name AS nation, COUNT(*) AS n_orders,
+                   ROUND(SUM(o.o_totalprice), 2) AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "json_extract_props": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN TRIM(text) = '' THEN 0
+                        ELSE array_length(string_split_regex(TRIM(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "doc_quality": """
+            SELECT doc_id, LENGTH(text) AS q_len,
+                   LENGTH(text) - LENGTH(regexp_replace(text, '[.!?,;:]', '', 'g'))
+                       AS q_punct
+            FROM documents
+        """,
+        "exact_dedup_docs": (
+            "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text"
+        ),
+        "ann_topk": """
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(
+                         CAST(embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[])
+                          FROM embeddings WHERE vec_id = 0)), 4)
+                       AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
+        "event_windows_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS sum_value,
+                   ROUND(MIN(value), 2) AS min_value,
+                   ROUND(MAX(value), 2) AS max_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        # schema_infer / avro / normalise / fingerprints / langid / minhash /
+        # simhash / embedding_neardup / sessions / validation_image_table:
+        # not SQL-expressible → rows-only checks.
+    }

@@ -1,0 +1,142 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "images": N, "images_per_sec": N}
+
+``--scaling`` runs the headline suite in two fresh processes
+(num_cpus=8 and num_cpus=32 by default) on the same input and reports both
+throughputs + scaling efficiency (the sandbox evidence for the north_rule's
+two-cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "event_windows_hourly",
+    "schema_infer_events_props",
+    "normalise_events_props",
+    "exact_dedup_docs",
+    "minhash_neardup_docs",
+    "token_counts",
+    "ann_topk",
+    "nation_revenue",
+]
+
+
+def _consume(result):
+    """Force execution of a lazy Dataset without materializing to the driver
+    beyond a row count; pandas results are already materialized."""
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.count()
+    return len(result)
+
+
+def run_bench() -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        log_to_driver=False,
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entry_mod
+    from polars_genson_ray.pipelines import queries as Q
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+
+    # warm the page cache (untimed) so we measure compute + shuffle
+    Q.q_doc_lang_counts(SF_DIR)
+
+    # headline: flagship validation over the synthetic image table
+    sf_name = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+    try:
+        images = max(1000, int(float(sf_name) * 200_000))
+    except ValueError:
+        images = 2000
+    img_dir = Q._image_table_dir(images)  # generation is cached & untimed
+    from polars_genson_ray.pipelines.validation import run_validation
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="pgr_bench_val_")
+    t0 = time.perf_counter()
+    run_validation(img_dir, out_dir, resume=False)
+    timings["validation_image_table"] = time.perf_counter() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(qs[name](SF_DIR))
+        timings[name] = time.perf_counter() - t0
+
+    total = sum(timings.values())
+    out = {
+        "metric": "headline pipeline suite wall time (validation + operator queries)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_name,
+        "num_cpus": NUM_CPUS,
+        "images": images,
+        "images_per_sec": round(images / timings["validation_image_table"], 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (two parallelism levels, fresh sessions)",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "images_per_sec_lo": r_lo["images_per_sec"],
+        "images_per_sec_hi": r_hi["images_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,441 @@
+"""Driver-contract query library: each function takes ``sf_dir`` and returns
+a Dataset / pandas DataFrame / pyarrow Table.
+
+Every function here is an operator demonstration from SURVEY.md §2 or a
+training-data-pipeline extension op; ``__ray_entry__.oracle_sql`` carries the
+DuckDB-equivalent SQL for the SQL-expressible ones (column names match
+exactly — the driver hashes values under sorted column names).
+
+Scale idioms used throughout: column pruning at the read, per-batch
+pre-aggregation before every groupby, broadcast small sides via ``ray.put``,
+sketch partials instead of row shuffles, per-batch top-k before global top-k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..api import normalise_rows
+from ..core import SchemaInferenceConfig
+from ..stages.dedup import MinHasher, SimHasher, exact_dedup, minhash_lsh_pairs
+from ..stages.infer import infer_schema_distributed
+from ..stages.similarity import brute_force_topk, embedding_near_duplicates
+from ..stages.text import Fingerprinter, LangId, QualityScorer, TokenCounter
+from ..stages.windows import session_windows, tumbling_window
+
+
+def _t(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(_t(sf_dir, table), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (partial-per-batch → small groupby)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style pricing summary over lineitem."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(disc_price=df.l_extendedprice * (1 - df.l_discount))
+        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = out[c].round(2)
+    return out
+
+
+def q_doc_lang_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", as_index=False).agg(n=("lang", "size"))
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def q_distinct_users(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id"])
+    n = ds.groupby("user_id").count().count()
+    return pd.DataFrame({"n_distinct": [int(n)]})
+
+
+def q_quantity_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
+    """Exact PERCENTILE_DISC via distributed value counts (low-cardinality
+    numeric column) — the exact counterpart of the t-digest sketch path."""
+    rows = (
+        _read(sf_dir, "lineitem", ["l_quantity"])
+        .groupby("l_quantity")
+        .count()
+        .take_all()
+    )
+    vals = sorted((r["l_quantity"], r["count()"]) for r in rows)
+    total = sum(c for _, c in vals)
+    out_q, out_v = [], []
+    for q in qs:
+        target = q * total
+        cum = 0
+        for v, c in vals:
+            cum += c
+            if cum >= target:
+                out_q.append(q)
+                out_v.append(v)
+                break
+    return pd.DataFrame({"q": out_q, "value": out_v})
+
+
+# ---------------------------------------------------------------------------
+# Constraint checks
+# ---------------------------------------------------------------------------
+
+def q_duplicate_user_events(sf_dir: str):
+    """Uniqueness-violation listing: keys with count > 1."""
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).agg(cnt=("user_id", "size"))
+
+    grouped = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return grouped.map_batches(
+        lambda df: df[df.cnt > 1], batch_format="pandas"
+    )
+
+
+def q_referential_orphans(sf_dir: str):
+    """Referential check via broadcast key set (semi/anti-join pattern)."""
+    keys = frozenset(
+        pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey"])["c_custkey"]
+        .to_pylist()
+    )
+    keys_ref = ray.put(keys)
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    class OrphanFilter:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            orphans = df[~df.user_id.isin(self.keys)]
+            return orphans.groupby("user_id", as_index=False).agg(
+                n=("user_id", "size")
+            )
+
+    out = (
+        ds.map_batches(OrphanFilter, batch_format="pandas", concurrency=2)
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    # stable schema even when there are no orphans
+    return out.reindex(columns=["user_id", "n"])
+
+
+# ---------------------------------------------------------------------------
+# Joins (broadcast small side)
+# ---------------------------------------------------------------------------
+
+def q_nation_revenue(sf_dir: str):
+    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    cust_map = dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
+    nation_map = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    lookup_ref = ray.put((cust_map, nation_map))
+
+    class AddNation:
+        def __init__(self):
+            self.cust_map, self.nation_map = ray.get(lookup_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            nk = df.o_custkey.map(self.cust_map)
+            df = df.assign(nation=nk.map(self.nation_map))
+            return df.groupby("nation", as_index=False).agg(
+                n_orders=("o_orderkey", "size"), revenue=("o_totalprice", "sum")
+            )
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(AddNation, batch_format="pandas", concurrency=2)
+        .groupby("nation")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"), Sum("revenue", alias_name="revenue")
+        )
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Scans / filters / top-k
+# ---------------------------------------------------------------------------
+
+def q_part_pruned_filter(sf_dir: str):
+    """Column-pruned, predicate-pushdown read."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "part"),
+        columns=["p_partkey", "p_name", "p_size"],
+        filter=(pc.field("p_size") > 40),
+    )
+    return ds
+
+
+def q_top_events(sf_dir: str, k: int = 10):
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return ds.sort(["value", "event_id"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# JSON / schema ops over events.props
+# ---------------------------------------------------------------------------
+
+def q_json_extract_props(sf_dir: str):
+    """Per-row JSON parse of the props column (P1/P7 parser path)."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ks = []
+        for t in batch["props"].to_pylist():
+            try:
+                v = json.loads(t) if t else None
+                ks.append(v.get("k") if isinstance(v, dict) else None)
+            except ValueError:
+                ks.append(None)
+        return pa.table(
+            {"event_id": batch["event_id"], "k": pa.array(ks, pa.int64())}
+        )
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def r_schema_infer_events_props(sf_dir: str):
+    """Distributed genson inference over events.props (rows-only check)."""
+    ds = _read(sf_dir, "events", ["props"])
+    result = infer_schema_distributed(ds, "props", SchemaInferenceConfig())
+    return pd.DataFrame(
+        {
+            "schema_json": [json.dumps(result.schema, sort_keys=True)],
+            "processed_count": [result.processed_count],
+        }
+    )
+
+
+def r_avro_schema_events_props(sf_dir: str):
+    ds = _read(sf_dir, "events", ["props"])
+    result = infer_schema_distributed(
+        ds, "props", SchemaInferenceConfig(avro=True)
+    )
+    return pd.DataFrame({"avro_json": [json.dumps(result.schema, sort_keys=True)]})
+
+
+def r_normalise_events_props(sf_dir: str):
+    """Two-pass normalise: inferred Avro schema broadcast into a map_batches
+    rewrite (N1-N3 + decode-ready kv encoding)."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    schema = infer_schema_distributed(
+        ds.select_columns(["props"]), "props", SchemaInferenceConfig(avro=True)
+    ).schema
+    schema_ref = ray.put(schema)
+
+    class Normalise:
+        def __init__(self):
+            self.schema = ray.get(schema_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            normed = normalise_rows(
+                batch["props"].to_pylist(), self.schema, map_encoding="kv"
+            )
+            return pa.table(
+                {
+                    "event_id": batch["event_id"],
+                    "normalised": pa.array(normed, pa.large_string()),
+                }
+            )
+
+    return ds.map_batches(Normalise, batch_format="pyarrow", concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / dedup / fingerprinting over documents
+# ---------------------------------------------------------------------------
+
+def q_token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(TokenCounter(), batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens"]
+    )
+
+
+def q_doc_quality(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(QualityScorer(), batch_format="pyarrow").select_columns(
+        ["doc_id", "q_len", "q_punct"]
+    )
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds, "text", "doc_id")
+
+
+def r_doc_fingerprints(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(Fingerprinter(), batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"]
+    )
+
+
+def r_langid_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        LangId(), batch_format="pyarrow", concurrency=2
+    ).select_columns(["doc_id", "lang_pred"])
+
+
+def r_minhash_neardup_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, "text", "doc_id", min_jaccard=0.8)
+
+
+def r_simhash_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(SimHasher(), batch_format="pyarrow").select_columns(
+        ["doc_id", "simhash", "simhash_bucket"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+def _query_vectors(sf_dir: str, ids=(0, 1)):
+    tbl = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    df = tbl.to_pandas().set_index("vec_id")
+    return np.array([np.asarray(df.loc[i, "embedding"], dtype=np.float64) for i in ids])
+
+
+def q_ann_topk(sf_dir: str, k: int = 10):
+    """Brute-force cosine top-k for query vector vec_id=0 (baseline ANN)."""
+    queries = _query_vectors(sf_dir, ids=(0,))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = brute_force_topk(ds, queries, k=k)
+    df = df[["vec_id", "cosine"]].copy()
+    df["cosine"] = df["cosine"].round(4)
+    return df.reset_index(drop=True)
+
+
+def r_embedding_neardup(sf_dir: str):
+    dim = len(_query_vectors(sf_dir, ids=(0,))[0])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_near_duplicates(
+        ds, dim=dim, threshold=0.9, num_planes=8
+    ).to_pandas()
+    return out.reindex(columns=["id_a", "id_b", "cosine"])
+
+
+# ---------------------------------------------------------------------------
+# Windows / sessions over events
+# ---------------------------------------------------------------------------
+
+def q_event_windows_hourly(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = tumbling_window(ds, "ts", "event_type", "value", window="1h").to_pandas()
+    for c in ("sum_value", "min_value", "max_value"):
+        out[c] = out[c].round(2)
+    return out
+
+
+def r_sessions(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return session_windows(ds, "ts", "user_id", gap_seconds=1800)
+
+
+# ---------------------------------------------------------------------------
+# Flagship validation pipeline over the synthetic image table
+# ---------------------------------------------------------------------------
+
+def _image_table_dir(rows: int) -> str:
+    from ..sources.synth import generate_image_table
+
+    out = f"/tmp/pgr_images_{rows}"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        generate_image_table(out, num_rows=rows, num_fragments=8)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def r_validation_image_table(sf_dir: str):
+    """Flagship: schema + constraint validation over the deterministic
+    image+caption table (scaled by sf via directory size convention)."""
+    from ..pipelines.validation import run_validation
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        rows = max(1000, int(float(sf) * 200_000))
+    except ValueError:
+        rows = 2000
+    img_dir = _image_table_dir(rows)
+    import shutil, tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="pgr_val_")
+    try:
+        rep = run_validation(img_dir, out_dir)
+        frag_rows = [
+            {
+                "fragment": os.path.basename(p),
+                "rows": r["rows"],
+                "violations": r["violations"],
+                "passed": bool(r["pass"]),
+            }
+            for p, r in sorted(rep.fragment_reports.items())
+        ]
+        return pd.DataFrame(frag_rows)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

@@ -1,0 +1,226 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Patterns (ray_guide "Aggregation at scale"):
+  exact      — content hash per batch (vectorized) → hash-partitioned
+               groupby → keep the min-id row per group
+  minhash    — shingle → minhash signature per row (numpy) → explode to
+               (band_id, band_hash, id) rows → groupby bands → candidate
+               groups → pairwise signature-estimated Jaccard
+  simhash    — 64-bit simhash per row; equal-prefix buckets group near-dups
+  embedding  — random-hyperplane LSH buckets + exact cosine verify
+
+Each stage emits only ids/hashes/signatures across shuffles — never the
+original payload — so the wide steps stay narrow at 100 TB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .sketches import hash64
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Hashes of character k-shingles of lowercased text."""
+    t = " ".join(text.lower().split()) if text else ""
+    if len(t) < k:
+        t = t.ljust(k, "_")
+    data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+    if len(data) < k:
+        data = np.pad(data, (0, k - len(data)))
+    # rolling windows → dot with byte weights → mix
+    windows = np.lib.stride_tricks.sliding_window_view(data, min(k, len(data)))
+    weights = (np.uint64(31) ** np.arange(windows.shape[1], dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        raw = (windows.astype(np.uint64) * weights).sum(axis=1)
+    return np.unique(hash64(raw))
+
+
+class MinHasher:
+    """Per-batch minhash signatures: ``num_perm`` permutations via the
+    (a*x+b) mod p universal-hash family, vectorized over shingles."""
+
+    def __init__(
+        self,
+        column: str = "text",
+        num_perm: int = 64,
+        bands: int = 16,
+        shingle_k: int = 5,
+        seed: int = 7,
+    ):
+        assert num_perm % bands == 0
+        rng = np.random.default_rng(seed)
+        self.column = column
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_k = shingle_k
+        self.a = rng.integers(1, 2**61 - 1, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, 2**61 - 1, size=num_perm, dtype=np.uint64)
+        self.p = np.uint64(2**61 - 1)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.shingle_k)
+        if len(sh) == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            # (num_perm, n_shingles) universal hashes → min along shingles
+            vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % self.p
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(t) for t in batch[self.column].to_pylist()]
+        arr = pa.array([s.astype(np.int64).tolist() for s in sigs], pa.list_(pa.int64()))
+        return batch.append_column("minhash", arr)
+
+
+class BandExploder:
+    """Explode signatures into (band_id, band_hash, id, minhash) rows for
+    the LSH groupby."""
+
+    def __init__(self, id_column: str, bands: int = 16, rows_per_band: int = 4):
+        self.id_column = id_column
+        self.bands = bands
+        self.rows_per_band = rows_per_band
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_column].to_pylist()
+        sigs = batch["minhash"].to_pylist()
+        out_band, out_hash, out_id, out_sig = [], [], [], []
+        for rid, sig in zip(ids, sigs):
+            s = np.asarray(sig, dtype=np.uint64)
+            for b in range(self.bands):
+                chunk = s[b * self.rows_per_band : (b + 1) * self.rows_per_band]
+                with np.errstate(over="ignore"):
+                    h = int(hash64((chunk + np.uint64(b)).astype(np.uint64)).sum() & np.uint64(0x7FFFFFFFFFFFFFFF))
+                out_band.append(b)
+                out_hash.append(h)
+                out_id.append(rid)
+                out_sig.append(sig)
+        return pa.table(
+            {
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.int64()),
+                self.id_column: pa.array(out_id),
+                "minhash": pa.array(out_sig, pa.list_(pa.int64())),
+            }
+        )
+
+
+def minhash_lsh_pairs(ds, column: str, id_column: str, *, num_perm=64, bands=16,
+                      min_jaccard: float = 0.5, batch_size: int = 4096):
+    """Near-duplicate candidate pairs with signature-estimated Jaccard.
+
+    Returns a Dataset of (id_a, id_b, est_jaccard), id_a < id_b, deduped.
+    """
+    import pandas as pd
+
+    hasher = MinHasher(column=column, num_perm=num_perm, bands=bands)
+    sigs = ds.select_columns([id_column, column]).map_batches(
+        hasher, batch_format="pyarrow", batch_size=batch_size
+    ).select_columns([id_column, "minhash"])
+    exploded = sigs.map_batches(
+        BandExploder(id_column, bands, num_perm // bands),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        group = group.sort_values(id_column)
+        ids = group[id_column].to_numpy()
+        sig_mat = np.array(group["minhash"].tolist(), dtype=np.int64)
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                est = float(np.mean(sig_mat[i] == sig_mat[j]))
+                if est >= min_jaccard:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_j.append(est)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
+
+    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
+        emit_pairs, batch_format="pandas"
+    )
+    # a pair can surface from several bands — dedup on (id_a, id_b)
+    def dedup_pairs(batch: "pd.DataFrame") -> "pd.DataFrame":
+        return batch.sort_values(["id_a", "id_b"]).drop_duplicates(["id_a", "id_b"])
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+class SimHasher:
+    """64-bit SimHash over word hashes; ``simhash_bucket`` = top-``prefix``
+    bits for bucketed near-dup grouping."""
+
+    def __init__(self, column: str = "text", prefix_bits: int = 16):
+        self.column = column
+        self.prefix_bits = prefix_bits
+
+    def simhash(self, text: str) -> int:
+        from .sketches import hash_strings
+
+        words = text.lower().split() if text else []
+        if not words:
+            return 0
+        # NB: deterministic hashing (not builtin hash(): PYTHONHASHSEED varies
+        # per Ray worker process)
+        hs = hash_strings(words)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        v = (bits * 2 - 1).sum(axis=0)
+        out = np.uint64(0)
+        for i in range(64):
+            if v[i] > 0:
+                out |= np.uint64(1) << np.uint64(i)
+        return int(out & np.uint64(0x7FFFFFFFFFFFFFFF))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = [self.simhash(t) for t in batch[self.column].to_pylist()]
+        out = batch.append_column("simhash", pa.array(vals, pa.int64()))
+        bucket = [v >> (63 - self.prefix_bits) for v in vals]
+        return out.append_column("simhash_bucket", pa.array(bucket, pa.int64()))
+
+
+def exact_dedup(ds, column: str, id_column: str, *, batch_size: int = 8192):
+    """Exact dedup: keep the minimum-id row per distinct column value.
+
+    hash-partitioned groupby on a content-hash column; only (id, value)
+    survive the shuffle. Equivalent SQL: SELECT min(id), value GROUP BY value.
+    """
+    import pandas as pd
+    import zlib
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [
+            zlib.crc32((t or "").encode("utf-8")) for t in batch[column].to_pylist()
+        ]
+        return batch.append_column("__content_hash", pa.array(hashes, pa.int64()))
+
+    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
+        # same-hash different-content collisions resolved per distinct value
+        out = group.sort_values(id_column).drop_duplicates(subset=[column], keep="first")
+        return out[[id_column, column]]
+
+    return (
+        ds.select_columns([id_column, column])
+        .map_batches(add_hash, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("__content_hash")
+        .map_groups(keep_min, batch_format="pandas")
+    )
+
+
+def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
+    """Exact character-k-gram Jaccard (verification kernel for candidates)."""
+    sa, sb = set(_shingle_hashes(a, k).tolist()), set(_shingle_hashes(b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(1, len(sa | sb))

@@ -1,0 +1,142 @@
+"""Distributed genson-style schema inference as Ray Data stages.
+
+Pipeline shape (SURVEY.md §3.1 "Ray lifecycle equivalent"):
+
+  read → map_batches(SchemaPartialBatch, batch_format="pyarrow")
+       → tiny partial rows (one per block: merged partial schema JSON +
+         distinct-doc-schema keys + counts)
+       → ordered driver-side reduce (partials are a few KiB each)
+       → finalize_schema (map inference / unification / reorder / Avro)
+
+Correctness notes:
+  - the per-document schema build applies ``force_field_types`` pre-merge
+    exactly like the reference's parallel path (schema.rs:427), so the merge
+    is a commutative monoid and regrouping by block is sound;
+  - first-seen property order is recovered by reducing partials in block
+    order (map_batches preserves logical order);
+  - ``processed_count`` counts globally distinct per-document schemas —
+    the reference's parallel-path semantics (schema.rs:429-434) — via a
+    union of per-block key sets (schema variety is structurally bounded, so
+    these sets stay tiny even at 10^12 rows).
+
+Scale notes: the only non-map_batches step is the reduce over one small row
+per block. For very large block counts this can be tree-reduced by an extra
+``map_batches`` round over the partials; at 10^6 blocks the driver reduce
+is still only ~10^6 tiny merges.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from ..core import (
+    SchemaBuilder,
+    SchemaInferenceConfig,
+    SchemaInferenceResult,
+    document_schema,
+    finalize_schema,
+    schema_dedup_key,
+)
+
+PARTIAL_SCHEMA_COL = "partial_schema"
+PARTIAL_KEYS_COL = "doc_schema_keys"
+PARTIAL_ROWS_COL = "rows_seen"
+PARTIAL_INVALID_COL = "invalid_rows"
+
+
+class SchemaPartialBatch:
+    """``map_batches`` callable: one Arrow batch of JSON strings in → one
+    partial-schema row out. Stateless (plain function semantics), but kept a
+    class so config parses once per actor when used with ``concurrency``.
+
+    ``strict=True`` mirrors the reference: one invalid document fails the
+    whole column (genson-core/src/schema.rs:198-204). ``strict=False`` is
+    the validation-engine divergence (SURVEY.md §7.4): invalid rows are
+    counted and skipped — they surface as violation rows, not job failures.
+    """
+
+    def __init__(
+        self,
+        column: str,
+        config: SchemaInferenceConfig | None = None,
+        *,
+        strict: bool = False,
+    ):
+        self.column = column
+        self.config = config or SchemaInferenceConfig()
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..core.infer import SchemaInferenceError
+
+        texts = batch[self.column].to_pylist()
+        builder = SchemaBuilder(schema_uri=self.config.schema_uri)
+        seen: dict[str, None] = {}
+        rows = 0
+        invalid = 0
+        for i, text in enumerate(texts):
+            if text is None or not str(text).strip():
+                continue
+            rows += 1
+            try:
+                schema = document_schema(str(text), i, self.config)
+            except SchemaInferenceError:
+                if self.strict:
+                    raise
+                invalid += 1
+                continue
+            if schema is None:
+                continue
+            key = schema_dedup_key(schema)
+            if key in seen:
+                continue
+            seen[key] = None
+            builder.add_schema(schema)
+        partial = builder.to_schema()
+        return pa.table(
+            {
+                PARTIAL_SCHEMA_COL: pa.array([json.dumps(partial)], pa.large_string()),
+                PARTIAL_KEYS_COL: pa.array([list(seen)], pa.list_(pa.large_string())),
+                PARTIAL_ROWS_COL: pa.array([rows], pa.int64()),
+                PARTIAL_INVALID_COL: pa.array([invalid], pa.int64()),
+            }
+        )
+
+
+def reduce_partials(
+    partial_rows, config: SchemaInferenceConfig
+) -> SchemaInferenceResult:
+    """Ordered merge of partial-schema rows (driver-side; input is tiny)."""
+    builder = SchemaBuilder(schema_uri=config.schema_uri)
+    all_keys: dict[str, None] = {}
+    for row in partial_rows:
+        partial = json.loads(row[PARTIAL_SCHEMA_COL])
+        for key in row[PARTIAL_KEYS_COL]:
+            all_keys[key] = None
+        builder.add_schema(partial)
+    schema = finalize_schema(builder.to_schema(), config)
+    return SchemaInferenceResult(schema=schema, processed_count=len(all_keys))
+
+
+def infer_schema_distributed(
+    ds,
+    column: str,
+    config: SchemaInferenceConfig | None = None,
+    *,
+    batch_size: int = 8192,
+    strict: bool = False,
+) -> SchemaInferenceResult:
+    """Infer the merged schema of a JSON-string column of a Dataset.
+
+    ``ds`` streams; only one tiny partial row per block is collected.
+    """
+    config = config or SchemaInferenceConfig()
+    partials = ds.select_columns([column]).map_batches(
+        SchemaPartialBatch(column, config, strict=strict),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    rows = partials.take_all()  # one small row per block
+    return reduce_partials(rows, config)

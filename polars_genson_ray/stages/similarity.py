@@ -1,0 +1,141 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once via
+``ray.put``; each batch does one numpy matmul and emits only its local
+top-k rows, so the global merge handles ``k × num_batches`` rows instead of
+the full table. Scale path: random-hyperplane LSH bucketing (probe only
+matching buckets) for sub-linear candidate generation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+class BatchTopK:
+    """Per-batch cosine top-k against a broadcast query matrix."""
+
+    def __init__(self, query_ref, id_column: str = "vec_id",
+                 column: str = "embedding", k: int = 10):
+        self.query_ref = query_ref
+        self.id_column = id_column
+        self.column = column
+        self.k = k
+        self._q = None  # fetched once per actor/task on first batch
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._q is None:
+            q = self.query_ref
+            if isinstance(q, ray.ObjectRef):
+                q = ray.get(q)
+            self._q = _normalize(np.asarray(q, dtype=np.float64))
+        emb = np.asarray(
+            [np.asarray(e, dtype=np.float64) for e in batch[self.column].to_pylist()]
+        )
+        ids = np.asarray(batch[self.id_column].to_pylist())
+        if emb.size == 0:
+            return pa.table(
+                {"query_idx": pa.array([], pa.int32()),
+                 self.id_column: pa.array([], batch[self.id_column].type),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        emb = _normalize(emb)
+        scores = emb @ self._q.T  # (batch, num_queries)
+        k = min(self.k, scores.shape[0])
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(scores.shape[1]):
+            col = scores[:, qi]
+            top = np.argpartition(-col, k - 1)[:k]
+            for t in top:
+                out_q.append(qi)
+                out_id.append(ids[t])
+                out_cos.append(float(col[t]))
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int32()),
+                self.id_column: pa.array(out_id, batch[self.id_column].type),
+                "cosine": pa.array(out_cos, pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(ds, queries: np.ndarray, *, id_column="vec_id",
+                     column="embedding", k=10, batch_size=4096):
+    """Global cosine top-k per query vector. Returns a small pyarrow Table
+    (query_idx, id, cosine) sorted by (query_idx, -cosine, id)."""
+    query_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    partial = ds.select_columns([id_column, column]).map_batches(
+        BatchTopK(query_ref, id_column, column, k),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    rows = partial.take_all()  # k rows per (batch, query) — small
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    if df.empty:
+        return df
+    df = df.sort_values(["query_idx", "cosine", id_column],
+                        ascending=[True, False, True])
+    return df.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
+
+
+class HyperplaneLSH:
+    """Random-hyperplane bucket id per row (``lsh_bucket``): the scale path
+    for ANN — co-bucket rows are candidate neighbours; verify with exact
+    cosine inside each bucket group."""
+
+    def __init__(self, dim: int, num_planes: int = 12, seed: int = 11,
+                 column: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((num_planes, dim))
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.asarray(
+            [np.asarray(e, dtype=np.float64) for e in batch[self.column].to_pylist()]
+        )
+        if emb.size == 0:
+            return batch.append_column("lsh_bucket", pa.array([], pa.int64()))
+        bits = (emb @ self.planes.T) > 0
+        bucket = np.zeros(len(emb), dtype=np.int64)
+        for i in range(bits.shape[1]):
+            bucket |= bits[:, i].astype(np.int64) << i
+        return batch.append_column("lsh_bucket", pa.array(bucket, pa.int64()))
+
+
+def embedding_near_duplicates(ds, *, id_column="vec_id", column="embedding",
+                              dim: int, threshold: float = 0.95,
+                              num_planes: int = 10, batch_size: int = 4096):
+    """Near-duplicate pairs by cosine ≥ threshold, generated via LSH buckets
+    and verified exactly within each bucket (no all-pairs pass)."""
+    import pandas as pd
+
+    bucketed = ds.select_columns([id_column, column]).map_batches(
+        HyperplaneLSH(dim, num_planes, column=column),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        group = group.sort_values(id_column)
+        ids = group[id_column].to_numpy()
+        emb = _normalize(np.array(group[column].tolist(), dtype=np.float64))
+        sims = emb @ emb.T
+        ii, jj = np.where(np.triu(sims, 1) >= threshold)
+        return pd.DataFrame(
+            {"id_a": ids[ii], "id_b": ids[jj], "cosine": sims[ii, jj]}
+        )
+
+    return bucketed.groupby("lsh_bucket").map_groups(verify, batch_format="pandas")

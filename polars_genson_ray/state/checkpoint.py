@@ -1,0 +1,76 @@
+"""Per-fragment lineage / checkpoint store.
+
+One JSON record per input fragment (BASELINE.json north_rule: "resumable
+from checkpoint with per-partition lineage + metrics"). Records are written
+atomically (temp file + rename) so a crashed run never leaves a partial
+record; resume = skip fragments with a ``done`` record whose input digest
+still matches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+
+def fragment_key(path: str) -> str:
+    return os.path.basename(path).replace("/", "_")
+
+
+def fragment_digest(path: str) -> str:
+    """Cheap input identity: (size, mtime_ns) — content hash would re-read
+    100 TB; parquet fragments are immutable in practice."""
+    st = os.stat(path)
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
+class CheckpointStore:
+    def __init__(self, directory: str):
+        self.directory = directory
+        os.makedirs(directory, exist_ok=True)
+
+    def _record_path(self, fragment: str) -> str:
+        return os.path.join(self.directory, fragment_key(fragment) + ".json")
+
+    def load(self, fragment: str) -> dict | None:
+        try:
+            with open(self._record_path(fragment)) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def is_done(self, fragment: str) -> bool:
+        rec = self.load(fragment)
+        return (
+            rec is not None
+            and rec.get("status") == "done"
+            and rec.get("input_digest") == fragment_digest(fragment)
+        )
+
+    def record(self, fragment: str, record: dict) -> None:
+        record = dict(record)
+        record.setdefault("fragment", fragment)
+        record.setdefault("input_digest", fragment_digest(fragment))
+        fd, tmp = tempfile.mkstemp(dir=self.directory, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(record, f)
+            os.replace(tmp, self._record_path(fragment))
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def completed(self) -> dict[str, dict]:
+        out = {}
+        for name in os.listdir(self.directory):
+            if not name.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(self.directory, name)) as f:
+                    rec = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            if rec.get("status") == "done":
+                out[rec.get("fragment", name)] = rec
+        return out

@@ -1,0 +1,160 @@
+"""Driver-mimic correctness harness: every ``queries()`` entry with an
+``oracle_sql()`` entry is executed at sf0.001 and compared against DuckDB —
+row count, schema (column names), and order-insensitive values — the same
+contract the graft driver checks at sf0.01.
+
+Rows-only entries are executed and checked for non-crash + stable schema.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="testdata not available"
+)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings".split()
+)
+
+
+@pytest.fixture(scope="session")
+def entry_module(ray_session):
+    import __ray_entry__
+
+    return __ray_entry__
+
+
+@pytest.fixture(scope="session")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+        )
+    return con
+
+
+def _to_pandas(result):
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _compare(ray_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str):
+    assert sorted(ray_df.columns) == sorted(oracle_df.columns), (
+        f"{name}: column mismatch {sorted(ray_df.columns)} vs {sorted(oracle_df.columns)}"
+    )
+    assert len(ray_df) == len(oracle_df), (
+        f"{name}: row count {len(ray_df)} vs {len(oracle_df)}"
+    )
+    a, b = _canon(ray_df), _canon(oracle_df)
+    for c in a.columns:
+        col_a, col_b = a[c], b[c]
+        if np.issubdtype(col_a.dtype, np.floating) or np.issubdtype(
+            col_b.dtype, np.floating
+        ):
+            assert np.allclose(
+                col_a.astype(float), col_b.astype(float), rtol=0, atol=1e-9, equal_nan=True
+            ), f"{name}: float column {c} differs"
+        else:
+            pd.testing.assert_series_equal(
+                col_a, col_b, check_dtype=False, check_names=False, obj=f"{name}.{c}"
+            )
+
+
+def _oracle_pairs(entry_module):
+    qs = entry_module.queries()
+    oracles = entry_module.oracle_sql()
+    return sorted(oracles), qs, oracles
+
+
+def test_oracle_keys_subset_of_queries(entry_module):
+    qs = entry_module.queries()
+    for key in entry_module.oracle_sql():
+        assert key in qs, f"oracle_sql key {key} missing from queries()"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "pricing_summary",
+        "doc_lang_counts",
+        "distinct_users",
+        "quantity_quantiles",
+        "part_pruned_filter",
+        "top_events",
+        "duplicate_user_events",
+        "referential_orphans",
+        "nation_revenue",
+        "json_extract_props",
+        "token_counts",
+        "doc_quality",
+        "exact_dedup_docs",
+        "ann_topk",
+        "event_windows_hourly",
+    ],
+)
+def test_query_matches_oracle(entry_module, duck, name):
+    qs = entry_module.queries()
+    sql = entry_module.oracle_sql()[name]
+    ray_df = _to_pandas(qs[name](SF_DIR))
+    oracle_df = duck.execute(sql).fetchdf()
+    _compare(ray_df, oracle_df, name)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "schema_infer_events_props",
+        "avro_schema_events_props",
+        "normalise_events_props",
+        "doc_fingerprints",
+        "langid_docs",
+        "minhash_neardup_docs",
+        "simhash_docs",
+        "embedding_neardup",
+        "sessions",
+        "validation_image_table",
+    ],
+)
+def test_rows_only_query_runs(entry_module, name):
+    qs = entry_module.queries()
+    df = _to_pandas(qs[name](SF_DIR))
+    assert df is not None
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(entry_module):
+    df = _to_pandas(entry_module.entry())
+    assert len(df) >= 0
+    assert len(df.columns) > 0
