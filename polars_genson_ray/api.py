@@ -118,6 +118,61 @@ def normalise_json(
     )
 
 
+def infer_polars_schema(json_strings, *, avro: bool = False, **kwargs):
+    """Infer a ``polars.Schema`` for the column (A2 parity,
+    polars-genson-py/src/expressions.rs:314-416): infer the merged schema,
+    then map it through the T11/T12 bridge to dtype strings → pl dtypes.
+    Avro format materialises maps as ``List[Struct[key,value]]``."""
+    import polars as pl
+
+    from .core.dtypes import (
+        avro_schema_to_polars_fields,
+        json_schema_to_polars_fields,
+        parse_polars_dtype,
+    )
+
+    kwargs["avro"] = avro
+    schema = infer_json_schema(json_strings, **kwargs)
+    fields = (
+        avro_schema_to_polars_fields(schema)
+        if avro
+        else json_schema_to_polars_fields(schema)
+    )
+    return pl.Schema({name: parse_polars_dtype(t) for name, t in fields})
+
+
+def normalise_and_decode(
+    json_strings,
+    *,
+    empty_as_null: bool = True,
+    coerce_strings: bool = False,
+    unnest: bool = True,
+    decode_schema=None,
+    **kwargs,
+):
+    """``normalise_json(..., decode=True)`` parity (A3,
+    polars-genson-py/python/polars_genson/__init__.py:1179-1217): normalise
+    against the inferred Avro schema, then ``str.json_decode`` into typed
+    polars columns (kv map encoding required, as in the reference)."""
+    import polars as pl
+
+    normed = normalise_json(
+        json_strings,
+        empty_as_null=empty_as_null,
+        coerce_strings=coerce_strings,
+        map_encoding=MAP_ENCODING_KV,
+        **kwargs,
+    )
+    if decode_schema is None:
+        decode_schema = infer_polars_schema(json_strings, avro=True, **kwargs)
+    dtype = pl.Struct(decode_schema)
+    series = pl.Series("normalised", normed).str.json_decode(dtype)
+    df = series.to_frame()
+    if unnest:
+        df = df.unnest("normalised")
+    return df
+
+
 def normalise_rows(
     json_strings,
     avro_schema,

@@ -1,0 +1,187 @@
+"""API-level parity tests mirroring the reference's pytest suites
+(polars-genson-py/tests/*.py — assertions replicated, fixtures per
+FIXTURES.md B-families)."""
+
+from __future__ import annotations
+
+import polars as pl
+import pytest
+
+from polars_genson_ray.api import (
+    infer_json_schema,
+    infer_polars_schema,
+    normalise_and_decode,
+    normalise_json,
+)
+from polars_genson_ray.core.dtypes import (
+    parse_polars_dtype,
+    polars_schema_to_json_schema,
+)
+
+
+def test_basic_schema_inference():
+    # core_test.py:18-48
+    schema = infer_json_schema(
+        [
+            '{"name": "Alice", "age": 30}',
+            '{"name": "Bob", "age": 25, "city": "NYC"}',
+            '{"name": "Charlie", "age": 35, "email": "charlie@example.com"}',
+        ]
+    )
+    props = schema["properties"]
+    assert set(props) == {"name", "age", "city", "email"}
+    assert props["name"]["type"] == "string"
+    assert props["age"]["type"] == "integer"
+    assert schema["required"] == ["age", "name"]
+
+
+def test_null_and_blank_rows_skipped():
+    schema = infer_json_schema(['{"a": 1}', None, "", '{"a": 2, "b": "x"}'])
+    assert set(schema["properties"]) == {"a", "b"}
+
+
+def test_empty_column_raises():
+    with pytest.raises(ValueError):
+        infer_json_schema([])
+
+
+def test_invalid_json_raises():
+    with pytest.raises(Exception, match="Invalid JSON"):
+        infer_json_schema(['{"name": "Alice"}', '{"invalid": json}'])
+
+
+def test_field_order_preserved():
+    # field_order_test.py:44-60 — first-seen order across documents
+    schema = infer_json_schema(
+        ['{"z": 1, "b": 2}', '{"b": 3, "a": 4, "z": 5}', '{"c": 6, "z": 7, "b": 8}']
+    )
+    assert list(schema["properties"]) == ["z", "b", "a", "c"]
+
+
+def test_merge_schemas_false_returns_per_row():
+    schemas = infer_json_schema(
+        ['{"a": 1}', '{"b": "x"}'], merge_schemas=False
+    )
+    assert isinstance(schemas, list) and len(schemas) == 2
+    assert list(schemas[0]["properties"]) == ["a"]
+    assert list(schemas[1]["properties"]) == ["b"]
+
+
+def test_unify_maps_letters_avro():
+    # unify_maps_test.py:7-49
+    rows = [
+        '{"letter": {"a": {"alphabet": 0, "vowel": 0, "frequency": 0.0817}}}',
+        '{"letter": {"b": {"alphabet": 1, "consonant": 0, "frequency": 0.0150}}}',
+        '{"letter": {"c": {"alphabet": 2, "consonant": 1, "frequency": 0.0278}}}',
+        '{"letter": {"d": {"alphabet": 3, "consonant": 2, "frequency": 0.0425}}}',
+        '{"letter": {"e": {"alphabet": 4, "vowel": 4, "frequency": 0.1270}}}',
+    ]
+    avro = infer_json_schema(rows, avro=True, map_threshold=5, unify_maps=True)
+    letter = next(f for f in avro["fields"] if f["name"] == "letter")
+    assert letter["type"]["type"] == "map"
+    values = letter["type"]["values"]
+    assert values["type"] == "record"
+    ftypes = {f["name"]: f["type"] for f in values["fields"]}
+    assert ftypes["alphabet"] == "int"
+    assert ftypes["frequency"] == "float"
+    assert ftypes["vowel"] == ["null", "int"]
+    assert ftypes["consonant"] == ["null", "int"]
+
+
+def test_unify_maps_normalisation():
+    # unify_maps_test.py:52-100 (kv map encoding, missing fields → null)
+    rows = [
+        '{"letter": {"a": {"alphabet": 0, "vowel": 0, "frequency": 0.0817}}}',
+        '{"letter": {"b": {"alphabet": 1, "consonant": 0, "frequency": 0.0150}}}',
+        '{"letter": {"e": {"alphabet": 4, "vowel": 4, "frequency": 0.1270}}}',
+    ]
+    out = normalise_and_decode(rows, map_threshold=3, unify_maps=True)
+    assert out.to_dicts() == [
+        {"letter": [{"key": "a", "value": {"alphabet": 0, "frequency": 0.0817, "vowel": 0, "consonant": None}}]},
+        {"letter": [{"key": "b", "value": {"alphabet": 1, "frequency": 0.0150, "vowel": None, "consonant": 0}}]},
+        {"letter": [{"key": "e", "value": {"alphabet": 4, "frequency": 0.1270, "vowel": 4, "consonant": None}}]},
+    ]
+
+
+def test_normalise_empty_array_null_vs_kept():
+    # normalise_test.py:9-27
+    assert normalise_json(['{"labels": []}']) == ['{"labels":null}']
+    assert normalise_json(['{"labels": []}'], empty_as_null=False) == ['{"labels":[]}']
+
+
+def test_normalise_string_coercion():
+    # normalise_test.py:50-86
+    rows = ['{"id":"42", "active":"true"}', '{"id":7, "active":false}']
+    out = normalise_json(rows)
+    assert '"id":null' in out[0] and '"active":null' in out[0]
+    out = normalise_json(rows, coerce_strings=True)
+    assert '"id":42' in out[0] and '"active":true' in out[0]
+
+
+def test_force_scalar_promotion():
+    # normalise_test.py:29-48
+    schema = infer_json_schema(
+        ['{"precision": 11}', '{"precision": 12}'],
+        force_scalar_promotion={"precision"},
+    )
+    assert schema["properties"]["precision"]["type"] == "object"
+    assert "precision__integer" in schema["properties"]["precision"]["properties"]
+
+
+def test_decode_basic_record():
+    # decode_test.py:9-29
+    out = normalise_and_decode(['{"id": 1, "active": true}', '{"id": 2, "active": false}'])
+    assert dict(out.schema) == {"id": pl.Int64, "active": pl.Boolean}
+    assert out.to_dicts() == [
+        {"id": 1, "active": True},
+        {"id": 2, "active": False},
+    ]
+
+
+def test_decode_map_to_kv_struct():
+    # decode_test.py:31-57
+    out = normalise_and_decode(
+        ['{"labels": {"en": "Hello", "fr": "Bonjour"}}', '{"labels": {"es": "Hola"}}'],
+        map_threshold=2,
+    )
+    assert dict(out.schema) == {
+        "labels": pl.List(pl.Struct({"key": pl.String, "value": pl.String}))
+    }
+    assert out.to_dicts() == [
+        {"labels": [{"key": "en", "value": "Hello"}, {"key": "fr", "value": "Bonjour"}]},
+        {"labels": [{"key": "es", "value": "Hola"}]},
+    ]
+
+
+def test_infer_polars_schema_json_format():
+    schema = infer_polars_schema(['{"a": 1, "b": "x", "c": [1.5]}'])
+    assert schema == pl.Schema(
+        {"a": pl.Int64, "b": pl.String, "c": pl.List(pl.Float64)}
+    )
+
+
+def test_dtype_string_roundtrip():
+    dt = parse_polars_dtype("Struct[id:Int64,vals:List[Struct[key:String,value:Float64]]]")
+    assert dt == pl.Struct(
+        {"id": pl.Int64, "vals": pl.List(pl.Struct({"key": pl.String, "value": pl.Float64}))}
+    )
+    assert parse_polars_dtype("Array[Int32,3]") == pl.Array(pl.Int32, 3)
+    assert parse_polars_dtype("Decimal(10,2)") == pl.Decimal(10, 2)
+
+
+def test_polars_schema_to_json_schema():
+    # serialise.rs:65-268 semantics (uint minimum, binary encoding, struct)
+    schema = pl.Schema(
+        {
+            "i": pl.UInt32,
+            "b": pl.Binary,
+            "s": pl.Struct({"x": pl.Int64}),
+            "arr": pl.Array(pl.Float64, 2),
+        }
+    )
+    js = polars_schema_to_json_schema(schema)
+    assert js["properties"]["i"] == {"type": "integer", "minimum": 0}
+    assert js["properties"]["b"]["contentEncoding"] == "base64"
+    assert js["properties"]["s"]["properties"]["x"] == {"type": "integer"}
+    assert js["properties"]["arr"]["minItems"] == 2
+    assert js["required"] == ["arr", "b", "i", "s"]
