@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_infer_events_props": Q.r_schema_infer_events_props,
         "avro_schema_events_props": Q.r_avro_schema_events_props,
         "normalise_events_props": Q.r_normalise_events_props,
+        "decode_props_typed": Q.q_decode_props_typed,
         # text analysis / dedup
         "token_counts": Q.q_token_counts,
         "doc_quality": Q.q_doc_quality,
@@ -115,6 +116,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n.n_name
         """,
         "json_extract_props": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "decode_props_typed": """
             SELECT event_id,
                    CAST(json_extract(props, '$.k') AS BIGINT) AS k
             FROM events

@@ -107,11 +107,77 @@ def run_bench() -> dict:
     return out
 
 
+def _scaling_table(images: int) -> str:
+    """Dedicated larger-image table for the scaling measurement: the
+    per-row decode/PSNR work must dominate fixed pipeline overheads for a
+    parallelism comparison to be meaningful."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from polars_genson_ray.sources.synth import generate_image_table
+
+    out = f"/tmp/pgr_scale_{images}"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        generate_image_table(
+            out,
+            num_rows=images,
+            num_fragments=max(16, min(128, images // 2000)),
+            min_side=48,
+            max_side=96,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def run_validation_only(images: int) -> dict:
+    """Time ONLY the flagship validation pipeline (the headline metric:
+    validated images/sec) on the scaling table."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import shutil
+    import tempfile
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        log_to_driver=False,
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from polars_genson_ray.pipelines.validation import run_validation
+
+    img_dir = _scaling_table(images)
+    out_dir = tempfile.mkdtemp(prefix="pgr_scale_val_")
+    t0 = time.perf_counter()
+    rep = run_validation(img_dir, out_dir, resume=False)
+    elapsed = time.perf_counter() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ray.shutdown()
+    return {
+        "metric": "validated images/sec (flagship pipeline)",
+        "value": round(elapsed, 3),
+        "unit": "sec",
+        "images": images,
+        "rows": rep.rows,
+        "images_per_sec": round(images / elapsed, 1),
+        "num_cpus": NUM_CPUS,
+    }
+
+
 def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+    images = int(os.environ.get("GRAFT_SCALING_IMAGES", "150000"))
+    _scaling_table(images)  # generate once, outside both timed runs
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__), "--validation-only",
+             str(images)],
             env=env,
             capture_output=True,
             text=True,
@@ -124,6 +190,7 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling efficiency (two parallelism levels, fresh sessions)",
+        "images": images,
         "num_cpus_lo": lo,
         "num_cpus_hi": hi,
         "sec_lo": t_lo,
@@ -131,12 +198,15 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
         "images_per_sec_lo": r_lo["images_per_sec"],
         "images_per_sec_hi": r_hi["images_per_sec"],
         "scaling_efficiency": round(eff, 3),
-        "sf": r_hi["sf"],
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--validation-only" in sys.argv:
+        idx = sys.argv.index("--validation-only")
+        n = int(sys.argv[idx + 1]) if idx + 1 < len(sys.argv) else 150000
+        print(json.dumps(run_validation_only(n)))
     else:
         print(json.dumps(run_bench()))

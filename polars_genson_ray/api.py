@@ -141,6 +141,59 @@ def infer_polars_schema(json_strings, *, avro: bool = False, **kwargs):
     return pl.Schema({name: parse_polars_dtype(t) for name, t in fields})
 
 
+def schema_to_json(schema) -> str:
+    """Serialise a ``pl.Schema`` to JSON (A6 parity; representation is the
+    dtype-string mini-language rather than polars-rs serde — round-trips
+    through ``json_to_schema``)."""
+    import polars as pl
+
+    from .core.dtypes import polars_dtype_to_string
+
+    if not isinstance(schema, pl.Schema):
+        raise TypeError(f"Expected Schema, got {type(schema)}: {schema}")
+    return json.dumps({name: polars_dtype_to_string(dt) for name, dt in schema.items()})
+
+
+def json_to_schema(json_str: str):
+    """Inverse of :func:`schema_to_json`."""
+    import polars as pl
+
+    from .core.dtypes import parse_polars_dtype
+
+    data = json.loads(json_str)
+    return pl.Schema({name: parse_polars_dtype(t) for name, t in data.items()})
+
+
+def avro_to_polars_schema(avro_schema_json: str):
+    """Avro schema JSON string → ``pl.Schema`` (A6,
+    polars-genson-py/python/polars_genson/__init__.py:1236-1258)."""
+    import polars as pl
+
+    from .core.dtypes import avro_schema_to_polars_fields, parse_polars_dtype
+
+    fields = avro_schema_to_polars_fields(json.loads(avro_schema_json))
+    return pl.Schema({name: parse_polars_dtype(t) for name, t in fields})
+
+
+def schema_to_dict(schema):
+    """Nested-dict view of a ``pl.Schema`` (A6, __init__.py:1260-1276)."""
+    import polars as pl
+
+    if not isinstance(schema, pl.Schema):
+        raise TypeError(f"Expected Polars Schema, got {type(schema)}")
+
+    def dtype_to_dict(dtype):
+        if isinstance(dtype, pl.Struct):
+            return {f.name: dtype_to_dict(f.dtype) for f in dtype.fields}
+        if isinstance(dtype, pl.List):
+            return {"list": dtype_to_dict(dtype.inner)}
+        if isinstance(dtype, pl.Array):
+            return {"array": {"inner": dtype_to_dict(dtype.inner), "size": dtype.size}}
+        return str(dtype)
+
+    return {name: dtype_to_dict(dtype) for name, dtype in schema.items()}
+
+
 def normalise_and_decode(
     json_strings,
     *,

@@ -189,6 +189,31 @@ def parse_polars_dtype(dtype_str: str):
     return pl.Utf8
 
 
+def polars_dtype_to_string(dtype) -> str:
+    """Inverse of :func:`parse_polars_dtype` (the Rust side's dtype-string
+    emission format: ``Struct[a:Int64,...]`` / ``List[...]`` /
+    ``Array[T,n]`` / ``Decimal(p,s)``)."""
+    import polars as pl
+
+    if isinstance(dtype, pl.Struct):
+        inner = ",".join(
+            f"{f.name}:{polars_dtype_to_string(f.dtype)}" for f in dtype.fields
+        )
+        return f"Struct[{inner}]"
+    if isinstance(dtype, pl.List):
+        return f"List[{polars_dtype_to_string(dtype.inner)}]"
+    if isinstance(dtype, pl.Array):
+        return f"Array[{polars_dtype_to_string(dtype.inner)},{dtype.size}]"
+    if isinstance(dtype, pl.Decimal):
+        if dtype.precision is not None and dtype.scale is not None:
+            return f"Decimal({dtype.precision},{dtype.scale})"
+        return "Decimal"
+    if dtype == pl.Utf8:
+        return "String"
+    name = str(dtype)
+    return name
+
+
 def parse_arrow_dtype(dtype_str: str):
     """Same dtype-string mini-language → pyarrow DataType (Ray-native path)."""
     import pyarrow as pa

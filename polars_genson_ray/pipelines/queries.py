@@ -39,7 +39,18 @@ def _t(sf_dir: str, table: str) -> str:
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    return rd.read_parquet(_t(sf_dir, table), columns=columns)
+    from ..functions.context import read_parallelism, tune_for_cluster
+
+    tune_for_cluster()
+    path = _t(sf_dir, table)
+    ds = rd.read_parquet(path, columns=columns)
+    # local-testdata fix-up: single-row-group files read as ONE block and
+    # serialize the pipeline; split them. Real inputs (many row groups /
+    # fragments) return 1 here and skip the move.
+    n_blocks = read_parallelism(path)
+    if n_blocks > 1:
+        ds = ds.repartition(n_blocks)
+    return ds
 
 
 # ---------------------------------------------------------------------------
@@ -300,6 +311,26 @@ def r_normalise_events_props(sf_dir: str):
     return ds.map_batches(Normalise, batch_format="pyarrow", concurrency=2)
 
 
+def q_decode_props_typed(sf_dir: str):
+    """Fused normalise+decode to typed Arrow columns (N4 Ray-native path):
+    infer Avro over props, broadcast, decode each batch with the derived
+    dtype — one pass, typed output."""
+    from ..stages.normalise import NormaliseDecodeStage
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    schema = infer_schema_distributed(
+        ds.select_columns(["props"]), "props", SchemaInferenceConfig(avro=True)
+    ).schema
+    schema_ref = ray.put(schema)
+    out = ds.map_batches(
+        NormaliseDecodeStage,
+        fn_constructor_kwargs={"schema_ref": schema_ref, "column": "props"},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Text analysis / dedup / fingerprinting over documents
 # ---------------------------------------------------------------------------
@@ -405,7 +436,10 @@ def _image_table_dir(rows: int) -> str:
     out = f"/tmp/pgr_images_{rows}"
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
-        generate_image_table(out, num_rows=rows, num_fragments=8)
+        # enough fragments that the decode pool and per-fragment reporting
+        # both exercise real parallelism
+        fragments = max(8, min(64, rows // 1000))
+        generate_image_table(out, num_rows=rows, num_fragments=fragments)
         with open(marker, "w") as f:
             f.write("ok")
     return out

@@ -60,7 +60,7 @@ class ValidationConfig:
     schema_config: SchemaInferenceConfig = field(
         default_factory=lambda: SchemaInferenceConfig(map_threshold=4, unify_maps=True)
     )
-    decode_concurrency: int | tuple = 2
+    decode_concurrency: int | tuple | None = None  # None → sized to cluster
     decode_batch_size: int = 512
     max_side: int = 4096  # histogram range for w/h drift
 
@@ -76,6 +76,7 @@ class ValidationReport:
     stats: dict
     drift: dict
     duplicate_image_ids: list
+    hot_phash_buckets: list
     output_dir: str
 
     def passed(self) -> bool:
@@ -90,6 +91,9 @@ def run_validation(
     *,
     resume: bool = True,
 ) -> ValidationReport:
+    from ..functions.context import tune_for_cluster
+
+    tune_for_cluster()
     config = config or ValidationConfig()
     if isinstance(input_paths, str):
         import glob
@@ -108,12 +112,21 @@ def run_validation(
 
     annotated_dir = os.path.join(output_dir, "annotated")
     if pending:
+        concurrency = config.decode_concurrency
+        if concurrency is None:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            # actor pool sized to ~half the cluster so read/write/report
+            # stages don't starve (ray_guide "Stateful stages")
+            concurrency = (2, max(2, cpus // 2))
         ds = rd.read_parquet(pending, include_paths=True)
         annotated = ds.map_batches(
-            DecodeValidator(config.psnr_threshold),
+            DecodeValidator,  # callable class → actor pool
+            fn_constructor_kwargs={"psnr_threshold": config.psnr_threshold},
             batch_format="pyarrow",
             batch_size=config.decode_batch_size,
-            concurrency=config.decode_concurrency,
+            concurrency=concurrency,
         ).map_batches(_caption_validity, batch_format="pyarrow")
         # single consumption: write the annotated table partitioned per run
         annotated.write_parquet(annotated_dir)
@@ -170,24 +183,37 @@ def run_validation(
                     violation_counts.get(row["kind"], 0) + n
                 )
 
-    # --- caption schema inference (pruned read, partial+reduce) ---
-    cap_ds = rd.read_parquet(input_paths, columns=["caption"])
-    result = infer_schema_distributed(cap_ds, "caption", config.schema_config)
+    # --- ONE fused measurement pass (pruned read): caption schema partials
+    # + column stats + drift histograms + HLL + hot-key candidates, all as
+    # mergeable per-batch partials → a single tiny reduce ---
+    from ..stages.infer import SchemaPartialBatch, reduce_partials
 
-    # --- column stats + per-fragment drift (one pruned read, sketch partials) ---
-    stat_ds = rd.read_parquet(
-        input_paths, columns=["image_id", "w", "h", "phash"], include_paths=True
+    stats_fn = ColumnStatsPartial(
+        numeric=("w", "h"),
+        distinct=("image_id", "phash"),
+        hist={"w": (0, config.max_side, 64), "h": (0, config.max_side, 64)},
+        path_hist=("w", 0, config.max_side, 64),
+        heavy_hitters={"phash": 32},
     )
-    partial_rows = stat_ds.map_batches(
-        ColumnStatsPartial(
-            numeric=("w", "h"),
-            distinct=("image_id", "phash"),
-            hist={"w": (0, config.max_side, 64), "h": (0, config.max_side, 64)},
-            path_hist=("w", 0, config.max_side, 64),
-        ),
-        batch_format="pyarrow",
-        batch_size=8192,
+    schema_fn = SchemaPartialBatch("caption", config.schema_config)
+
+    def _measure_partial(batch: pa.Table) -> pa.Table:
+        stats_row = stats_fn(batch)
+        schema_row = schema_fn(batch)
+        out = stats_row
+        for name in schema_row.column_names:
+            out = out.append_column(name, schema_row[name])
+        return out
+
+    measure_ds = rd.read_parquet(
+        input_paths,
+        columns=["caption", "image_id", "w", "h", "phash"],
+        include_paths=True,
+    )
+    partial_rows = measure_ds.map_batches(
+        _measure_partial, batch_format="pyarrow", batch_size=8192
     ).take_all()
+    result = reduce_partials(partial_rows, config.schema_config)
     stats_total = merge_stats_partials(partial_rows)
     stats = summarize_stats(stats_total)
 
@@ -201,15 +227,39 @@ def run_validation(
                 "psi_w": global_hist.psi(frag_hist),
             }
 
-    # exact duplicate image ids (key-only shuffle; HLL estimate is in stats)
+    # exact duplicate image ids: bucketed shuffle (coarse key → few Ray
+    # groups) with vectorized per-bucket value counts; only ids cross the
+    # shuffle. HLL cardinality estimate (no shuffle) is in `stats`.
+    import pandas as pd
+    import zlib
+
+    def _add_id_bucket(batch: pa.Table) -> pa.Table:
+        buckets = [
+            zlib.crc32(i.encode()) & 127 for i in batch["image_id"].to_pylist()
+        ]
+        return batch.append_column("__bucket", pa.array(buckets, pa.int32()))
+
+    def _bucket_dups(group: pd.DataFrame) -> pd.DataFrame:
+        vc = group["image_id"].value_counts()
+        d = vc[vc > 1]
+        return pd.DataFrame({"image_id": d.index, "n": d.to_numpy()})
+
     dup_rows = (
         rd.read_parquet(input_paths, columns=["image_id"])
-        .groupby("image_id")
-        .count()
-        .filter(lambda row: row["count()"] > 1)
+        .map_batches(_add_id_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_bucket_dups, batch_format="pandas")
         .take_all()
     )
     duplicate_ids = sorted(r["image_id"] for r in dup_rows)
+
+    # hot phash buckets (skew detection) — from the fused pass's
+    # heavy-hitter partials, no extra read or shuffle
+    hh = stats_total.get("heavy_hitters", {}).get("phash", {})
+    hot_buckets = [
+        {"phash": int(k), "n": int(n)}
+        for k, n in sorted(hh.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    ]
 
     # --- lineage records ---
     schema_digest = _digest(json.dumps(result.schema, sort_keys=True))
@@ -239,6 +289,7 @@ def run_validation(
         stats=stats,
         drift=drift,
         duplicate_image_ids=duplicate_ids,
+        hot_phash_buckets=hot_buckets,
         output_dir=output_dir,
     )
 

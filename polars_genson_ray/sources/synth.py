@@ -127,6 +127,7 @@ def generate_image_table(
     corrupt_rate: float = 0.005,
     mismatch_rate: float = 0.005,
     hot_phash_rate: float = 0.10,
+    min_side: int = 8,
     max_side: int = 48,
 ) -> list[str]:
     """Write ``num_fragments`` parquet files; returns their paths.
@@ -150,8 +151,8 @@ def generate_image_table(
             idx += 1
             dup = rng.random() < dup_rate and i > 0
             image_id = f"img_{(i - 1 if dup else i):012d}"
-            w = int(rng.integers(8, max_side))
-            h = int(rng.integers(8, max_side))
+            w = int(rng.integers(min_side, max_side))
+            h = int(rng.integers(min_side, max_side))
             fmt = ["png", "jpeg", "webp"][i % 3]
             px = reference_pixels(image_id, w, h)
             data = encode_image(px, fmt)

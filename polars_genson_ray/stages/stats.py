@@ -27,13 +27,17 @@ class ColumnStatsPartial:
       hist: {column: (lo, hi, bins)} → histogram for drift
     """
 
-    def __init__(self, numeric=(), distinct=(), hist=None, path_hist=None):
+    def __init__(self, numeric=(), distinct=(), hist=None, path_hist=None,
+                 heavy_hitters=None):
         self.numeric = tuple(numeric)
         self.distinct = tuple(distinct)
         self.hist = dict(hist or {})
         # path_hist: (column, lo, hi, bins) → per-"path" histograms for
         # per-fragment drift, computed in the same pass (no extra reads)
         self.path_hist = path_hist
+        # heavy_hitters: {column: candidates_per_batch} → per-batch top
+        # counts (mergeable heavy-hitter partials, no shuffle)
+        self.heavy_hitters = dict(heavy_hitters or {})
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         partial: dict = {"rows": batch.num_rows, "null_counts": {}, "digests": {},
@@ -74,6 +78,15 @@ class ColumnStatsPartial:
             h = Histogram(lo, hi, bins)
             h.add_array(batch[col].drop_null().to_numpy(zero_copy_only=False))
             partial["hists"][col] = h.to_bytes()
+        if self.heavy_hitters:
+            import pandas as pd
+
+            partial["heavy_hitters"] = {}
+            for col, k in self.heavy_hitters.items():
+                vc = pd.Series(batch[col].to_pylist()).value_counts().head(k)
+                partial["heavy_hitters"][col] = dict(
+                    zip(vc.index.to_list(), vc.to_numpy().astype(int).tolist())
+                )
         return pa.table({"stats_partial": pa.array([pickle.dumps(partial)], pa.large_binary())})
 
 
@@ -104,6 +117,10 @@ def merge_stats_partials(rows) -> dict:
                 total["hists"][col] = total["hists"][col].merge(h)
             else:
                 total["hists"][col] = h
+        for col, counts in p.get("heavy_hitters", {}).items():
+            agg = total.setdefault("heavy_hitters", {}).setdefault(col, {})
+            for k, n in counts.items():
+                agg[k] = agg.get(k, 0) + n
         for path, blob in p.get("path_hists", {}).items():
             h = Histogram.from_bytes(blob)
             if path in total["path_hists"]:

@@ -1,0 +1,244 @@
+"""Unit + integration tests for the Ray pipeline components: sketches,
+image validator, checkpoint/resume, drift fixtures, skew ops, dedup,
+similarity, windows (FIXTURES.md layer C behaviours)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from polars_genson_ray.sources.synth import (
+    decode_image,
+    encode_image,
+    generate_image_table,
+    psnr,
+    reference_pixels,
+)
+
+
+# ---------------------------------------------------------------------------
+# sketches
+# ---------------------------------------------------------------------------
+
+def test_hll_accuracy_and_merge():
+    from polars_genson_ray.stages.sketches import HyperLogLog, hash64
+
+    h1, h2 = HyperLogLog(), HyperLogLog()
+    h1.add_hashes(hash64(np.arange(0, 50_000, dtype=np.uint64)))
+    h2.add_hashes(hash64(np.arange(25_000, 75_000, dtype=np.uint64)))
+    h1.merge(h2)
+    est = h1.estimate()
+    assert abs(est - 75_000) / 75_000 < 0.05
+    rt = HyperLogLog.from_bytes(h1.to_bytes())
+    assert rt.estimate() == est
+
+
+def test_tdigest_quantiles_and_merge():
+    from polars_genson_ray.stages.sketches import TDigest
+
+    rng = np.random.default_rng(1)
+    data = rng.normal(50, 10, size=100_000)
+    td = TDigest()
+    for chunk in np.array_split(data, 23):
+        part = TDigest()
+        part.add_array(chunk)
+        td.merge(part)
+    for q in (0.1, 0.5, 0.9):
+        assert abs(td.quantile(q) - np.quantile(data, q)) < 0.3
+
+
+def test_histogram_drift_known_sign():
+    # FIXTURES.md C: shifted distributions → known-sign KS/PSI
+    from polars_genson_ray.stages.sketches import Histogram
+
+    rng = np.random.default_rng(2)
+    base = Histogram(0, 100, 32)
+    base.add_array(rng.normal(40, 8, 20_000))
+    same = Histogram(0, 100, 32)
+    same.add_array(rng.normal(40, 8, 20_000))
+    shifted = Histogram(0, 100, 32)
+    shifted.add_array(rng.normal(60, 8, 20_000))
+    assert base.ks(same) < 0.05 and base.psi(same) < 0.05
+    assert base.ks(shifted) > 0.5 and base.psi(shifted) > 1.0
+
+
+# ---------------------------------------------------------------------------
+# synthetic codec + image validator
+# ---------------------------------------------------------------------------
+
+def test_codec_lossless_roundtrip_and_lossy_psnr():
+    px = reference_pixels("img_000000000007", 32, 24)
+    dec, fmt = decode_image(encode_image(px, "png"))
+    assert fmt == "png" and np.array_equal(dec, px)
+    lossy, _ = decode_image(encode_image(px, "jpeg"))
+    assert 40.0 <= psnr(lossy, px) < 60.0
+    with pytest.raises(ValueError):
+        decode_image(encode_image(px, "png")[:15])
+
+
+def test_decode_validator_batch():
+    import pyarrow as pa
+
+    from polars_genson_ray.stages.image import DecodeValidator
+
+    good_px = reference_pixels("img_000000000001", 16, 16)
+    batch = pa.table(
+        {
+            "image_id": ["img_000000000001", "img_000000000002", "img_000000000001"],
+            "bytes": [
+                encode_image(good_px, "png"),
+                b"garbage",
+                encode_image(good_px, "jpeg"),
+            ],
+            "w": pa.array([16, 16, 17], pa.int32()),  # third: dims mismatch
+            "h": pa.array([16, 16, 16], pa.int32()),
+            "fmt": ["png", "png", "jpeg"],
+            "caption": ["a", "b", "c"],
+            "phash": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    out = DecodeValidator()(batch)
+    v = out["violation"].to_pylist()
+    assert v[0] == ""
+    assert v[1].startswith("decode_error")
+    assert v[2].startswith("dims_mismatch")
+    assert "bytes" not in out.column_names  # pixels never leave the stage
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume
+# ---------------------------------------------------------------------------
+
+def test_checkpoint_store_roundtrip(tmp_path):
+    from polars_genson_ray.state.checkpoint import CheckpointStore
+
+    frag = str(tmp_path / "frag-0.parquet")
+    with open(frag, "w") as f:
+        f.write("x")
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    assert not store.is_done(frag)
+    store.record(frag, {"status": "done", "report": {"rows": 10}})
+    assert store.is_done(frag)
+    # input mutation invalidates the record
+    with open(frag, "w") as f:
+        f.write("different content")
+    assert not store.is_done(frag)
+
+
+def test_validation_resume_skips_fragments(ray_session, tmp_path):
+    from polars_genson_ray.pipelines.validation import run_validation
+
+    img_dir = str(tmp_path / "imgs")
+    paths = generate_image_table(img_dir, num_rows=300, num_fragments=3, seed=7)
+    out1 = str(tmp_path / "out1")
+    rep1 = run_validation(paths, out1)
+    assert rep1.rows == 300
+    assert len(rep1.fragment_reports) == 3
+    assert rep1.violation_counts  # injected corruption shows up
+    assert rep1.hot_phash_buckets[0]["n"] > 10  # hot bucket detected
+
+    # resume with the same checkpoint dir: fragment reports come from lineage
+    out2 = str(tmp_path / "out2")
+    rep2 = run_validation(
+        paths, out2, checkpoint_dir=os.path.join(out1, "_checkpoint")
+    )
+    assert {
+        os.path.basename(p) for p in rep2.fragment_reports
+    } == {os.path.basename(p) for p in rep1.fragment_reports}
+    for p, r in rep1.fragment_reports.items():
+        assert rep2.fragment_reports[p]["rows"] == r["rows"]
+
+
+# ---------------------------------------------------------------------------
+# skew / dedup / similarity / windows on small inline datasets
+# ---------------------------------------------------------------------------
+
+def test_salted_group_count(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.skew import salted_group_count, top_k_keys
+
+    df = pd.DataFrame({"k": ["hot"] * 500 + [f"v{i}" for i in range(100)]})
+    ds = rd.from_pandas(df).repartition(4)
+    counts = {r["k"]: r["n"] for r in salted_group_count(ds, "k").take_all()}
+    assert counts["hot"] == 500 and counts["v3"] == 1
+    top = top_k_keys(ds, "k", k=3)
+    assert top.iloc[0]["k"] == "hot" and top.iloc[0]["n"] == 500
+
+
+def test_exact_dedup_keeps_min_id(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.dedup import exact_dedup
+
+    df = pd.DataFrame(
+        {"doc_id": [3, 1, 2, 5, 4], "text": ["a", "a", "b", "b", "c"]}
+    )
+    out = exact_dedup(rd.from_pandas(df).repartition(2), "text", "doc_id").take_all()
+    got = {r["text"]: r["doc_id"] for r in out}
+    assert got == {"a": 1, "b": 2, "c": 4}
+
+
+def test_minhash_finds_near_duplicates(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.dedup import minhash_lsh_pairs, ngram_jaccard
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about ray data pipelines and arrow"
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, far]})
+    pairs = minhash_lsh_pairs(
+        rd.from_pandas(df), "text", "doc_id", min_jaccard=0.4
+    ).take_all()
+    keys = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in keys
+    assert all({a, b} != {1, 3} and {a, b} != {2, 3} for a, b in keys)
+    assert ngram_jaccard(base, near) > 0.6 > ngram_jaccard(base, far)
+
+
+def test_brute_force_topk(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.similarity import brute_force_topk
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((50, 8))
+    vecs[7] = vecs[0] * 2.0  # same direction as row 0
+    df = pd.DataFrame({"vec_id": range(50), "embedding": list(vecs)})
+    out = brute_force_topk(rd.from_pandas(df), vecs[[0]], k=2)
+    assert set(out["vec_id"]) == {0, 7}
+
+
+def test_tumbling_and_session_windows(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.windows import session_windows, tumbling_window
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:05", "2024-01-01 00:55", "2024-01-01 01:05",
+         "2024-01-01 03:00", "2024-01-01 03:10"]
+    )
+    df = pd.DataFrame({"ts": ts, "k": ["a"] * 5, "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    win = tumbling_window(rd.from_pandas(df), "ts", "k", "v", window="1h").take_all()
+    by_start = {str(r["window_start"]): r["n"] for r in win}
+    assert by_start["2024-01-01 00:00:00"] == 2
+    assert by_start["2024-01-01 01:00:00"] == 1
+    assert by_start["2024-01-01 03:00:00"] == 2
+
+    sess = session_windows(
+        rd.from_pandas(df), "ts", "k", gap_seconds=3600
+    ).take_all()
+    assert sorted(r["n_events"] for r in sess) == [2, 3]

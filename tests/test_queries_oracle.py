@@ -117,6 +117,7 @@ def test_oracle_keys_subset_of_queries(entry_module):
         "referential_orphans",
         "nation_revenue",
         "json_extract_props",
+        "decode_props_typed",
         "token_counts",
         "doc_quality",
         "exact_dedup_docs",
