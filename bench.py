@@ -109,18 +109,19 @@ def run_bench() -> dict:
 
 def _scaling_table(images: int) -> str:
     """Dedicated larger-image table for the scaling measurement: the
-    per-row decode/PSNR work must dominate fixed pipeline overheads for a
-    parallelism comparison to be meaningful."""
+    per-row decode/PSNR work must dominate fixed pipeline overheads (actor
+    startup, final task wave) for a parallelism comparison to be
+    meaningful, and ~1000-row fragments keep the last task wave short."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from polars_genson_ray.sources.synth import generate_image_table
 
-    out = f"/tmp/pgr_scale_{images}"
+    out = f"/tmp/pgr_scale_{images}_v4"
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         generate_image_table(
             out,
             num_rows=images,
-            num_fragments=max(16, min(128, images // 2000)),
+            num_fragments=max(16, min(1024, images // 1000)),
             min_side=48,
             max_side=96,
         )
@@ -169,8 +170,8 @@ def run_validation_only(images: int) -> dict:
     }
 
 
-def run_scaling(lo: int = 8, hi: int = 32) -> dict:
-    images = int(os.environ.get("GRAFT_SCALING_IMAGES", "150000"))
+def run_scaling(lo: int = 4, hi: int = 16) -> dict:
+    images = int(os.environ.get("GRAFT_SCALING_IMAGES", "600000"))
     _scaling_table(images)  # generate once, outside both timed runs
 
     def run(ncpu: int) -> dict:

@@ -50,6 +50,7 @@ class SchemaInferenceError(ValueError):
 class SchemaInferenceResult:
     schema: dict
     processed_count: int
+    invalid_count: int = 0
 
 
 def _truncate_doc(s: str) -> str:

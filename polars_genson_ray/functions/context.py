@@ -26,6 +26,15 @@ def tune_for_cluster() -> DataContext:
     return ctx
 
 
+def strip_schema_metadata(batch):
+    """Drop file-level schema metadata (the parquet ``pandas`` blob) from a
+    batch. pyarrow (≥16) schemas whose metadata holds that blob are
+    unhashable, which knocks every downstream block-concat in a shuffle off
+    Ray's fast schema-dedup path into full schema unification. Zero-copy;
+    fuses with the read task."""
+    return batch.replace_schema_metadata(None)
+
+
 def read_parallelism(parquet_path: str, *, rows_per_block: int = 32768) -> int:
     """Target block count for a parquet file whose row-group layout is too
     coarse to parallelize (the driver's testdata is one row group per file —

@@ -23,9 +23,9 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..api import normalise_rows
+from ..stages.aggregate import combine_partials
 from ..core import SchemaInferenceConfig
 from ..stages.dedup import MinHasher, SimHasher, exact_dedup, minhash_lsh_pairs
 from ..stages.infer import infer_schema_distributed
@@ -39,11 +39,18 @@ def _t(sf_dir: str, table: str) -> str:
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    from ..functions.context import read_parallelism, tune_for_cluster
+    from ..functions.context import (
+        read_parallelism,
+        strip_schema_metadata,
+        tune_for_cluster,
+    )
 
     tune_for_cluster()
     path = _t(sf_dir, table)
     ds = rd.read_parquet(path, columns=columns)
+    ds = ds.map_batches(
+        strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
+    )
     # local-testdata fix-up: single-row-group files read as ONE block and
     # serialize the pipeline; split them. Real inputs (many row groups /
     # fragments) return 1 here and skip the move.
@@ -74,17 +81,16 @@ def q_pricing_summary(sf_dir: str):
             count_order=("l_quantity", "size"),
         )
 
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base_price", alias_name="sum_base_price"),
-            Sum("sum_disc_price", alias_name="sum_disc_price"),
-            Sum("count_order", alias_name="count_order"),
-        )
-        .to_pandas()
-    )
+    out = combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": "sum",
+            "sum_base_price": "sum",
+            "sum_disc_price": "sum",
+            "count_order": "sum",
+        },
+    ).to_pandas()
     for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
         out[c] = out[c].round(2)
     return out
@@ -96,10 +102,8 @@ def q_doc_lang_counts(sf_dir: str):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("lang", as_index=False).agg(n=("lang", "size"))
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("lang")
-        .aggregate(Sum("n", alias_name="n"))
+    return combine_partials(
+        ds.map_batches(partial, batch_format="pandas"), ["lang"], {"n": "sum"}
     )
 
 
@@ -144,10 +148,13 @@ def q_duplicate_user_events(sf_dir: str):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("user_id", as_index=False).agg(cnt=("user_id", "size"))
 
-    grouped = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("user_id")
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    # user_id cardinality scales with the data → large-cardinality combine
+    # (hash-partitioned groupby), not the single-task path
+    grouped = combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"],
+        {"cnt": "sum"},
+        small=False,
     )
     return grouped.map_batches(
         lambda df: df[df.cnt > 1], batch_format="pandas"
@@ -173,12 +180,12 @@ def q_referential_orphans(sf_dir: str):
                 n=("user_id", "size")
             )
 
-    out = (
-        ds.map_batches(OrphanFilter, batch_format="pandas", concurrency=2)
-        .groupby("user_id")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
+    # orphan set is small by construction (violations) → single-task combine
+    out = combine_partials(
+        ds.map_batches(OrphanFilter, batch_format="pandas", concurrency=2),
+        ["user_id"],
+        {"n": "sum"},
+    ).to_pandas()
     # stable schema even when there are no orphans
     return out.reindex(columns=["user_id", "n"])
 
@@ -207,15 +214,12 @@ def q_nation_revenue(sf_dir: str):
                 n_orders=("o_orderkey", "size"), revenue=("o_totalprice", "sum")
             )
 
-    out = (
+    out = combine_partials(
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-        .map_batches(AddNation, batch_format="pandas", concurrency=2)
-        .groupby("nation")
-        .aggregate(
-            Sum("n_orders", alias_name="n_orders"), Sum("revenue", alias_name="revenue")
-        )
-        .to_pandas()
-    )
+        .map_batches(AddNation, batch_format="pandas", concurrency=2),
+        ["nation"],
+        {"n_orders": "sum", "revenue": "sum"},
+    ).to_pandas()
     out["revenue"] = out["revenue"].round(2)
     return out
 
@@ -433,7 +437,7 @@ def r_sessions(sf_dir: str):
 def _image_table_dir(rows: int) -> str:
     from ..sources.synth import generate_image_table
 
-    out = f"/tmp/pgr_images_{rows}"
+    out = f"/tmp/pgr_images_{rows}_v3"
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         # enough fragments that the decode pool and per-fragment reporting

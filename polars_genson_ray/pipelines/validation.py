@@ -1,25 +1,43 @@
 """End-to-end schema + constraint validation over an image+caption table.
 
-The flagship pipeline (BASELINE.json north_star):
+The flagship pipeline (BASELINE.json north_star), fused into ONE streaming
+pass over the input plus one pruned id pass:
 
   read_parquet(pending fragments, include_paths)
-    → actor-pool DecodeValidator (pixel invariants; bytes dropped in-stage)
-    → + vectorized caption JSON validity column
-    → annotated parquet sink (resumable, one dir per run)
-    → per-fragment pass/fail report  (pre-aggregated per batch → tiny groupby)
-  read(caption column only) → distributed genson schema inference
-  read(stats columns only)  → sketch partials → merged stats + drift
+    → actor-pool ValidationWorker (decode + pixel invariants, bytes dropped
+      in-stage; caption JSON validity; writes the annotated batch as
+      partitioned parquet with idempotent content-derived filenames → safe
+      under task retries; emits ONE tiny partial row per batch carrying,
+      per fragment: pass/fail report counts, violation kinds, column-stats
+      sketches (t-digest/HLL/histograms/heavy-hitters) and a genson schema
+      partial over the caption column)
+    → take_all of the KB-sized partials → driver merge
 
-All three passes prune columns at the read, stream with backpressure, and
-reduce to KB-sized results; nothing materializes the full table. Fragment
-completion is journaled through ``CheckpointStore`` so a rerun revalidates
-only pending fragments.
+  read_parquet(all fragments, columns=[image_id])
+    → sharded UniqueIndexShard actors (stages/unique.py): exact duplicate
+      ids without a sort shuffle
+
+Everything else (drift KS/PSI, lineage records, global schema finalize) is
+driver-side arithmetic over the merged partials. Nothing materializes the
+table; decoded pixels never leave the decode stage; the only rows that move
+are ids through the uniqueness index.
+
+Resume is incremental per fragment: each checkpoint record stores that
+fragment's report, violation kinds, schema partial and stats sketch blob,
+so a rerun re-reads ONLY pending fragments' full data (plus the cheap
+single-column id pass for cross-fragment duplicate exactness) and merges
+stored partials for completed ones — the north_rule's "replaying only
+unvalidated fragments".
 """
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import os
+import pickle
+import time
 from dataclasses import dataclass, field
 
 import pyarrow as pa
@@ -28,7 +46,7 @@ import ray.data as rd
 
 from ..core import SchemaInferenceConfig
 from ..stages.image import DecodeValidator
-from ..stages.infer import infer_schema_distributed
+from ..stages.infer import SchemaPartialBatch, reduce_partials
 from ..stages.stats import ColumnStatsPartial, merge_stats_partials, summarize_stats
 from ..state.checkpoint import CheckpointStore
 
@@ -63,6 +81,7 @@ class ValidationConfig:
     decode_concurrency: int | tuple | None = None  # None → sized to cluster
     decode_batch_size: int = 512
     max_side: int = 4096  # histogram range for w/h drift
+    dup_shards: int | None = None  # None → sized to cluster
 
 
 @dataclass
@@ -78,9 +97,137 @@ class ValidationReport:
     duplicate_image_ids: list
     hot_phash_buckets: list
     output_dir: str
+    timings: dict = field(default_factory=dict)
 
     def passed(self) -> bool:
-        return all(r["violations"] == 0 for r in self.fragment_reports.values()) and not self.duplicate_image_ids
+        return (
+            all(r["violations"] == 0 for r in self.fragment_reports.values())
+            and not self.duplicate_image_ids
+        )
+
+
+def _serialize_stats_total(total: dict) -> dict:
+    """Merged stats (live sketch objects) → the blob form ``compute`` emits,
+    so per-fragment merges can be checkpointed and re-merged later."""
+    out = {
+        "rows": total["rows"],
+        "null_counts": dict(total["null_counts"]),
+        "mins": dict(total["mins"]),
+        "maxs": dict(total["maxs"]),
+        "digests": {c: d.to_bytes() for c, d in total["digests"].items()},
+        "hlls": {c: h.to_bytes() for c, h in total["hlls"].items()},
+        "hists": {c: h.to_bytes() for c, h in total["hists"].items()},
+        "path_hists": {p: h.to_bytes() for p, h in total["path_hists"].items()},
+    }
+    if "heavy_hitters" in total:
+        out["heavy_hitters"] = {
+            c: dict(v) for c, v in total["heavy_hitters"].items()
+        }
+    return out
+
+
+class ValidationWorker(DecodeValidator):
+    """The fused actor-pool stage: reads its fragments itself (row-group
+    streaming), then decode + pixel invariants (inherited), caption
+    validity, annotated-parquet write, and one pickled partial row per
+    fragment.
+
+    ONE stage owns ALL per-row work — read, decode, sketch, write — so the
+    actor pool takes the whole cluster and work balances itself. Earlier
+    splits (read → decode actors → sink tasks) were measured 2-3× slower:
+    whichever side of a static CPU split was mis-sized became the
+    bottleneck (a decode pool of cpus-4 starved the read at 8 CPUs and the
+    sink at 32). The input dataset is just the fragment path list, so the
+    task unit == the resume unit (one fragment).
+
+    State (decoder context, sketch configs, parsed schema config) is built
+    once per actor in ``__init__``. Output chunk files are named
+    ``<fragment>-<chunk>``, so a Ray task retry rewrites the same files
+    instead of duplicating rows (idempotent, resumable output).
+
+    At 100 TB: fragments are the natural parallelism grain (thousands of
+    files × row-group streaming inside each), memory per actor is one
+    decoded chunk, and no byte of image data ever crosses task boundaries.
+    """
+
+    def __init__(self, annotated_dir: str, config: ValidationConfig):
+        super().__init__(psnr_threshold=config.psnr_threshold)
+        os.makedirs(annotated_dir, exist_ok=True)
+        self.annotated_dir = annotated_dir
+        self.chunk_rows = config.decode_batch_size
+        self.config = config
+        self.stats_fn = ColumnStatsPartial(
+            numeric=("w", "h"),
+            distinct=("image_id", "phash"),
+            hist={"w": (0, config.max_side, 64), "h": (0, config.max_side, 64)},
+            path_hist=("w", 0, config.max_side, 64),
+            heavy_hitters={"phash": 32},
+        )
+        self.schema_fn = SchemaPartialBatch("caption", config.schema_config)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for path in batch["path"].to_pylist():
+            out.append(pickle.dumps({path: self._process_fragment(path)}))
+        return pa.table({"partial": pa.array(out, pa.large_binary())})
+
+    def _process_fragment(self, path: str) -> dict:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from ..state.checkpoint import fragment_key
+
+        chunk_partials = []
+        pf = pq.ParquetFile(path)
+        for idx, record_batch in enumerate(
+            pf.iter_batches(batch_size=self.chunk_rows)
+        ):
+            chunk = pa.Table.from_batches([record_batch])
+            chunk = chunk.append_column(
+                "path", pa.array([path] * chunk.num_rows, pa.string())
+            )
+            ann = DecodeValidator.__call__(self, chunk)
+            ann = _caption_validity(ann)
+            pq.write_table(
+                ann,
+                os.path.join(
+                    self.annotated_dir, f"{fragment_key(path)}-{idx:05d}.parquet"
+                ),
+            )
+            kinds: dict[str, int] = {}
+            for v in ann["violation"].to_pylist():
+                if v:
+                    k = v.split(":")[0]
+                    kinds[k] = kinds.get(k, 0) + 1
+            chunk_partials.append(
+                {
+                    "rows": ann.num_rows,
+                    "json_captions": int(
+                        pc.sum(pc.cast(ann["caption_is_json"], pa.int64())).as_py()
+                        or 0
+                    ),
+                    "violation_kinds": kinds,
+                    "stats": self.stats_fn.compute(ann),
+                    "schema": self.schema_fn.compute(ann["caption"].to_pylist()),
+                }
+            )
+        # fragment-level merge in the worker: the driver only merges fragments
+        kinds: dict[str, int] = {}
+        for d in chunk_partials:
+            for k, v in d["violation_kinds"].items():
+                kinds[k] = kinds.get(k, 0) + v
+        return {
+            "rows": sum(d["rows"] for d in chunk_partials),
+            "json_captions": sum(d["json_captions"] for d in chunk_partials),
+            "violation_kinds": kinds,
+            "stats": _serialize_stats_total(
+                merge_stats_partials([d["stats"] for d in chunk_partials])
+            ),
+            "schema": _merge_schema_partials(
+                [d["schema"] for d in chunk_partials],
+                self.config.schema_config.schema_uri,
+            ),
+        }
 
 
 def run_validation(
@@ -91,9 +238,21 @@ def run_validation(
     *,
     resume: bool = True,
 ) -> ValidationReport:
+    import ray
+
     from ..functions.context import tune_for_cluster
+    from ..stages.unique import find_duplicate_ids
 
     tune_for_cluster()
+    timings: dict[str, float] = {}
+    _t0 = time.perf_counter()
+
+    def _mark(phase: str) -> None:
+        nonlocal _t0
+        now = time.perf_counter()
+        timings[phase] = round(now - _t0, 3)
+        _t0 = now
+
     config = config or ValidationConfig()
     if isinstance(input_paths, str):
         import glob
@@ -103,121 +262,122 @@ def run_validation(
     pending = [p for p in input_paths if not (resume and store.is_done(p))]
     completed = {p: store.load(p) for p in input_paths if p not in pending}
 
-    fragment_reports = {p: dict(rec["report"]) for p, rec in completed.items() if rec}
-    violation_counts: dict[str, int] = {}
-    for rec in completed.values():
-        if rec:
-            for k, v in rec.get("violation_kinds", {}).items():
-                violation_counts[k] = violation_counts.get(k, 0) + v
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
 
-    annotated_dir = os.path.join(output_dir, "annotated")
+    # --- exact duplicate ids, overlapped with the fused pass: a pruned
+    # single-column read through the sharded uniqueness index over ALL
+    # fragments (duplicates cross fragment and run boundaries; this read is
+    # ~1% of a full revalidation). Independent of the fused pass, so it
+    # runs concurrently on a driver thread — Ray schedules both pipelines'
+    # tasks into the same CPU pool and the id pass fills scheduling gaps
+    # (actor-pool ramp-up, straggler waves) instead of adding wall time.
+    import threading
+
+    dup_result: dict = {}
+
+    def _dup_pass():
+        try:
+            dup_ds = rd.read_parquet(input_paths, columns=["image_id"])
+            dup_result["ids"] = find_duplicate_ids(
+                dup_ds,
+                "image_id",
+                num_shards=config.dup_shards or max(2, cpus // 4),
+            )
+        except Exception as e:  # surfaced after join
+            dup_result["error"] = e
+
+    dup_thread = threading.Thread(target=_dup_pass, name="pgr-dup-pass")
+    dup_thread.start()
+
+    # --- the fused pass over pending fragments (one task per fragment) ---
+    frag_partials: dict[str, dict] = {}
     if pending:
         concurrency = config.decode_concurrency
         if concurrency is None:
-            import ray
-
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-            # actor pool sized to ~half the cluster so read/write/report
-            # stages don't starve (ray_guide "Stateful stages")
-            concurrency = (2, max(2, cpus // 2))
-        ds = rd.read_parquet(pending, include_paths=True)
-        annotated = ds.map_batches(
-            DecodeValidator,  # callable class → actor pool
-            fn_constructor_kwargs={"psnr_threshold": config.psnr_threshold},
-            batch_format="pyarrow",
-            batch_size=config.decode_batch_size,
-            concurrency=concurrency,
-        ).map_batches(_caption_validity, batch_format="pyarrow")
-        # single consumption: write the annotated table partitioned per run
-        annotated.write_parquet(annotated_dir)
-
-        # per-fragment report + violation-kind counts: ONE pruned read-back,
-        # pre-aggregated per batch to (path, kind) rows, one small groupby
-        ann = rd.read_parquet(
-            annotated_dir, columns=["path", "violation", "caption_is_json"]
-        )
-
-        def _report_partial(batch: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            df = pd.DataFrame(
-                {
-                    "path": batch["path"].to_pylist(),
-                    "kind": [
-                        v.split(":")[0] if v else ""
-                        for v in batch["violation"].to_pylist()
-                    ],
-                    "jsoncap": batch["caption_is_json"]
-                    .to_numpy(zero_copy_only=False)
-                    .astype("int64"),
-                }
+            # fixed-size pool == the cluster (autoscaling ramps too slowly
+            # to reach steady state on short runs; and since this one stage
+            # owns all per-row work there is nothing else to starve)
+            concurrency = max(2, min(cpus, len(pending)))
+        if isinstance(concurrency, tuple):
+            concurrency = concurrency[-1]
+        annotated_dir = os.path.join(output_dir, "annotated")
+        partial_rows = (
+            rd.from_items(
+                [{"path": p} for p in pending],
+                # one block per fragment: block count caps task concurrency,
+                # and the default (~CPU-count blocks) would leave most of a
+                # large actor pool idle
+                override_num_blocks=len(pending),
             )
-            g = df.groupby(["path", "kind"], as_index=False).agg(
-                n=("jsoncap", "size"), json_captions=("jsoncap", "sum")
-            )
-            return pa.Table.from_pandas(g, preserve_index=False)
-
-        from ray.data.aggregate import Sum
-
-        report_rows = (
-            ann.map_batches(_report_partial, batch_format="pyarrow")
-            .groupby(["path", "kind"])
-            .aggregate(
-                Sum("n", alias_name="n"),
-                Sum("json_captions", alias_name="json_captions"),
+            .map_batches(
+                ValidationWorker,  # callable class → actor pool
+                fn_constructor_kwargs={
+                    "annotated_dir": annotated_dir,
+                    "config": config,
+                },
+                batch_format="pyarrow",
+                batch_size=1,  # task unit == fragment == resume unit
+                concurrency=concurrency,
             )
             .take_all()
         )
-        for row in report_rows:
-            rep = fragment_reports.setdefault(
-                row["path"],
-                {"rows": 0, "violations": 0, "json_captions": 0, "pass": True},
-            )
-            n = int(row["n"])
-            rep["rows"] += n
-            rep["json_captions"] += int(row["json_captions"])
-            if row["kind"]:
-                rep["violations"] += n
-                rep["pass"] = False
-                violation_counts[row["kind"]] = (
-                    violation_counts.get(row["kind"], 0) + n
-                )
+        _mark("decode_annotate_write")
+        for row in partial_rows:
+            for path, d in pickle.loads(row["partial"]).items():
+                frag_partials[path] = d
 
-    # --- ONE fused measurement pass (pruned read): caption schema partials
-    # + column stats + drift histograms + HLL + hot-key candidates, all as
-    # mergeable per-batch partials → a single tiny reduce ---
-    from ..stages.infer import SchemaPartialBatch, reduce_partials
+    # --- per-fragment records (pending) + load completed partials ---
+    fragment_reports: dict[str, dict] = {}
+    violation_counts: dict[str, int] = {}
+    schema_partials_in_order: list[dict] = []
+    stats_partials: list[dict] = []
 
-    stats_fn = ColumnStatsPartial(
-        numeric=("w", "h"),
-        distinct=("image_id", "phash"),
-        hist={"w": (0, config.max_side, 64), "h": (0, config.max_side, 64)},
-        path_hist=("w", 0, config.max_side, 64),
-        heavy_hitters={"phash": 32},
-    )
-    schema_fn = SchemaPartialBatch("caption", config.schema_config)
+    for path in input_paths:
+        if path in completed:
+            rec = completed[path]
+            fragment_reports[path] = dict(rec["report"])
+            for k, v in rec.get("violation_kinds", {}).items():
+                violation_counts[k] = violation_counts.get(k, 0) + v
+            schema_partials_in_order.append(rec["schema_partial"])
+            stats_partials.append(pickle.loads(base64.b64decode(rec["stats_blob"])))
+            continue
 
-    def _measure_partial(batch: pa.Table) -> pa.Table:
-        stats_row = stats_fn(batch)
-        schema_row = schema_fn(batch)
-        out = stats_row
-        for name in schema_row.column_names:
-            out = out.append_column(name, schema_row[name])
-        return out
+        d = frag_partials[path]
+        kinds = d["violation_kinds"]
+        n_viol = sum(kinds.values())
+        rep = {
+            "rows": d["rows"],
+            "violations": n_viol,
+            "json_captions": d["json_captions"],
+            "pass": n_viol == 0,
+        }
+        fragment_reports[path] = rep
+        for k, v in kinds.items():
+            violation_counts[k] = violation_counts.get(k, 0) + v
 
-    measure_ds = rd.read_parquet(
-        input_paths,
-        columns=["caption", "image_id", "w", "h", "phash"],
-        include_paths=True,
-    )
-    partial_rows = measure_ds.map_batches(
-        _measure_partial, batch_format="pyarrow", batch_size=8192
-    ).take_all()
-    result = reduce_partials(partial_rows, config.schema_config)
-    stats_total = merge_stats_partials(partial_rows)
+        # per-fragment partials → checkpoint record (incremental resume)
+        frag_stats = d["stats"]
+        frag_schema = d["schema"]
+        schema_partials_in_order.append(frag_schema)
+        stats_partials.append(frag_stats)
+        store.record(
+            path,
+            {
+                "status": "done",
+                "report": rep,
+                "violation_kinds": kinds,
+                "schema_partial": frag_schema,
+                "stats_blob": base64.b64encode(pickle.dumps(frag_stats)).decode(),
+            },
+        )
+    _mark("fragment_records")
+
+    # --- global merges (driver-side, KB-sized inputs) ---
+    result = reduce_partials(schema_partials_in_order, config.schema_config)
+    stats_total = merge_stats_partials(stats_partials)
     stats = summarize_stats(stats_total)
 
-    # drift: per-fragment w histogram vs global (KS + PSI) from the same pass
+    # drift: per-fragment w histogram vs global (KS + PSI), same pass's data
     global_hist = stats_total["hists"].get("w")
     drift = {}
     if global_hist is not None and len(input_paths) > 1:
@@ -227,57 +387,32 @@ def run_validation(
                 "psi_w": global_hist.psi(frag_hist),
             }
 
-    # exact duplicate image ids: bucketed shuffle (coarse key → few Ray
-    # groups) with vectorized per-bucket value counts; only ids cross the
-    # shuffle. HLL cardinality estimate (no shuffle) is in `stats`.
-    import pandas as pd
-    import zlib
-
-    def _add_id_bucket(batch: pa.Table) -> pa.Table:
-        buckets = [
-            zlib.crc32(i.encode()) & 127 for i in batch["image_id"].to_pylist()
-        ]
-        return batch.append_column("__bucket", pa.array(buckets, pa.int32()))
-
-    def _bucket_dups(group: pd.DataFrame) -> pd.DataFrame:
-        vc = group["image_id"].value_counts()
-        d = vc[vc > 1]
-        return pd.DataFrame({"image_id": d.index, "n": d.to_numpy()})
-
-    dup_rows = (
-        rd.read_parquet(input_paths, columns=["image_id"])
-        .map_batches(_add_id_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(_bucket_dups, batch_format="pandas")
-        .take_all()
-    )
-    duplicate_ids = sorted(r["image_id"] for r in dup_rows)
-
-    # hot phash buckets (skew detection) — from the fused pass's
-    # heavy-hitter partials, no extra read or shuffle
+    # hot phash buckets (skew detection) from the heavy-hitter partials
     hh = stats_total.get("heavy_hitters", {}).get("phash", {})
     hot_buckets = [
         {"phash": int(k), "n": int(n)}
         for k, n in sorted(hh.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     ]
+    _mark("merge_finalize")
 
-    # --- lineage records ---
+    # --- join the overlapped duplicate-id pass ---
+    dup_thread.join()
+    if "error" in dup_result:
+        raise dup_result["error"]
+    duplicate_ids = dup_result["ids"]
+    _mark("dup_check_join")
+
+    # stamp the global schema digest into every pending record (lineage)
     schema_digest = _digest(json.dumps(result.schema, sort_keys=True))
     for p in pending:
-        rep = fragment_reports.get(p, {"rows": 0, "violations": 0, "pass": True})
-        store.record(
-            p,
-            {
-                "status": "done",
-                "report": rep,
-                "schema_digest": schema_digest,
-                "stats_snapshot": {
-                    "rows": stats["rows"],
-                    "w_q50": stats["quantiles"].get("w", {}).get("0.5"),
-                },
-                "violation_kinds": {},
-            },
-        )
+        rec = store.load(p) or {}
+        rec["schema_digest"] = schema_digest
+        rec["stats_snapshot"] = {
+            "rows": stats["rows"],
+            "w_q50": stats["quantiles"].get("w", {}).get("0.5"),
+        }
+        store.record(p, rec)
+    _mark("lineage")
 
     return ValidationReport(
         rows=stats["rows"],
@@ -291,10 +426,32 @@ def run_validation(
         duplicate_image_ids=duplicate_ids,
         hot_phash_buckets=hot_buckets,
         output_dir=output_dir,
+        timings=timings,
     )
 
 
-def _digest(s: str) -> str:
-    import hashlib
+def _merge_schema_partials(partials: list[dict], schema_uri) -> dict:
+    """Merge batch-level schema partial dicts into one fragment-level
+    partial (no finalize — partials stay mergeable)."""
+    from ..core import SchemaBuilder
 
+    builder = SchemaBuilder(schema_uri=schema_uri)
+    keys: dict[str, None] = {}
+    rows = 0
+    invalid = 0
+    for p in partials:
+        builder.add_schema(json.loads(p["schema_json"]))
+        for k in p["keys"]:
+            keys[k] = None
+        rows += p["rows"]
+        invalid += p["invalid"]
+    return {
+        "schema_json": json.dumps(builder.to_schema()),
+        "keys": list(keys),
+        "rows": rows,
+        "invalid": invalid,
+    }
+
+
+def _digest(s: str) -> str:
     return hashlib.sha256(s.encode()).hexdigest()[:16]

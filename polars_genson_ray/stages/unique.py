@@ -1,0 +1,123 @@
+"""Exact uniqueness checking via sharded hash-index actors.
+
+``Dataset.groupby(id)`` is the textbook exact-duplicate check, but it is a
+full sort shuffle of every id — and its cost is a *constant* floor that
+crushes scaling efficiency when the rest of the pipeline speeds up. A
+duplicate check only needs set membership, not ordering, so this module
+implements it as the one pattern the Dataset API genuinely can't express
+(SURVEY.md §2.7 "shared mutable index"): K ``UniqueIndexShard`` actors each
+own a hash shard of the id space; a ``map_batches`` router hashes each
+batch's ids (vectorized), splits them by ``hash % K``, and asks each shard
+which hashes were already seen. Work is O(rows), streams with the pipeline,
+and scales with the shard count — no all-to-all barrier.
+
+Semantics: the *second and later* occurrences of an id are reported (the
+first observation registers it). Within-batch repeats are detected locally
+before the RPC. Ray task retries would re-observe a batch and turn first
+occurrences into false duplicates, so each observe call carries a
+deterministic content-derived token; shards memoize responses per token,
+making observation idempotent under retries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import ray
+
+from .sketches import hash64, hash_strings
+
+
+@ray.remote(num_cpus=0)
+class UniqueIndexShard:
+    """Owns one shard of the id-hash space. ``observe`` registers hashes and
+    returns a boolean mask of which were already present."""
+
+    def __init__(self):
+        self._seen: set[int] = set()
+        self._memo: dict[str, list[bool]] = {}
+
+    def observe(self, token: str, hashes: np.ndarray) -> list[bool]:
+        memo = self._memo.get(token)
+        if memo is not None:
+            return memo
+        seen = self._seen
+        out = []
+        for h in hashes.tolist():
+            if h in seen:
+                out.append(True)
+            else:
+                seen.add(h)
+                out.append(False)
+        self._memo[token] = out
+        return out
+
+    def size(self) -> int:
+        return len(self._seen)
+
+
+def create_index(num_shards: int) -> list:
+    return [UniqueIndexShard.remote() for _ in range(num_shards)]
+
+
+def _id_hashes(ids) -> np.ndarray:
+    if len(ids) and isinstance(ids[0], (int, np.integer)):
+        return hash64(np.asarray(ids, dtype=np.uint64))
+    return hash_strings([str(i) for i in ids])
+
+
+class DupRouter:
+    """``map_batches`` callable: routes a batch's ids through the shard
+    actors and emits one row per duplicate occurrence."""
+
+    def __init__(self, actors, column: str):
+        self.actors = actors
+        self.column = column
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        ids = batch[self.column].to_pylist()
+        dup_ids: list = []
+        if ids:
+            hashes = _id_hashes(ids)
+            # within-batch repeats are duplicates regardless of the index
+            _, first_idx, counts = np.unique(
+                hashes, return_index=True, return_counts=True
+            )
+            first_mask = np.zeros(len(hashes), dtype=bool)
+            first_mask[first_idx] = True
+            dup_ids.extend(np.asarray(ids, dtype=object)[~first_mask].tolist())
+
+            uniq_idx = np.flatnonzero(first_mask)
+            uniq_hashes = hashes[uniq_idx]
+            shard_of = (uniq_hashes % np.uint64(len(self.actors))).astype(np.int64)
+            token_base = f"{int(hashes.sum(dtype=np.uint64))}:{len(hashes)}"
+            refs, positions = [], []
+            for s, actor in enumerate(self.actors):
+                pos = np.flatnonzero(shard_of == s)
+                if len(pos) == 0:
+                    continue
+                refs.append(
+                    actor.observe.remote(f"{token_base}:{s}", uniq_hashes[pos])
+                )
+                positions.append(pos)
+            for pos, mask in zip(positions, ray.get(refs)):
+                for j, already in zip(uniq_idx[pos].tolist(), mask):
+                    if already:
+                        dup_ids.append(ids[j])
+        return pa.table({"image_id": pa.array([str(i) for i in dup_ids], pa.string())})
+
+
+def find_duplicate_ids(ds, column: str, *, num_shards: int = 8) -> list:
+    """Exact duplicate ids of ``column`` via the sharded index. Returns the
+    sorted unique list of ids that occur more than once."""
+    actors = create_index(num_shards)
+    try:
+        rows = ds.map_batches(
+            DupRouter(actors, column), batch_format="pyarrow"
+        ).take_all()
+        return sorted({r["image_id"] for r in rows})
+    finally:
+        for a in actors:
+            ray.kill(a)

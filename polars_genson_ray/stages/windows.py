@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from ray.data.aggregate import Count, Max, Min, Sum
+from .aggregate import combine_partials
 
 
 def tumbling_window(
@@ -20,9 +20,12 @@ def tumbling_window(
     value_column: str,
     *,
     window: str = "1h",
+    small: bool = True,
 ):
     """Per-(key, window) count/sum/min/max. ``window`` is a pandas offset
-    alias (``1h``, ``15min``, ``1d``)."""
+    alias (``1h``, ``15min``, ``1d``). ``small=True`` assumes the distinct
+    (key, window) set fits one combine task (true for bounded key sets ×
+    bounded horizons); pass ``False`` for unbounded keys."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[[ts_column, key_column, value_column]].copy()
@@ -36,14 +39,11 @@ def tumbling_window(
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    return (
-        partials.groupby([key_column, "window_start"])
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("sum_value", alias_name="sum_value"),
-            Min("min_value", alias_name="min_value"),
-            Max("max_value", alias_name="max_value"),
-        )
+    return combine_partials(
+        partials,
+        [key_column, "window_start"],
+        {"n": "sum", "sum_value": "sum", "min_value": "min", "max_value": "max"},
+        small=small,
     )
 
 
