@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referential_orphans": Q.q_referential_orphans,
         # joins
         "nation_revenue": Q.q_nation_revenue,
+        "customer_order_join": Q.q_customer_order_join,
         # JSON / schema-inference ops
         "json_extract_props": Q.q_json_extract_props,
         "schema_infer_events_props": Q.r_schema_infer_events_props,
@@ -69,6 +70,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windows / sessions
         "event_windows_hourly": Q.q_event_windows_hourly,
         "sessions": Q.r_sessions,
+        # multimodal stages (synthetic codec; rows-only)
+        "image_features": Q.r_image_features,
+        "image_resize": Q.r_image_resize,
         # flagship validation pipeline
         "validation_image_table": Q.r_validation_image_table,
     }
@@ -114,6 +118,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "customer_order_join": """
+            SELECT o.o_orderkey, o.o_totalprice, c.c_name
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "sessions": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w > INTERVAL 1800 SECOND
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), numbered AS (
+                SELECT user_id, ts,
+                       SUM(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events
+            FROM numbered GROUP BY user_id, sid
         """,
         "json_extract_props": """
             SELECT event_id,

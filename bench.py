@@ -171,8 +171,13 @@ def run_validation_only(images: int) -> dict:
 
 
 def run_scaling(lo: int = 4, hi: int = 16) -> dict:
+    """Same job, two parallelism levels, fresh Ray sessions. Interleaved
+    best-of-N per level: the sandbox VM shares its host, so single runs see
+    ±30% external noise — the per-level minimum is the contention-free
+    measurement of the engine itself."""
     images = int(os.environ.get("GRAFT_SCALING_IMAGES", "600000"))
-    _scaling_table(images)  # generate once, outside both timed runs
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
+    _scaling_table(images)  # generate once, outside all timed runs
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -186,7 +191,15 @@ def run_scaling(lo: int = 4, hi: int = 16) -> dict:
         )
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
-    r_lo, r_hi = run(lo), run(hi)
+    runs_lo, runs_hi = [], []
+    for i in range(repeats):
+        if i:
+            time.sleep(5)  # let the previous session's raylet fully exit
+        runs_lo.append(run(lo))
+        time.sleep(5)
+        runs_hi.append(run(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
@@ -196,6 +209,8 @@ def run_scaling(lo: int = 4, hi: int = 16) -> dict:
         "num_cpus_hi": hi,
         "sec_lo": t_lo,
         "sec_hi": t_hi,
+        "sec_lo_all": [r["value"] for r in runs_lo],
+        "sec_hi_all": [r["value"] for r in runs_hi],
         "images_per_sec_lo": r_lo["images_per_sec"],
         "images_per_sec_hi": r_hi["images_per_sec"],
         "scaling_efficiency": round(eff, 3),

@@ -224,6 +224,25 @@ def q_nation_revenue(sf_dir: str):
     return out
 
 
+def q_customer_order_join(sf_dir: str):
+    """Large×large hash join via ``Dataset.join`` (both sides shuffle by
+    key; contrast with the broadcast path in q_nation_revenue, which is the
+    right choice when one side fits in memory)."""
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=max(4, cpus // 2),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    return joined.select_columns(["o_orderkey", "o_totalprice", "c_name"])
+
+
 # ---------------------------------------------------------------------------
 # Scans / filters / top-k
 # ---------------------------------------------------------------------------
@@ -431,6 +450,38 @@ def r_sessions(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Multimodal stages over the synthetic image table (rows-only checks)
+# ---------------------------------------------------------------------------
+
+def r_image_features(sf_dir: str):
+    """Actor-pool feature extraction over the image table (model-stage
+    shape: state in __init__, batched work in __call__)."""
+    from ..stages.multimodal import ImageFeatures
+
+    img_dir = _image_table_dir(_rows_for_sf(sf_dir))
+    ds = rd.read_parquet(img_dir, columns=["image_id", "bytes"])
+    return ds.map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=256, concurrency=2
+    ).select_columns(["image_id", "features"])
+
+
+def r_image_resize(sf_dir: str):
+    """Actor-pool decode→resize→re-encode; emits thumbnails + ok flag."""
+    from ..stages.multimodal import ImageResize
+
+    img_dir = _image_table_dir(_rows_for_sf(sf_dir))
+    ds = rd.read_parquet(img_dir, columns=["image_id", "bytes", "w", "h"])
+    out = ds.map_batches(
+        ImageResize,
+        fn_constructor_kwargs={"out_w": 16, "out_h": 16},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+    )
+    return out.select_columns(["image_id", "w", "h", "resize_ok"])
+
+
+# ---------------------------------------------------------------------------
 # Flagship validation pipeline over the synthetic image table
 # ---------------------------------------------------------------------------
 
@@ -449,17 +500,20 @@ def _image_table_dir(rows: int) -> str:
     return out
 
 
+def _rows_for_sf(sf_dir: str) -> int:
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        return max(1000, int(float(sf) * 200_000))
+    except ValueError:
+        return 2000
+
+
 def r_validation_image_table(sf_dir: str):
     """Flagship: schema + constraint validation over the deterministic
     image+caption table (scaled by sf via directory size convention)."""
     from ..pipelines.validation import run_validation
 
-    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
-    try:
-        rows = max(1000, int(float(sf) * 200_000))
-    except ValueError:
-        rows = 2000
-    img_dir = _image_table_dir(rows)
+    img_dir = _image_table_dir(_rows_for_sf(sf_dir))
     import shutil, tempfile
 
     out_dir = tempfile.mkdtemp(prefix="pgr_val_")

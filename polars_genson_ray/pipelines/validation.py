@@ -301,30 +301,32 @@ def run_validation(
         if isinstance(concurrency, tuple):
             concurrency = concurrency[-1]
         annotated_dir = os.path.join(output_dir, "annotated")
-        partial_rows = (
-            rd.from_items(
-                [{"path": p} for p in pending],
-                # one block per fragment: block count caps task concurrency,
-                # and the default (~CPU-count blocks) would leave most of a
-                # large actor pool idle
-                override_num_blocks=len(pending),
-            )
-            .map_batches(
-                ValidationWorker,  # callable class → actor pool
-                fn_constructor_kwargs={
-                    "annotated_dir": annotated_dir,
-                    "config": config,
-                },
-                batch_format="pyarrow",
-                batch_size=1,  # task unit == fragment == resume unit
-                concurrency=concurrency,
-            )
-            .take_all()
+        partials_ds = rd.from_items(
+            [{"path": p} for p in pending],
+            # one block per fragment: block count caps task concurrency,
+            # and the default (~CPU-count blocks) would leave most of a
+            # large actor pool idle
+            override_num_blocks=len(pending),
+        ).map_batches(
+            ValidationWorker,  # callable class → actor pool
+            fn_constructor_kwargs={
+                "annotated_dir": annotated_dir,
+                "config": config,
+            },
+            batch_format="pyarrow",
+            batch_size=1,  # task unit == fragment == resume unit
+            concurrency=concurrency,
         )
+        # stream the partial rows: deserialization and checkpoint-record
+        # writes overlap the tail of the actor pool instead of following it
+        for batch in partials_ds.iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            for blob in batch["partial"].to_pylist():
+                for path, d in pickle.loads(blob).items():
+                    frag_partials[path] = d
+                    store.record(path, _fragment_record(d))
         _mark("decode_annotate_write")
-        for row in partial_rows:
-            for path, d in pickle.loads(row["partial"]).items():
-                frag_partials[path] = d
 
     # --- per-fragment records (pending) + load completed partials ---
     fragment_reports: dict[str, dict] = {}
@@ -344,32 +346,12 @@ def run_validation(
 
         d = frag_partials[path]
         kinds = d["violation_kinds"]
-        n_viol = sum(kinds.values())
-        rep = {
-            "rows": d["rows"],
-            "violations": n_viol,
-            "json_captions": d["json_captions"],
-            "pass": n_viol == 0,
-        }
+        rep = _fragment_record(d)["report"]
         fragment_reports[path] = rep
         for k, v in kinds.items():
             violation_counts[k] = violation_counts.get(k, 0) + v
-
-        # per-fragment partials → checkpoint record (incremental resume)
-        frag_stats = d["stats"]
-        frag_schema = d["schema"]
-        schema_partials_in_order.append(frag_schema)
-        stats_partials.append(frag_stats)
-        store.record(
-            path,
-            {
-                "status": "done",
-                "report": rep,
-                "violation_kinds": kinds,
-                "schema_partial": frag_schema,
-                "stats_blob": base64.b64encode(pickle.dumps(frag_stats)).decode(),
-            },
-        )
+        schema_partials_in_order.append(d["schema"])
+        stats_partials.append(d["stats"])
     _mark("fragment_records")
 
     # --- global merges (driver-side, KB-sized inputs) ---
@@ -402,15 +384,17 @@ def run_validation(
     duplicate_ids = dup_result["ids"]
     _mark("dup_check_join")
 
-    # stamp the global schema digest into every pending record (lineage)
+    # stamp the global schema digest into every pending record (lineage);
+    # rebuilt from the in-memory partials — no read-back of 10^3+ records
     schema_digest = _digest(json.dumps(result.schema, sort_keys=True))
+    snapshot = {
+        "rows": stats["rows"],
+        "w_q50": stats["quantiles"].get("w", {}).get("0.5"),
+    }
     for p in pending:
-        rec = store.load(p) or {}
+        rec = _fragment_record(frag_partials[p])
         rec["schema_digest"] = schema_digest
-        rec["stats_snapshot"] = {
-            "rows": stats["rows"],
-            "w_q50": stats["quantiles"].get("w", {}).get("0.5"),
-        }
+        rec["stats_snapshot"] = snapshot
         store.record(p, rec)
     _mark("lineage")
 
@@ -428,6 +412,25 @@ def run_validation(
         output_dir=output_dir,
         timings=timings,
     )
+
+
+def _fragment_record(d: dict) -> dict:
+    """Checkpoint record for one fragment's fused partial (incremental
+    resume: report + violation kinds + schema/stats partials)."""
+    kinds = d["violation_kinds"]
+    n_viol = sum(kinds.values())
+    return {
+        "status": "done",
+        "report": {
+            "rows": d["rows"],
+            "violations": n_viol,
+            "json_captions": d["json_captions"],
+            "pass": n_viol == 0,
+        },
+        "violation_kinds": kinds,
+        "schema_partial": d["schema"],
+        "stats_blob": base64.b64encode(pickle.dumps(d["stats"])).decode(),
+    }
 
 
 def _merge_schema_partials(partials: list[dict], schema_uri) -> dict:

@@ -242,3 +242,129 @@ def test_tumbling_and_session_windows(ray_session):
         rd.from_pandas(df), "ts", "k", gap_seconds=3600
     ).take_all()
     assert sorted(r["n_events"] for r in sess) == [2, 3]
+
+
+# ---------------------------------------------------------------------------
+# sharded uniqueness index + two-level aggregation
+# ---------------------------------------------------------------------------
+
+def test_unique_index_finds_exact_duplicates(ray_session):
+    import ray.data as rd
+
+    from polars_genson_ray.stages.unique import find_duplicate_ids
+
+    ids = [f"id_{i:04d}" for i in range(500)]
+    ids += ["id_0007", "id_0042", "id_0042"]  # 0007 x2, 0042 x3
+    ds = rd.from_items([{"image_id": i} for i in ids]).repartition(8)
+    dups = find_duplicate_ids(ds, "image_id", num_shards=4)
+    assert dups == ["id_0007", "id_0042"]
+
+
+def test_unique_index_observe_idempotent_under_retry(ray_session):
+    import numpy as np
+    import ray
+
+    from polars_genson_ray.stages.unique import UniqueIndexShard
+
+    shard = UniqueIndexShard.remote()
+    h = np.array([1, 2, 3], dtype=np.uint64)
+    first = ray.get(shard.observe.remote("tok", h))
+    # a Ray task retry re-sends the same token + hashes: must NOT turn
+    # first occurrences into duplicates
+    again = ray.get(shard.observe.remote("tok", h))
+    assert first == again == [False, False, False]
+    ray.kill(shard)
+
+
+def test_combine_partials_small_and_large(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from polars_genson_ray.stages.aggregate import combine_partials
+
+    df = pd.DataFrame({"k": ["a", "b"] * 50, "n": [1] * 100, "m": list(range(100))})
+    ds = rd.from_pandas(df).repartition(6)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("k", as_index=False).agg(n=("n", "sum"), m=("m", "max"))
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    for small in (True, False):
+        out = (
+            combine_partials(partials, ["k"], {"n": "sum", "m": "max"}, small=small)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert out["n"].tolist() == [50, 50]
+        assert out["m"].tolist() == [98, 99]
+
+
+# ---------------------------------------------------------------------------
+# multimodal stages (synthetic codec; stubs for absent codecs)
+# ---------------------------------------------------------------------------
+
+def test_image_resize_and_features(ray_session, tmp_path):
+    import ray.data as rd
+
+    from polars_genson_ray.stages.multimodal import ImageFeatures, ImageResize
+
+    paths = generate_image_table(str(tmp_path / "imgs"), num_rows=60, num_fragments=2)
+    ds = rd.read_parquet(paths, columns=["image_id", "bytes", "w", "h"])
+    thumbs = ds.map_batches(
+        ImageResize, fn_constructor_kwargs={"out_w": 8, "out_h": 8},
+        batch_format="pyarrow", concurrency=2,
+    ).take_all()
+    assert len(thumbs) == 60
+    ok = [t for t in thumbs if t["resize_ok"]]
+    assert len(ok) > 50  # only injected-corrupt rows fail
+    px, _ = decode_image(ok[0]["bytes"])
+    assert px.shape == (8, 8, 3)
+
+    feats = (
+        rd.read_parquet(paths, columns=["image_id", "bytes"])
+        .map_batches(ImageFeatures, batch_format="pyarrow", concurrency=2)
+        .take_all()
+    )
+    assert len(feats) == 60
+    assert len(feats[0]["features"]) == ImageFeatures.DIM
+
+
+def test_audio_stub_and_video_frame_sample(ray_session):
+    import struct
+
+    import pytest as _pytest
+    import ray.data as rd
+
+    from polars_genson_ray.stages.multimodal import AudioFeatures, VideoFrameSample
+
+    # no codec library present: constructor must refuse without fake_pcm
+    with _pytest.raises(NotImplementedError):
+        AudioFeatures()
+
+    pcm = (np.sin(np.linspace(0, 440, 16000)) * 20000).astype(np.int16).tobytes()
+    ds = rd.from_items([{"id": "a0", "audio": pcm}])
+    out = ds.map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs={"fake_pcm": True},
+        batch_format="pyarrow",
+        concurrency=1,
+    ).take_all()
+    assert abs(out[0]["duration_s"] - 1.0) < 1e-6
+    assert 0.3 < out[0]["rms"] < 0.7
+
+    frames = []
+    for i in range(12):
+        blob = encode_image(reference_pixels(f"f{i}", 8, 8), "png")
+        frames.append(struct.pack("<I", len(blob)) + blob)
+    video = b"".join(frames)
+    vds = rd.from_items([{"vid": "v0", "video": video}])
+    sampled = vds.map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs={"id_column": "vid", "every_n": 5},
+        batch_format="pyarrow",
+        concurrency=1,
+    ).take_all()
+    assert [r["frame_index"] for r in sampled] == [0, 5, 10]
+    px, _ = decode_image(sampled[0]["frame_bytes"])
+    assert px.shape == (8, 8, 3)

@@ -116,6 +116,8 @@ def test_oracle_keys_subset_of_queries(entry_module):
         "duplicate_user_events",
         "referential_orphans",
         "nation_revenue",
+        "customer_order_join",
+        "sessions",
         "json_extract_props",
         "decode_props_typed",
         "token_counts",
@@ -144,7 +146,8 @@ def test_query_matches_oracle(entry_module, duck, name):
         "minhash_neardup_docs",
         "simhash_docs",
         "embedding_neardup",
-        "sessions",
+        "image_features",
+        "image_resize",
         "validation_image_table",
     ],
 )
