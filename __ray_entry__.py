@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_quantiles": Q.q_quantity_quantiles,
         "part_pruned_filter": Q.q_part_pruned_filter,
         "top_events": Q.q_top_events,
+        "union_ids": Q.q_union_ids,
+        "sample_events": Q.r_sample_events,
         # constraint checks
         "duplicate_user_events": Q.q_duplicate_user_events,
         "referential_orphans": Q.q_referential_orphans,
@@ -118,6 +120,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "union_ids": """
+            SELECT user_id AS id FROM events
+            UNION ALL
+            SELECT c_custkey AS id FROM customer
         """,
         "customer_order_join": """
             SELECT o.o_orderkey, o.o_totalprice, c.c_name

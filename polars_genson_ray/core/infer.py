@@ -167,9 +167,44 @@ def _split_concatenated(s: str) -> list:
     return values
 
 
+def _fast_value_schema(v):
+    """Direct schema of one JSON value, bypassing the strategy machinery —
+    byte-identical to a fresh ``SchemaNode.add_object(v).to_schema()`` for
+    list-free values (scalar emission, first-seen property order, sorted
+    ``required``). Returns None when a list (ListStrategy merge semantics
+    needed) or non-JSON type is present; callers then fall back."""
+    t = type(v)
+    if t is str:
+        return {"type": "string"}
+    if t is bool:
+        return {"type": "boolean"}
+    if t is int:
+        return {"type": "integer"}
+    if t is float:
+        return {"type": "number"}
+    if v is None:
+        return {"type": "null"}
+    if t is dict:
+        if not v:
+            return {"type": "object"}
+        props = {}
+        for k, x in v.items():
+            s = _fast_value_schema(x)
+            if s is None:
+                return None
+            props[k] = s
+        return {"type": "object", "properties": props, "required": sorted(props)}
+    return None
+
+
 def _merge_values_into(builder: SchemaBuilder, values: list) -> None:
     """Fold parsed values through a throw-away builder, then merge its schema
     (mirrors ``add_schema_from_object_par_iter``, genson_rs/mod.rs:103-126)."""
+    if len(values) == 1:
+        fast = _fast_value_schema(values[0])
+        if fast is not None:
+            builder.add_schema(fast)
+            return
     combined = SchemaBuilder(schema_uri=None)
     for v in values:
         combined.add_object(v)

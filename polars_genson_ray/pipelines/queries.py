@@ -259,6 +259,28 @@ def q_part_pruned_filter(sf_dir: str):
     return ds
 
 
+def q_union_ids(sf_dir: str):
+    """Set op: UNION ALL of two id streams (``Dataset.union`` concatenates
+    block lists — no shuffle, no materialization)."""
+    def _as_id(batch: pa.Table) -> pa.Table:
+        return pa.table({"id": pa.compute.cast(batch.column(0), pa.int64())})
+
+    ev = _read(sf_dir, "events", ["user_id"]).map_batches(
+        _as_id, batch_format="pyarrow"
+    )
+    cu = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        _as_id, batch_format="pyarrow"
+    )
+    return ev.union(cu)
+
+
+def r_sample_events(sf_dir: str, fraction: float = 0.1):
+    """Per-block Bernoulli sampling (seeded). Rows-only check: the sample
+    itself is seed-dependent, not SQL-reproducible."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return ds.random_sample(fraction, seed=42)
+
+
 def q_top_events(sf_dir: str, k: int = 10):
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
     return ds.sort(["value", "event_id"], descending=[True, False]).limit(k)

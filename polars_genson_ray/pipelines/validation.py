@@ -290,7 +290,10 @@ def run_validation(
     dup_thread.start()
 
     # --- the fused pass over pending fragments (one task per fragment) ---
+    from ..stages.stats import new_stats_total
+
     frag_partials: dict[str, dict] = {}
+    stats_accum = new_stats_total()
     if pending:
         concurrency = config.decode_concurrency
         if concurrency is None:
@@ -317,8 +320,9 @@ def run_validation(
             batch_size=1,  # task unit == fragment == resume unit
             concurrency=concurrency,
         )
-        # stream the partial rows: deserialization and checkpoint-record
-        # writes overlap the tail of the actor pool instead of following it
+        # stream the partial rows: deserialization, checkpoint-record writes
+        # and the (commutative) stats merge all overlap the actor pool's
+        # tail instead of following it serially
         for batch in partials_ds.iter_batches(
             batch_size=None, batch_format="pyarrow"
         ):
@@ -326,13 +330,13 @@ def run_validation(
                 for path, d in pickle.loads(blob).items():
                     frag_partials[path] = d
                     store.record(path, _fragment_record(d))
+                    merge_stats_partials([d["stats"]], stats_accum)
         _mark("decode_annotate_write")
 
     # --- per-fragment records (pending) + load completed partials ---
     fragment_reports: dict[str, dict] = {}
     violation_counts: dict[str, int] = {}
     schema_partials_in_order: list[dict] = []
-    stats_partials: list[dict] = []
 
     for path in input_paths:
         if path in completed:
@@ -341,7 +345,9 @@ def run_validation(
             for k, v in rec.get("violation_kinds", {}).items():
                 violation_counts[k] = violation_counts.get(k, 0) + v
             schema_partials_in_order.append(rec["schema_partial"])
-            stats_partials.append(pickle.loads(base64.b64decode(rec["stats_blob"])))
+            merge_stats_partials(
+                [pickle.loads(base64.b64decode(rec["stats_blob"]))], stats_accum
+            )
             continue
 
         d = frag_partials[path]
@@ -351,12 +357,12 @@ def run_validation(
         for k, v in kinds.items():
             violation_counts[k] = violation_counts.get(k, 0) + v
         schema_partials_in_order.append(d["schema"])
-        stats_partials.append(d["stats"])
+        # stats already merged into stats_accum during streaming
     _mark("fragment_records")
 
-    # --- global merges (driver-side, KB-sized inputs) ---
+    # --- global merges (driver-side; stats already folded while streaming) ---
     result = reduce_partials(schema_partials_in_order, config.schema_config)
-    stats_total = merge_stats_partials(stats_partials)
+    stats_total = stats_accum
     stats = summarize_stats(stats_total)
 
     # drift: per-fragment w histogram vs global (KS + PSI), same pass's data

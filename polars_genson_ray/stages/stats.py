@@ -101,12 +101,17 @@ class ColumnStatsPartial:
         return partial
 
 
-def merge_stats_partials(rows) -> dict:
+def new_stats_total() -> dict:
+    return {"rows": 0, "null_counts": {}, "digests": {}, "hlls": {},
+            "hists": {}, "mins": {}, "maxs": {}, "path_hists": {}}
+
+
+def merge_stats_partials(rows, total: dict | None = None) -> dict:
     """Driver-side associative merge of partials → final stats dict.
     Accepts either take_all rows bearing a pickled ``stats_partial`` column
-    or plain partial dicts."""
-    total: dict = {"rows": 0, "null_counts": {}, "digests": {}, "hlls": {},
-                   "hists": {}, "mins": {}, "maxs": {}, "path_hists": {}}
+    or plain partial dicts; pass ``total`` to merge incrementally (e.g.
+    while partial rows are still streaming in)."""
+    total = total if total is not None else new_stats_total()
     for row in rows:
         p = row if isinstance(row, dict) and "stats_partial" not in row else pickle.loads(row["stats_partial"])
         total["rows"] += p["rows"]

@@ -113,6 +113,7 @@ def test_oracle_keys_subset_of_queries(entry_module):
         "quantity_quantiles",
         "part_pruned_filter",
         "top_events",
+        "union_ids",
         "duplicate_user_events",
         "referential_orphans",
         "nation_revenue",
@@ -146,6 +147,7 @@ def test_query_matches_oracle(entry_module, duck, name):
         "minhash_neardup_docs",
         "simhash_docs",
         "embedding_neardup",
+        "sample_events",
         "image_features",
         "image_resize",
         "validation_image_table",
