@@ -25,6 +25,7 @@ import ray
 import ray.data as rd
 
 from ..api import normalise_rows
+from ..functions.context import default_pool_size
 from ..stages.aggregate import combine_partials
 from ..core import SchemaInferenceConfig
 from ..stages.dedup import MinHasher, SimHasher, exact_dedup, minhash_lsh_pairs
@@ -40,23 +41,27 @@ def _t(sf_dir: str, table: str) -> str:
 
 def _read(sf_dir: str, table: str, columns=None):
     from ..functions.context import (
+        maybe_reshard,
         read_parallelism,
         strip_schema_metadata,
         tune_for_cluster,
     )
 
     tune_for_cluster()
-    path = _t(sf_dir, table)
+    # single-row-group files serialize the scan (one read task); large ones
+    # are resharded once into a cached parallel-readable copy (no-op for
+    # real multi-fragment inputs)
+    path = maybe_reshard(_t(sf_dir, table))
     ds = rd.read_parquet(path, columns=columns)
     ds = ds.map_batches(
         strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
     )
-    # local-testdata fix-up: single-row-group files read as ONE block and
-    # serialize the pipeline; split them. Real inputs (many row groups /
-    # fragments) return 1 here and skip the move.
-    n_blocks = read_parallelism(path)
-    if n_blocks > 1:
-        ds = ds.repartition(n_blocks)
+    if os.path.isfile(path):
+        # small single file: split the one block so downstream stages still
+        # parallelize; resharded/multi-fragment paths skip this
+        n_blocks = read_parallelism(path)
+        if n_blocks > 1:
+            ds = ds.repartition(n_blocks)
     return ds
 
 
@@ -170,19 +175,14 @@ def q_referential_orphans(sf_dir: str):
     keys_ref = ray.put(keys)
     ds = _read(sf_dir, "events", ["user_id"])
 
-    class OrphanFilter:
-        def __init__(self):
-            self.keys = ray.get(keys_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            orphans = df[~df.user_id.isin(self.keys)]
-            return orphans.groupby("user_id", as_index=False).agg(
-                n=("user_id", "size")
-            )
+    def orphan_filter(df: pd.DataFrame) -> pd.DataFrame:
+        # broadcast key set: one shared-memory ray.get per task
+        orphans = df[~df.user_id.isin(ray.get(keys_ref))]
+        return orphans.groupby("user_id", as_index=False).agg(n=("user_id", "size"))
 
     # orphan set is small by construction (violations) → single-task combine
     out = combine_partials(
-        ds.map_batches(OrphanFilter, batch_format="pandas", concurrency=2),
+        ds.map_batches(orphan_filter, batch_format="pandas"),
         ["user_id"],
         {"n": "sum"},
     ).to_pandas()
@@ -203,20 +203,19 @@ def q_nation_revenue(sf_dir: str):
     )
     lookup_ref = ray.put((cust_map, nation_map))
 
-    class AddNation:
-        def __init__(self):
-            self.cust_map, self.nation_map = ray.get(lookup_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            nk = df.o_custkey.map(self.cust_map)
-            df = df.assign(nation=nk.map(self.nation_map))
-            return df.groupby("nation", as_index=False).agg(
-                n_orders=("o_orderkey", "size"), revenue=("o_totalprice", "sum")
-            )
+    def add_nation(df: pd.DataFrame) -> pd.DataFrame:
+        # broadcast lookup maps: shared-memory ray.get per task (an actor
+        # pool here paid ~2 s of spawn for <1 s of useful work)
+        cust_map, nation_map = ray.get(lookup_ref)
+        nk = df.o_custkey.map(cust_map)
+        df = df.assign(nation=nk.map(nation_map))
+        return df.groupby("nation", as_index=False).agg(
+            n_orders=("o_orderkey", "size"), revenue=("o_totalprice", "sum")
+        )
 
     out = combine_partials(
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-        .map_batches(AddNation, batch_format="pandas", concurrency=2),
+        .map_batches(add_nation, batch_format="pandas"),
         ["nation"],
         {"n_orders": "sum", "revenue": "sum"},
     ).to_pandas()
@@ -330,50 +329,35 @@ def r_avro_schema_events_props(sf_dir: str):
 
 
 def r_normalise_events_props(sf_dir: str):
-    """Two-pass normalise: inferred Avro schema broadcast into a map_batches
-    rewrite (N1-N3 + decode-ready kv encoding)."""
+    """Two-pass normalise: inferred Avro schema broadcast (ray.put) into a
+    task-pool map_batches rewrite (N1-N3 + decode-ready kv encoding). The
+    stage state is one small schema dict, so warm task workers beat an
+    actor pool (pool spawn alone cost ~2 s per run at 32 CPUs); per-task
+    ``ray.get`` of the broadcast ref is a local shared-memory lookup."""
+    from ..stages.normalise import NormaliseStage
+
     ds = _read(sf_dir, "events", ["event_id", "props"])
     schema = infer_schema_distributed(
         ds.select_columns(["props"]), "props", SchemaInferenceConfig(avro=True)
     ).schema
-    schema_ref = ray.put(schema)
-
-    class Normalise:
-        def __init__(self):
-            self.schema = ray.get(schema_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            normed = normalise_rows(
-                batch["props"].to_pylist(), self.schema, map_encoding="kv"
-            )
-            return pa.table(
-                {
-                    "event_id": batch["event_id"],
-                    "normalised": pa.array(normed, pa.large_string()),
-                }
-            )
-
-    return ds.map_batches(Normalise, batch_format="pyarrow", concurrency=2)
+    stage = NormaliseStage(ray.put(schema), "props")
+    return ds.map_batches(stage, batch_format="pyarrow").select_columns(
+        ["event_id", "normalised"]
+    )
 
 
 def q_decode_props_typed(sf_dir: str):
     """Fused normalise+decode to typed Arrow columns (N4 Ray-native path):
     infer Avro over props, broadcast, decode each batch with the derived
-    dtype — one pass, typed output."""
+    dtype — one pass, typed output, task pool (light state)."""
     from ..stages.normalise import NormaliseDecodeStage
 
     ds = _read(sf_dir, "events", ["event_id", "props"])
     schema = infer_schema_distributed(
         ds.select_columns(["props"]), "props", SchemaInferenceConfig(avro=True)
     ).schema
-    schema_ref = ray.put(schema)
-    out = ds.map_batches(
-        NormaliseDecodeStage,
-        fn_constructor_kwargs={"schema_ref": schema_ref, "column": "props"},
-        batch_format="pyarrow",
-        concurrency=2,
-    )
-    return out
+    stage = NormaliseDecodeStage(ray.put(schema), "props")
+    return ds.map_batches(stage, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -409,7 +393,7 @@ def r_doc_fingerprints(sf_dir: str):
 def r_langid_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
-        LangId(), batch_format="pyarrow", concurrency=2
+        LangId(), batch_format="pyarrow"
     ).select_columns(["doc_id", "lang_pred"])
 
 
@@ -483,7 +467,7 @@ def r_image_features(sf_dir: str):
     img_dir = _image_table_dir(_rows_for_sf(sf_dir))
     ds = rd.read_parquet(img_dir, columns=["image_id", "bytes"])
     return ds.map_batches(
-        ImageFeatures, batch_format="pyarrow", batch_size=256, concurrency=2
+        ImageFeatures, batch_format="pyarrow", batch_size=256, concurrency=default_pool_size()
     ).select_columns(["image_id", "features"])
 
 
@@ -498,7 +482,7 @@ def r_image_resize(sf_dir: str):
         fn_constructor_kwargs={"out_w": 16, "out_h": 16},
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=2,
+        concurrency=default_pool_size(),
     )
     return out.select_columns(["image_id", "w", "h", "resize_ok"])
 

@@ -112,12 +112,15 @@ class BandExploder:
         band_id = np.tile(np.arange(self.bands, dtype=np.int32), n)
         # each source row repeats `bands` times
         idx = np.repeat(np.arange(n), self.bands)
+        # signatures travel as fixed-width binary — a list<int64> column
+        # multiplied sort-shuffle payload and serialization cost
+        sig_blobs = [sig_mat[i].tobytes() for i in range(n)]
         return pa.table(
             {
                 "band_id": pa.array(band_id, pa.int32()),
                 "band_hash": pa.array(band_hash.reshape(-1), pa.int64()),
                 self.id_column: ids.take(pa.array(idx)),
-                "minhash": pa.array([sigs[i] for i in idx], pa.list_(pa.int64())),
+                "minhash": pa.array([sig_blobs[i] for i in idx], pa.binary()),
             }
         )
 
@@ -154,24 +157,62 @@ def minhash_lsh_pairs(ds, column: str, id_column: str, *, num_perm=64, bands=16,
         )
         return batch.append_column("__bucket", bucket)
 
+    _triu_cache: dict = {}
+
+    def _triu(k: int):
+        got = _triu_cache.get(k)
+        if got is None:
+            got = _triu_cache[k] = np.triu_indices(k, 1)
+        return got
+
     def emit_pairs(bucket_group: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_j = [], [], []
-        for _, group in bucket_group.groupby(["band_id", "band_hash"], sort=False):
-            if len(group) < 2:
+        # One vectorized pass per bucket (per-group pandas iteration cost
+        # ~370 µs × 10^4 groups): keep only rows whose band hash repeats,
+        # sort once, build ragged all-pairs index arrays per group, compare
+        # every candidate pair's signatures in chunked numpy.
+        empty = pd.DataFrame(
+            {"id_a": [], "id_b": [], "est_jaccard": pd.Series([], dtype=float)}
+        )
+        g = bucket_group[
+            bucket_group.duplicated(["band_id", "band_hash"], keep=False)
+        ]
+        if g.empty:
+            return empty
+        g = g.sort_values(["band_id", "band_hash", id_column], kind="mergesort")
+        ids = g[id_column].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        bi = g["band_id"].to_numpy()
+        boundary = np.flatnonzero(
+            np.concatenate(([True], (bh[1:] != bh[:-1]) | (bi[1:] != bi[:-1])))
+        )
+        counts = np.diff(np.concatenate((boundary, [len(g)])))
+        pair_i, pair_j = [], []
+        for s, k in zip(boundary.tolist(), counts.tolist()):
+            if k < 2:
                 continue
-            group = group.sort_values(id_column)
-            ids = group[id_column].to_numpy()
-            sig_mat = np.array(group["minhash"].tolist(), dtype=np.int64)
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if ids[i] == ids[j]:
-                        continue
-                    est = float(np.mean(sig_mat[i] == sig_mat[j]))
-                    if est >= min_jaccard:
-                        out_a.append(ids[i])
-                        out_b.append(ids[j])
-                        out_j.append(est)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
+            ii, jj = _triu(k)
+            pair_i.append(ii + s)
+            pair_j.append(jj + s)
+        if not pair_i:
+            return empty
+        I = np.concatenate(pair_i)
+        J = np.concatenate(pair_j)
+        sig = np.frombuffer(b"".join(g["minhash"]), dtype=np.uint64).reshape(
+            len(g), -1
+        )
+        ests = np.empty(len(I), dtype=np.float64)
+        chunk = 65536  # bound the gathered operand allocation
+        for s in range(0, len(I), chunk):
+            e = min(len(I), s + chunk)
+            ests[s:e] = (sig[I[s:e]] == sig[J[s:e]]).mean(axis=1)
+        keep = (ests >= min_jaccard) & (ids[I] != ids[J])
+        return pd.DataFrame(
+            {
+                "id_a": ids[I[keep]],
+                "id_b": ids[J[keep]],
+                "est_jaccard": ests[keep],
+            }
+        )
 
     pairs = (
         exploded.map_batches(add_bucket, batch_format="pyarrow")
@@ -179,24 +220,19 @@ def minhash_lsh_pairs(ds, column: str, id_column: str, *, num_perm=64, bands=16,
         .map_groups(emit_pairs, batch_format="pandas")
     )
 
-    # a pair can surface from several bands (different buckets) — global
-    # dedup on a coarse pair-key bucket
-    def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    # a pair can surface from several bands (different buckets) — dedup in
+    # ONE coalesced task: surviving pairs are near-duplicate *violations*,
+    # a vanishing fraction of the input (a second key-partitioned shuffle
+    # here measured 2-3 s of pure overhead; for workloads where pairs are
+    # NOT rare, bucket the pair key and groupby instead)
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
-            return df.assign(__pbucket=pd.Series([], dtype="int32"))
-        key = (df["id_a"].astype(str) + "|" + df["id_b"].astype(str)).map(
-            lambda s: __import__("zlib").crc32(s.encode()) % num_buckets
-        )
-        return df.assign(__pbucket=key.astype("int32"))
-
-    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        out = group.sort_values(["id_a", "id_b"]).drop_duplicates(["id_a", "id_b"])
+            return df
+        out = df.sort_values(["id_a", "id_b"]).drop_duplicates(["id_a", "id_b"])
         return out[["id_a", "id_b", "est_jaccard"]]
 
-    return (
-        pairs.map_batches(add_pair_bucket, batch_format="pandas")
-        .groupby("__pbucket")
-        .map_groups(dedup_pairs, batch_format="pandas")
+    return pairs.repartition(1).map_batches(
+        dedup_pairs, batch_format="pandas", batch_size=None
     )
 
 
