@@ -167,34 +167,53 @@ def run_validation_only(images: int) -> dict:
         "rows": rep.rows,
         "images_per_sec": round(images / elapsed, 1),
         "num_cpus": NUM_CPUS,
+        "timings": rep.timings,
     }
 
 
 def _calibrate(workers: int) -> float:
-    """Machine calibration: pure-numpy process-pool throughput (no Ray) at
-    ``workers`` parallelism, tasks/sec. Run immediately before each timed
-    validation run, this bounds what the *host* can deliver at that moment
-    — the sandbox VM shares its host and sees bursty CPU steal, so raw
-    efficiency conflates engine scaling with host scaling. The normalized
-    number (raw / machine) isolates the engine."""
-    import numpy as _np
+    """Machine calibration: the validation pipeline's own per-row kernel
+    (decode + reference render + PSNR) on a plain process pool — NO Ray —
+    at ``workers`` parallelism; returns kernel-iterations/sec. Run
+    immediately before each timed run, this measures what the *host* can
+    deliver for THIS workload at that moment: the sandbox VM shares its
+    host (bursty steal), and the kernel is memory-bandwidth-bound, so its
+    process-pool scaling is the hardware ceiling. raw_eff / machine_eff
+    then isolates what the engine (Ray scheduling, shuffle, actor spawn)
+    adds on top of that ceiling."""
+    n = workers * 8
     from concurrent.futures import ProcessPoolExecutor
 
-    n = workers * 16
-    t0 = time.perf_counter()
     with ProcessPoolExecutor(max_workers=workers) as pool:
+        list(pool.map(_warm_task, range(workers)))  # spawn outside timing
+        t0 = time.perf_counter()
         list(pool.map(_calib_task, range(n)))
-    return n / (time.perf_counter() - t0)
+        elapsed = time.perf_counter() - t0
+    return n / elapsed
+
+
+def _warm_task(i: int) -> int:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import polars_genson_ray.sources.synth  # noqa: F401
+
+    return i
 
 
 def _calib_task(i: int) -> float:
-    import numpy as _np
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from polars_genson_ray.sources.synth import (
+        decode_image,
+        encode_image,
+        psnr,
+        reference_pixels,
+    )
 
-    rng = _np.random.default_rng(i)
+    data = encode_image(reference_pixels(f"calib_{i % 8}", 72, 72), "jpeg")
     s = 0.0
-    for _ in range(60):
-        a = rng.integers(0, 64, size=(96, 96, 3), dtype=_np.uint8)
-        s += float(_np.mean(a.astype(_np.float64) ** 2))
+    for _ in range(300):
+        dec, _ = decode_image(data)
+        ref = reference_pixels(f"calib_{i % 8}", 72, 72)
+        s += min(psnr(dec, ref), 99.0)
     return s
 
 

@@ -42,8 +42,6 @@ from dataclasses import dataclass, field
 
 import pyarrow as pa
 
-import ray.data as rd
-
 from ..core import SchemaInferenceConfig
 from ..stages.image import DecodeValidator
 from ..stages.infer import SchemaPartialBatch, reduce_partials
@@ -239,6 +237,8 @@ def run_validation(
     resume: bool = True,
 ) -> ValidationReport:
     import ray
+    import ray.data as rd  # deferred: actors deserializing this module
+    # must not pay the ray.data import (~0.6 s per worker process)
 
     from ..functions.context import tune_for_cluster
     from ..stages.unique import find_duplicate_ids
