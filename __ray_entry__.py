@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": Q.r_simhash_docs,
         # embedding similarity
         "ann_topk": Q.q_ann_topk,
+        "ann_topk_ivf": Q.r_ann_topk_ivf,
         "embedding_neardup": Q.r_embedding_neardup,
         # windows / sessions
         "event_windows_hourly": Q.q_event_windows_hourly,

@@ -429,6 +429,19 @@ def q_ann_topk(sf_dir: str, k: int = 10):
     return df.reset_index(drop=True)
 
 
+def r_ann_topk_ivf(sf_dir: str, k: int = 10):
+    """IVF-bucketed approximate top-k (the scale path next to the
+    brute-force baseline; rows-only — approximate by construction)."""
+    from ..stages.similarity import ivf_topk
+
+    queries = _query_vectors(sf_dir, ids=(0,))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = ivf_topk(ds, queries, k=k, n_cells=16, nprobe=6)
+    df = df[["vec_id", "cosine"]].copy()
+    df["cosine"] = df["cosine"].round(4)
+    return df.reset_index(drop=True)
+
+
 def r_embedding_neardup(sf_dir: str):
     dim = len(_query_vectors(sf_dir, ids=(0,))[0])
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])

@@ -89,6 +89,82 @@ def brute_force_topk(ds, queries: np.ndarray, *, id_column="vec_id",
     return df.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
 
 
+def _kmeans(sample: np.ndarray, n_cells: int, *, iters: int = 8,
+            seed: int = 5) -> np.ndarray:
+    """Small deterministic Lloyd's k-means on a driver-side sample (the
+    coarse quantizer — IVF training is always sample-based)."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample)
+    centroids = sample[rng.choice(len(sample), size=min(n_cells, len(sample)),
+                                  replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+class IVFAssignFilter:
+    """Assign each row to its nearest coarse centroid and pass through only
+    rows in the query's probed cells — the IVF scan-skip expressed as a
+    streaming filter. At real scale the table is *stored* partitioned by
+    cell id (write_parquet partitioned on ``ivf_cell``) so unprobed cells
+    are never read; here the filter documents the same pruning on a flat
+    input."""
+
+    def __init__(self, centroids_ref, probed_ref, column: str = "embedding"):
+        self.centroids_ref = centroids_ref
+        self.probed_ref = probed_ref
+        self.column = column
+        self._c = None
+        self._probed = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._c is None:
+            c, p = self.centroids_ref, self.probed_ref
+            self._c = ray.get(c) if isinstance(c, ray.ObjectRef) else c
+            self._probed = ray.get(p) if isinstance(p, ray.ObjectRef) else p
+        emb = np.asarray(
+            [np.asarray(e, dtype=np.float64) for e in batch[self.column].to_pylist()]
+        )
+        if emb.size == 0:
+            return batch
+        cells = np.argmax(_normalize(emb) @ self._c.T, axis=1)
+        keep = np.isin(cells, self._probed)
+        return batch.filter(pa.array(keep))
+
+
+def ivf_topk(ds, queries: np.ndarray, *, id_column="vec_id",
+             column="embedding", k=10, n_cells=16, nprobe=4,
+             train_sample=2048, batch_size=4096):
+    """IVF approximate top-k: train a coarse quantizer on a sample, probe
+    the ``nprobe`` cells nearest each query, exact cosine only within the
+    probed cells. Returns (query_idx, id, cosine) like ``brute_force_topk``
+    (whose scan touches every row; this one's touches ~nprobe/n_cells)."""
+    sample_rows = ds.select_columns([column]).limit(train_sample).take_all()
+    sample = np.asarray([np.asarray(r[column], dtype=np.float64)
+                         for r in sample_rows])
+    centroids = _kmeans(sample, n_cells)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probed = np.unique(
+        np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe].reshape(-1)
+    )
+    centroids_ref = ray.put(centroids)
+    probed_ref = ray.put(probed)
+    filtered = ds.select_columns([id_column, column]).map_batches(
+        IVFAssignFilter(centroids_ref, probed_ref, column),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    return brute_force_topk(
+        filtered, queries, id_column=id_column, column=column, k=k,
+        batch_size=batch_size,
+    )
+
+
 class HyperplaneLSH:
     """Random-hyperplane bucket id per row (``lsh_bucket``): the scale path
     for ANN — co-bucket rows are candidate neighbours; verify with exact

@@ -368,3 +368,30 @@ def test_audio_stub_and_video_frame_sample(ray_session):
     assert [r["frame_index"] for r in sampled] == [0, 5, 10]
     px, _ = decode_image(sampled[0]["frame_bytes"])
     assert px.shape == (8, 8, 3)
+
+
+def test_ivf_topk_recall_on_clustered_vectors(ray_session):
+    import ray.data as rd
+
+    from polars_genson_ray.stages.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((8, 16)) * 4
+    vecs = np.concatenate(
+        [c + rng.standard_normal((50, 16)) * 0.3 for c in centers]
+    )
+    items = [
+        {"vec_id": i, "embedding": vecs[i].tolist()} for i in range(len(vecs))
+    ]
+    ds = rd.from_items(items).repartition(8)
+    queries = vecs[[0, 200]]
+    exact = brute_force_topk(ds, queries, k=10)
+    approx = ivf_topk(
+        rd.from_items(items).repartition(8), queries, k=10, n_cells=8, nprobe=2,
+        train_sample=400,
+    )
+    for qi in (0, 1):
+        e = set(exact[exact.query_idx == qi]["vec_id"])
+        a = set(approx[approx.query_idx == qi]["vec_id"])
+        recall = len(e & a) / len(e)
+        assert recall >= 0.8, f"query {qi} recall {recall}"

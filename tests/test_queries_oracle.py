@@ -148,6 +148,7 @@ def test_query_matches_oracle(entry_module, duck, name):
         "simhash_docs",
         "embedding_neardup",
         "sample_events",
+        "ann_topk_ivf",
         "image_features",
         "image_resize",
         "validation_image_table",
