@@ -14,9 +14,10 @@ and scales with the shard count — no all-to-all barrier.
 Semantics: the *second and later* occurrences of an id are reported (the
 first observation registers it). Within-batch repeats are detected locally
 before the RPC. Ray task retries would re-observe a batch and turn first
-occurrences into false duplicates, so each observe call carries a
-deterministic content-derived token; shards memoize responses per token,
-making observation idempotent under retries.
+occurrences into false duplicates, so each observe call carries a token
+derived from the (retry-stable) Ray TaskID plus the batch's ordinal within
+the task; shards memoize responses per token, making observation
+idempotent under retries.
 """
 
 from __future__ import annotations
@@ -73,9 +74,19 @@ class DupRouter:
     def __init__(self, actors, column: str):
         self.actors = actors
         self.column = column
+        self._batch_no = 0  # resets per task; batches replay in order on retry
 
     def __call__(self, batch):
         import pyarrow as pa
+
+        # token identity = (task id, batch ordinal): a Ray task retry keeps
+        # its TaskID and replays batches in order, so retried observes are
+        # memoized; two distinct batches never share a token even when
+        # their id content is identical (which a content hash would merge,
+        # silently missing real cross-batch duplicates)
+        task_id = ray.get_runtime_context().get_task_id() or "driver"
+        self._batch_no += 1
+        token_base = f"{task_id}:{self._batch_no}"
 
         ids = batch[self.column].to_pylist()
         dup_ids: list = []
@@ -92,7 +103,6 @@ class DupRouter:
             uniq_idx = np.flatnonzero(first_mask)
             uniq_hashes = hashes[uniq_idx]
             shard_of = (uniq_hashes % np.uint64(len(self.actors))).astype(np.int64)
-            token_base = f"{int(hashes.sum(dtype=np.uint64))}:{len(hashes)}"
             refs, positions = [], []
             for s, actor in enumerate(self.actors):
                 pos = np.flatnonzero(shard_of == s)
