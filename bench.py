@@ -5,10 +5,12 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
    "images": N, "images_per_sec": N}
 
-``--scaling`` runs the headline suite in two fresh processes
-(num_cpus=8 and num_cpus=32 by default) on the same input and reports both
-throughputs + scaling efficiency (the sandbox evidence for the north_rule's
-two-cluster-size criterion).
+``--scaling`` runs the flagship validation job in fresh processes at two
+parallelism levels (num_cpus=4 and 16 by default — N and 4N, both under
+this host's memory-bandwidth knee) on the same input, interleaved
+best-of-N with per-run machine calibration, and reports throughput at both
+levels plus raw and machine-normalized scaling efficiency (the sandbox
+evidence for the north_rule's two-cluster-size criterion).
 """
 
 from __future__ import annotations

@@ -1,32 +1,33 @@
 """End-to-end schema + constraint validation over an image+caption table.
 
 The flagship pipeline (BASELINE.json north_star), fused into ONE streaming
-pass over the input plus one pruned id pass:
+pass over the input:
 
-  read_parquet(pending fragments, include_paths)
-    → actor-pool ValidationWorker (decode + pixel invariants, bytes dropped
-      in-stage; caption JSON validity; writes the annotated batch as
-      partitioned parquet with idempotent content-derived filenames → safe
-      under task retries; emits ONE tiny partial row per batch carrying,
-      per fragment: pass/fail report counts, violation kinds, column-stats
-      sketches (t-digest/HLL/histograms/heavy-hitters) and a genson schema
-      partial over the caption column)
-    → take_all of the KB-sized partials → driver merge
+  fragment path list (one block per fragment)
+    → actor-pool ValidationWorker: reads its fragment row-group-wise;
+      decode + pixel invariants (bytes dropped in-stage); caption JSON
+      validity; streams every image_id's hash through the sharded
+      UniqueIndexShard actors (exact duplicates, no sort shuffle); writes
+      the annotated batch as partitioned parquet with deterministic
+      filenames (safe under task retries); emits ONE tiny partial row per
+      fragment carrying pass/fail report counts, violation kinds,
+      column-stats sketches (t-digest/HLL/histograms/heavy-hitters), a
+      genson schema partial over the caption column, flagged duplicate ids
+      and the fragment's id-hash array
+    → streamed to the driver: checkpoint records, stats merge and the dup
+      union all overlap the actor pool's tail
 
-  read_parquet(all fragments, columns=[image_id])
-    → sharded UniqueIndexShard actors (stages/unique.py): exact duplicate
-      ids without a sort shuffle
-
-Everything else (drift KS/PSI, lineage records, global schema finalize) is
-driver-side arithmetic over the merged partials. Nothing materializes the
-table; decoded pixels never leave the decode stage; the only rows that move
-are ids through the uniqueness index.
+Everything else (drift KS/PSI, lineage digests, global schema finalize) is
+driver-side arithmetic over KB-sized fragment partials. Nothing
+materializes the table; decoded pixels never leave the decode stage; the
+only cross-task traffic is id hashes to the uniqueness index.
 
 Resume is incremental per fragment: each checkpoint record stores that
-fragment's report, violation kinds, schema partial and stats sketch blob,
-so a rerun re-reads ONLY pending fragments' full data (plus the cheap
-single-column id pass for cross-fragment duplicate exactness) and merges
-stored partials for completed ones — the north_rule's "replaying only
+fragment's report, violation kinds, schema partial, stats sketch blob,
+duplicate ids and id-hash array; a rerun re-reads ONLY pending fragments'
+data, re-seeds the uniqueness index from the stored hash arrays (exact
+cross-run duplicates without touching validated data) and merges stored
+partials for completed fragments — the north_rule's "replaying only
 unvalidated fragments".
 """
 
@@ -148,12 +149,14 @@ class ValidationWorker(DecodeValidator):
     decoded chunk, and no byte of image data ever crosses task boundaries.
     """
 
-    def __init__(self, annotated_dir: str, config: ValidationConfig):
+    def __init__(self, annotated_dir: str, config: ValidationConfig,
+                 dup_actors=None):
         super().__init__(psnr_threshold=config.psnr_threshold)
         os.makedirs(annotated_dir, exist_ok=True)
         self.annotated_dir = annotated_dir
         self.chunk_rows = config.decode_batch_size
         self.config = config
+        self.dup_actors = dup_actors or []
         self.stats_fn = ColumnStatsPartial(
             numeric=("w", "h"),
             distinct=("image_id", "phash"),
@@ -163,6 +166,43 @@ class ValidationWorker(DecodeValidator):
         )
         self.schema_fn = SchemaPartialBatch("caption", config.schema_config)
 
+    def _observe_ids(self, path: str, chunk_idx: int, ids: list) -> list:
+        """Route this chunk's ids through the uniqueness-index shards; the
+        token (fragment, chunk, shard) is deterministic, so task retries
+        get the shards' memoized answers. Returns the duplicate ids seen in
+        this chunk (within-chunk repeats included)."""
+        import numpy as np
+
+        import ray
+
+        from ..stages.unique import _id_hashes
+
+        if not ids:
+            return []
+        hashes = _id_hashes(ids)
+        _, first_idx = np.unique(hashes, return_index=True)
+        first_mask = np.zeros(len(hashes), dtype=bool)
+        first_mask[first_idx] = True
+        dups = [ids[j] for j in np.flatnonzero(~first_mask)]
+        if not self.dup_actors:
+            return dups
+        uniq_idx = np.flatnonzero(first_mask)
+        uniq_hashes = hashes[uniq_idx]
+        shard_of = (uniq_hashes % np.uint64(len(self.dup_actors))).astype(np.int64)
+        refs, positions = [], []
+        for s, actor in enumerate(self.dup_actors):
+            pos = np.flatnonzero(shard_of == s)
+            if len(pos) == 0:
+                continue
+            token = f"{path}:{chunk_idx}:{s}"
+            refs.append(actor.observe.remote(token, uniq_hashes[pos]))
+            positions.append(pos)
+        for pos, mask in zip(positions, ray.get(refs)):
+            for j, already in zip(uniq_idx[pos].tolist(), mask):
+                if already:
+                    dups.append(ids[j])
+        return dups
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for path in batch["path"].to_pylist():
@@ -170,12 +210,16 @@ class ValidationWorker(DecodeValidator):
         return pa.table({"partial": pa.array(out, pa.large_binary())})
 
     def _process_fragment(self, path: str) -> dict:
+        import numpy as np
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        from ..stages.unique import _id_hashes
         from ..state.checkpoint import fragment_key
 
         chunk_partials = []
+        dup_ids: list = []
+        hash_blobs: list = []
         pf = pq.ParquetFile(path)
         for idx, record_batch in enumerate(
             pf.iter_batches(batch_size=self.chunk_rows)
@@ -192,6 +236,9 @@ class ValidationWorker(DecodeValidator):
                     self.annotated_dir, f"{fragment_key(path)}-{idx:05d}.parquet"
                 ),
             )
+            ids = ann["image_id"].to_pylist()
+            dup_ids.extend(self._observe_ids(path, idx, ids))
+            hash_blobs.append(_id_hashes(ids).tobytes())
             kinds: dict[str, int] = {}
             for v in ann["violation"].to_pylist():
                 if v:
@@ -225,6 +272,12 @@ class ValidationWorker(DecodeValidator):
                 [d["schema"] for d in chunk_partials],
                 self.config.schema_config.schema_uri,
             ),
+            # duplicate ids flagged while THIS fragment streamed through the
+            # uniqueness index (the global report is the union over
+            # fragments), plus the fragment's id-hash array so resume can
+            # re-seed the index without re-reading data
+            "dup_ids": sorted(set(str(i) for i in dup_ids)),
+            "id_hashes": b"".join(hash_blobs),
         }
 
 
@@ -241,7 +294,6 @@ def run_validation(
     # must not pay the ray.data import (~0.6 s per worker process)
 
     from ..functions.context import tune_for_cluster
-    from ..stages.unique import find_duplicate_ids
 
     tune_for_cluster()
     timings: dict[str, float] = {}
@@ -264,30 +316,33 @@ def run_validation(
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
 
-    # --- exact duplicate ids, overlapped with the fused pass: a pruned
-    # single-column read through the sharded uniqueness index over ALL
-    # fragments (duplicates cross fragment and run boundaries; this read is
-    # ~1% of a full revalidation). Independent of the fused pass, so it
-    # runs concurrently on a driver thread — Ray schedules both pipelines'
-    # tasks into the same CPU pool and the id pass fills scheduling gaps
-    # (actor-pool ramp-up, straggler waves) instead of adding wall time.
-    import threading
+    # --- sharded uniqueness index: the workers stream every id through
+    # these actors DURING the fused pass (no separate read, no sort
+    # shuffle); on resume the completed fragments' id-hash arrays from the
+    # checkpoint re-seed the shards so cross-run duplicates stay exact
+    # without re-reading validated data ---
+    import numpy as np
 
-    dup_result: dict = {}
+    from ..stages.unique import create_index
 
-    def _dup_pass():
-        try:
-            dup_ds = rd.read_parquet(input_paths, columns=["image_id"])
-            dup_result["ids"] = find_duplicate_ids(
-                dup_ds,
-                "image_id",
-                num_shards=config.dup_shards or max(2, cpus // 4),
-            )
-        except Exception as e:  # surfaced after join
-            dup_result["error"] = e
-
-    dup_thread = threading.Thread(target=_dup_pass, name="pgr-dup-pass")
-    dup_thread.start()
+    dup_actors = create_index(config.dup_shards or max(2, cpus // 4))
+    duplicate_set: set[str] = set()
+    seed_refs = []
+    for rec in completed.values():
+        if not rec:
+            continue
+        duplicate_set.update(rec.get("dup_ids", []))
+        blob = base64.b64decode(rec.get("id_hashes_blob", ""))
+        if blob:
+            hashes = np.frombuffer(blob, dtype=np.uint64)
+            shard_of = (hashes % np.uint64(len(dup_actors))).astype(np.int64)
+            for s, actor in enumerate(dup_actors):
+                sub = hashes[shard_of == s]
+                if len(sub):
+                    seed_refs.append(actor.seed.remote(sub))
+    if seed_refs:
+        ray.get(seed_refs)
+    _mark("dup_index_seed")
 
     # --- the fused pass over pending fragments (one task per fragment) ---
     from ..stages.stats import new_stats_total
@@ -315,6 +370,7 @@ def run_validation(
             fn_constructor_kwargs={
                 "annotated_dir": annotated_dir,
                 "config": config,
+                "dup_actors": dup_actors,
             },
             batch_format="pyarrow",
             batch_size=1,  # task unit == fragment == resume unit
@@ -331,6 +387,7 @@ def run_validation(
                     frag_partials[path] = d
                     store.record(path, _fragment_record(d))
                     merge_stats_partials([d["stats"]], stats_accum)
+                    duplicate_set.update(d.get("dup_ids", []))
         _mark("decode_annotate_write")
 
     # --- per-fragment records (pending) + load completed partials ---
@@ -383,12 +440,11 @@ def run_validation(
     ]
     _mark("merge_finalize")
 
-    # --- join the overlapped duplicate-id pass ---
-    dup_thread.join()
-    if "error" in dup_result:
-        raise dup_result["error"]
-    duplicate_ids = dup_result["ids"]
-    _mark("dup_check_join")
+    # --- collect the uniqueness index (ids already streamed through it) ---
+    duplicate_ids = sorted(duplicate_set)
+    for a in dup_actors:
+        ray.kill(a)
+    _mark("dup_index_collect")
 
     # stamp the global schema digest into every pending record (lineage);
     # rebuilt from the in-memory partials — no read-back of 10^3+ records
@@ -422,7 +478,10 @@ def run_validation(
 
 def _fragment_record(d: dict) -> dict:
     """Checkpoint record for one fragment's fused partial (incremental
-    resume: report + violation kinds + schema/stats partials)."""
+    resume: report + violation kinds + schema/stats partials + dup-index
+    state: the fragment's flagged duplicate ids and its id-hash array,
+    which re-seeds the uniqueness index on resume without re-reading
+    data — ~8 bytes/row, the persistent sharded dup index)."""
     kinds = d["violation_kinds"]
     n_viol = sum(kinds.values())
     return {
@@ -436,6 +495,8 @@ def _fragment_record(d: dict) -> dict:
         "violation_kinds": kinds,
         "schema_partial": d["schema"],
         "stats_blob": base64.b64encode(pickle.dumps(d["stats"])).decode(),
+        "dup_ids": d.get("dup_ids", []),
+        "id_hashes_blob": base64.b64encode(d.get("id_hashes", b"")).decode(),
     }
 
 

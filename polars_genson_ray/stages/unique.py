@@ -32,11 +32,15 @@ from .sketches import hash64, hash_strings
 @ray.remote(num_cpus=0)
 class UniqueIndexShard:
     """Owns one shard of the id-hash space. ``observe`` registers hashes and
-    returns a boolean mask of which were already present."""
+    returns a boolean mask of which were already present; ``observe_ids``
+    additionally records the id strings of duplicates so the driver can
+    collect them at the end (fire-and-forget friendly — no return value
+    needed by the caller)."""
 
     def __init__(self):
         self._seen: set[int] = set()
         self._memo: dict[str, list[bool]] = {}
+        self._dup_ids: set[str] = set()
 
     def observe(self, token: str, hashes: np.ndarray) -> list[bool]:
         memo = self._memo.get(token)
@@ -52,6 +56,22 @@ class UniqueIndexShard:
                 out.append(False)
         self._memo[token] = out
         return out
+
+    def observe_ids(self, token: str, hashes: np.ndarray, ids: list) -> int:
+        mask = self.observe(token, hashes)
+        for already, i in zip(mask, ids):
+            if already:
+                self._dup_ids.add(str(i))
+        return len(self._dup_ids)
+
+    def seed(self, hashes: np.ndarray) -> int:
+        """Register hashes without duplicate reporting (resume: ids of
+        already-validated fragments, replayed from checkpoint records)."""
+        self._seen.update(hashes.tolist())
+        return len(self._seen)
+
+    def duplicates(self) -> list:
+        return sorted(self._dup_ids)
 
     def size(self) -> int:
         return len(self._seen)

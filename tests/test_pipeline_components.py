@@ -395,3 +395,30 @@ def test_ivf_topk_recall_on_clustered_vectors(ray_session):
         a = set(approx[approx.query_idx == qi]["vec_id"])
         recall = len(e & a) / len(e)
         assert recall >= 0.8, f"query {qi} recall {recall}"
+
+
+def test_validation_dup_ids_survive_resume(ray_session, tmp_path):
+    from polars_genson_ray.pipelines.validation import run_validation
+
+    img_dir = str(tmp_path / "imgs")
+    paths = generate_image_table(
+        img_dir, num_rows=400, num_fragments=4, seed=11, dup_rate=0.05
+    )
+    out1 = str(tmp_path / "o1")
+    rep1 = run_validation(paths, out1)
+    assert rep1.duplicate_image_ids  # injected duplicates found
+
+    # full resume: dup list reconstructed from checkpoint records only
+    rep2 = run_validation(
+        paths, str(tmp_path / "o2"), checkpoint_dir=os.path.join(out1, "_checkpoint")
+    )
+    assert rep2.duplicate_image_ids == rep1.duplicate_image_ids
+
+    # invalidate ONE fragment: only it revalidates; cross-fragment dups
+    # against still-completed fragments must stay exact (index re-seeded
+    # from stored hash arrays)
+    os.utime(paths[0])
+    rep3 = run_validation(
+        paths, str(tmp_path / "o3"), checkpoint_dir=os.path.join(out1, "_checkpoint")
+    )
+    assert rep3.duplicate_image_ids == rep1.duplicate_image_ids
