@@ -312,7 +312,8 @@ def run_validation(
         input_paths = sorted(glob.glob(os.path.join(input_paths, "*.parquet")))
     store = CheckpointStore(checkpoint_dir or os.path.join(output_dir, "_checkpoint"))
     pending = [p for p in input_paths if not (resume and store.is_done(p))]
-    completed = {p: store.load(p) for p in input_paths if p not in pending}
+    pending_set = set(pending)
+    completed = {p: store.load(p) for p in input_paths if p not in pending_set}
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
 
