@@ -130,12 +130,22 @@ class Fingerprinter:
         self.ws_re = re.compile(r"\s+")
 
     def fingerprint(self, t: str) -> int:
+        # polynomial rolling hash mod 2^64, fully vectorized:
+        #   h = offset * P^n + Σ byte_i * P^(n-1-i)
+        # (the per-byte FNV chain is sequential by construction and cost a
+        # Python iteration per byte)
         norm = self.ws_re.sub(" ", t.strip().lower()) if t else ""
-        h = np.uint64(1469598103934665603)  # FNV-1a 64
-        prime = np.uint64(1099511628211)
         data = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        for b in data:
-            h = (h ^ b) * prime
+        n = len(data)
+        if n == 0:
+            return 0
+        P = np.uint64(1099511628211)
+        with np.errstate(over="ignore"):
+            powers = np.full(n, P, dtype=np.uint64)
+            powers[0] = np.uint64(1)
+            powers = np.cumprod(powers)  # [1, P, P², …] wrapping mod 2^64
+            h = np.uint64(1469598103934665603) * powers[-1] * P
+            h += (data * powers[::-1]).sum(dtype=np.uint64)
         return int(h & np.uint64(0x7FFFFFFFFFFFFFFF))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
