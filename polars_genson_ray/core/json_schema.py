@@ -359,6 +359,30 @@ _SCHEMA_ORDER = (
 _SCHEMA_MATCHERS = tuple((cls, cls.match_schema) for cls in _SCHEMA_ORDER)
 _OBJECT_MATCHERS = tuple((cls, cls.match_object) for cls in _OBJECT_ORDER)
 
+# type-string → strategy class for the keyed dispatch fast path. The keys
+# partition exactly the space the match_schema scan covers (List vs Tuple
+# disambiguated by the items type; Number owns both "integer" and "number"),
+# so a keyed hit always equals the linear scan's answer.
+_KEY2CLS = {
+    "null": _NullStrategy,
+    "boolean": _BooleanStrategy,
+    "string": _StringStrategy,
+    "integer": _NumberStrategy,
+    "number": _NumberStrategy,
+    "object": _ObjectStrategy,
+    "array:l": _ListStrategy,
+    "array:t": _TupleStrategy,
+}
+_CLS2KEYS = {
+    _NullStrategy: ("null",),
+    _BooleanStrategy: ("boolean",),
+    _StringStrategy: ("string",),
+    _NumberStrategy: ("integer", "number"),
+    _ObjectStrategy: ("object",),
+    _ListStrategy: ("array:l",),
+    _TupleStrategy: ("array:t",),
+}
+
 
 class SchemaNode:
     """Mergeable schema accumulator (one active strategy per JSON type seen)."""

@@ -39,6 +39,15 @@ def _t(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+def _table_rows(sf_dir: str, table: str) -> int | None:
+    """Row count from parquet footer metadata (no data read) — sizes
+    data-scaled shuffle bucket counts without executing the pipeline."""
+    try:
+        return pq.ParquetFile(_t(sf_dir, table)).metadata.num_rows
+    except Exception:
+        return None
+
+
 def _read(sf_dir: str, table: str, columns=None):
     from ..functions.context import (
         maybe_reshard,
@@ -281,8 +290,21 @@ def r_sample_events(sf_dir: str, fraction: float = 0.1):
 
 
 def q_top_events(sf_dir: str, k: int = 10):
+    """Global top-k WITHOUT an all-to-all sort: per-batch top-k partials
+    (each batch emits ≤k rows) → one tiny coalesced merge. ``ds.sort(...)
+    .limit(k)`` shuffles the whole table to produce 10 rows."""
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
-    return ds.sort(["value", "event_id"], descending=[True, False]).limit(k)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        ).head(k)
+
+    return (
+        ds.map_batches(local_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(local_topk, batch_format="pandas", batch_size=None)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -380,7 +402,8 @@ def q_doc_quality(sf_dir: str):
 
 def q_exact_dedup_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return exact_dedup(ds, "text", "doc_id")
+    return exact_dedup(ds, "text", "doc_id",
+                       approx_rows=_table_rows(sf_dir, "documents"))
 
 
 def r_doc_fingerprints(sf_dir: str):
@@ -399,7 +422,8 @@ def r_langid_docs(sf_dir: str):
 
 def r_minhash_neardup_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_pairs(ds, "text", "doc_id", min_jaccard=0.8)
+    return minhash_lsh_pairs(ds, "text", "doc_id", min_jaccard=0.8,
+                             approx_rows=_table_rows(sf_dir, "documents"))
 
 
 def r_simhash_docs(sf_dir: str):

