@@ -33,7 +33,7 @@ import os
 from dataclasses import dataclass
 
 from .config import SchemaInferenceConfig
-from .json_schema import SchemaBuilder
+from .json_schema import _DEFAULT_SCHEMA_URI, SchemaBuilder
 from .map_inference import rewrite_objects
 from .reorder import reorder_unions
 from .transforms import apply_force_field_types, preprocess_force_field_types
@@ -238,6 +238,32 @@ def build_document_schema(builder: SchemaBuilder, text: str, config: SchemaInfer
 # Per-document schema (the distributable unit) and merge paths
 # ---------------------------------------------------------------------------
 
+def _normalize_fast_schema(s: dict) -> dict:
+    """Key order of ``SchemaBuilder().add_schema(s).to_schema()`` for a
+    ``_fast_value_schema`` output (objects/scalars only): the round trip
+    stores ``properties``/``required`` as first-wins extra keywords, so they
+    precede ``type`` on emission. Byte-identity with the builder round trip
+    matters because per-doc dedup keys serialize in insertion order."""
+    props = s.get("properties")
+    if props is None:
+        return s
+    return {
+        "properties": {k: _normalize_fast_schema(v) for k, v in props.items()},
+        "required": s["required"],
+        "type": "object",
+    }
+
+
+def _schema_uri_base(config: SchemaInferenceConfig) -> dict:
+    """The ``$schema`` base dict a fresh SchemaBuilder(config.schema_uri)
+    would emit (builder.rs:13-41 semantics)."""
+    if config.schema_uri is None:
+        return {}
+    if config.schema_uri == "AUTO":
+        return {"$schema": _DEFAULT_SCHEMA_URI}
+    return {"$schema": config.schema_uri}
+
+
 def document_schema(text: str, index: int, config: SchemaInferenceConfig) -> dict | None:
     """Build one cell's standalone schema (the parallel path's per-doc unit,
     schema.rs:369-410). Returns ``None`` for blank cells.
@@ -245,7 +271,50 @@ def document_schema(text: str, index: int, config: SchemaInferenceConfig) -> dic
     ``force_field_types`` is applied pre-merge (schema.rs:427) so that the
     result can be merged commutatively — this is exactly the payload the Ray
     per-batch partial inference emits.
+
+    Fast path (delimiter=None): parse the payload ONCE and derive the doc
+    schema from the value directly — the string path parses, re-serializes
+    the wrap, and parses again (measured ~35% of inference wall time).
+    Top-level scalar payloads keep the string path: the reference's byte
+    scan can resurrect values from braces inside a scalar string
+    (genson_rs/mod.rs:129-144), which only the raw text reveals.
     """
+    if config.delimiter is not None:
+        return _document_schema_from_text(text, index, config)
+    if not text.strip():
+        return None
+    try:
+        value = json.loads(text)
+    except (ValueError, RecursionError) as e:
+        raise SchemaInferenceError(
+            f"Invalid JSON input at index {index + 1}: {e} - JSON: {_truncate_doc(text)}"
+        ) from None
+    if config.wrap_root is not None:
+        value = {config.wrap_root: value}
+    if type(value) is dict:
+        fast = _fast_value_schema(value)
+        if fast is not None:
+            schema = _schema_uri_base(config)
+            schema.update(_normalize_fast_schema(fast))
+            apply_force_field_types(schema, config)
+            return schema
+        values = [value]
+    elif type(value) is list:
+        # outer array streams the elements, objects/arrays only — the
+        # value-level filter equals _split_concatenated on the raw slice
+        values = [v for v in value if isinstance(v, (dict, list))]
+    else:
+        return _document_schema_from_text(text, index, config)
+    doc_builder = SchemaBuilder(schema_uri=config.schema_uri)
+    _merge_values_into(doc_builder, values)
+    schema = doc_builder.to_schema()
+    apply_force_field_types(schema, config)
+    return schema
+
+
+def _document_schema_from_text(text: str, index: int, config: SchemaInferenceConfig) -> dict | None:
+    """String-based per-doc schema (NDJSON delimiter and scalar-payload
+    quirk paths)."""
     prepared = prepare_json_text(text, index, config)
     if not prepared:
         return None

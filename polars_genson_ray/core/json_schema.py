@@ -387,10 +387,13 @@ _CLS2KEYS = {
 class SchemaNode:
     """Mergeable schema accumulator (one active strategy per JSON type seen)."""
 
-    __slots__ = ("active_strategies",)
+    __slots__ = ("active_strategies", "_by_key")
 
     def __init__(self):
         self.active_strategies: list[_Strategy] = []
+        # type-key → strategy for O(1) schema dispatch; every creation path
+        # registers here, so a keyed hit equals the match_schema scan
+        self._by_key: dict[str, _Strategy] = {}
 
     # -- schema decomposition ------------------------------------------------
 
@@ -419,22 +422,52 @@ class SchemaNode:
     def add_schema(self, schema) -> "SchemaNode":
         if isinstance(schema, SchemaNode):
             schema = schema.to_schema()
-        if (
-            isinstance(schema, dict)
-            and "anyOf" not in schema
-            and not isinstance(schema.get("type"), list)
-        ):
-            # single-subschema fast path (the overwhelmingly common case in
-            # property-wise merges) — skips the decomposition allocation
-            strategy = self._get_or_create(schema, for_schema=True)
-            if strategy is not None:
-                strategy.add_schema(schema)
-            return self
+        if isinstance(schema, dict) and "anyOf" not in schema:
+            t = schema.get("type")
+            if type(t) is str:
+                # keyed dispatch fast path (the overwhelmingly common case
+                # in property-wise merges) — one dict probe instead of a
+                # match_schema scan per active strategy
+                if t == "array":
+                    items = schema.get("items")
+                    if type(items) is dict:
+                        t = "array:l"
+                    elif type(items) is list:
+                        t = "array:t"
+                    else:
+                        raise ValueError(
+                            f"Could not find matching schema type for schema: {schema!r}"
+                        )
+                strat = self._by_key.get(t)
+                if strat is None:
+                    strat = self._create_keyed(t)
+                strat.add_schema(schema)
+                return self
+            if not isinstance(t, list):
+                # typeless / malformed-type: legacy scan keeps the quirks
+                # (typeless folds into the first strategy; errors match)
+                strategy = self._get_or_create(schema, for_schema=True)
+                if strategy is not None:
+                    strategy.add_schema(schema)
+                return self
         for subschema in self._get_subschemas(schema):
             strategy = self._get_or_create(subschema, for_schema=True)
             if strategy is not None:
                 strategy.add_schema(subschema)
         return self
+
+    def _create_keyed(self, key: str) -> "_Strategy":
+        strategy = _KEY2CLS[key]()
+        acts = self.active_strategies
+        # Incorporate a trailing typeless strategy into the new typed
+        # strategy (genson_rs/node.rs:223-230).
+        if acts and isinstance(acts[-1], _TypelessStrategy):
+            strategy.add_schema(acts[-1].to_schema())
+            acts.pop()
+        acts.append(strategy)
+        for k in _CLS2KEYS[type(strategy)]:
+            self._by_key[k] = strategy
+        return strategy
 
     def add_object(self, obj) -> "SchemaNode":
         strategy = self._get_or_create(obj, for_schema=False)
@@ -467,6 +500,8 @@ class SchemaNode:
                     strategy.add_schema(self.active_strategies[-1].to_schema())
                     self.active_strategies.pop()
                 self.active_strategies.append(strategy)
+                for k in _CLS2KEYS[type(strategy)]:
+                    self._by_key[k] = strategy
                 return strategy
 
         if for_schema and _TypelessStrategy.match_schema(schema_or_obj):

@@ -185,3 +185,52 @@ def test_polars_schema_to_json_schema():
     assert js["properties"]["s"]["properties"]["x"] == {"type": "integer"}
     assert js["properties"]["arr"]["minItems"] == 2
     assert js["required"] == ["arr", "b", "i", "s"]
+
+
+def test_document_schema_fast_path_matches_string_path():
+    """The value-level per-doc fast path must be byte-identical (incl. key
+    order — dedup keys serialize in insertion order) to the string-based
+    builder round trip for every payload shape."""
+    import json
+    import random
+
+    from polars_genson_ray.core.config import SchemaInferenceConfig
+    from polars_genson_ray.core.infer import (
+        _document_schema_from_text,
+        document_schema,
+    )
+
+    random.seed(7)
+
+    def rand_value(depth=0):
+        opts = ["int", "float", "str", "bool", "null", "dict", "list"]
+        if depth > 3:
+            opts = opts[:5]
+        t = random.choice(opts)
+        if t == "int":
+            return random.randint(-(10**12), 10**12)
+        if t == "float":
+            return random.choice([1.5, -0.0, 1e300, 3.14159])
+        if t == "str":
+            return random.choice(["", "a{b}", "[1,2]", "héllo", '"q"', "\\ e"])
+        if t == "bool":
+            return random.choice([True, False])
+        if t == "null":
+            return None
+        if t == "dict":
+            return {f"k{i}": rand_value(depth + 1) for i in range(random.randint(0, 4))}
+        return [rand_value(depth + 1) for _ in range(random.randint(0, 4))]
+
+    cfgs = [
+        SchemaInferenceConfig(),
+        SchemaInferenceConfig(wrap_root="root"),
+        SchemaInferenceConfig(schema_uri=None),
+        SchemaInferenceConfig(schema_uri="http://x/y"),
+    ]
+    cases = [json.dumps(rand_value()) for _ in range(500)]
+    cases += ["  ", "", "\n", '  {"a": 1}  ', ' [1, {"b":2}] ', "5", '"x{y}"']
+    for text in cases:
+        for cfg in cfgs:
+            a = document_schema(text, 0, cfg)
+            b = _document_schema_from_text(text, 0, cfg)
+            assert json.dumps(a, sort_keys=False) == json.dumps(b, sort_keys=False), text
