@@ -142,26 +142,39 @@ def infer_polars_schema(json_strings, *, avro: bool = False, **kwargs):
 
 
 def schema_to_json(schema) -> str:
-    """Serialise a ``pl.Schema`` to JSON (A6 parity; representation is the
-    dtype-string mini-language rather than polars-rs serde — round-trips
-    through ``json_to_schema``)."""
+    """Serialise a ``pl.Schema`` to JSON (A6 parity,
+    polars-genson-py/src/schema.rs:19-57): a field→dtype map where each
+    dtype is the polars-rs serde value (externally tagged enum — unit
+    variants as strings, ``{"List": ...}`` / ``{"Struct": [{"name","dtype"}]}``
+    / ``{"Datetime": [unit, tz]}`` for parametrized types), so the JSON is
+    exchangeable with the reference toolchain. Exotic dtypes without a
+    serde mapping fall back to the dtype-string mini-language (accepted on
+    input by both this engine and ``json_to_schema``)."""
     import polars as pl
 
-    from .core.dtypes import polars_dtype_to_string
+    from .core.dtypes import polars_dtype_to_serde, polars_dtype_to_string
 
     if not isinstance(schema, pl.Schema):
         raise TypeError(f"Expected Schema, got {type(schema)}: {schema}")
-    return json.dumps({name: polars_dtype_to_string(dt) for name, dt in schema.items()})
+
+    def encode(dt):
+        try:
+            return polars_dtype_to_serde(dt)
+        except ValueError:
+            return polars_dtype_to_string(dt)
+
+    return json.dumps({name: encode(dt) for name, dt in schema.items()})
 
 
 def json_to_schema(json_str: str):
-    """Inverse of :func:`schema_to_json`."""
+    """Inverse of :func:`schema_to_json` (schema.rs:59-95); accepts both the
+    polars-rs serde representation and round 1's dtype-string values."""
     import polars as pl
 
-    from .core.dtypes import parse_polars_dtype
+    from .core.dtypes import serde_to_polars_dtype
 
     data = json.loads(json_str)
-    return pl.Schema({name: parse_polars_dtype(t) for name, t in data.items()})
+    return pl.Schema({name: serde_to_polars_dtype(v) for name, v in data.items()})
 
 
 def avro_to_polars_schema(avro_schema_json: str):

@@ -354,3 +354,93 @@ def polars_dtype_to_json_schema(dtype, *, additional_properties: bool = False) -
     if base == pl.Enum:
         return {"type": "string", "description": "Enumerated string values"}
     return {"type": "string", "description": f"Unsupported Polars type: {dtype}"}
+
+
+# ---------------------------------------------------------------------------
+# A6: polars-rs serde DataType representation (schema_to_json/json_to_schema,
+# polars-genson-py/src/schema.rs:19-95 — field map of serde_json(DataType),
+# externally tagged enum encoding)
+# ---------------------------------------------------------------------------
+
+_SERDE_UNIT_TYPES = (
+    "Int8", "Int16", "Int32", "Int64",
+    "UInt8", "UInt16", "UInt32", "UInt64",
+    "Float32", "Float64", "Boolean", "String", "Binary",
+    "Date", "Time", "Null",
+)
+_TIME_UNIT_SERDE = {"ns": "Nanoseconds", "us": "Microseconds", "ms": "Milliseconds"}
+_TIME_UNIT_PY = {v: k for k, v in _TIME_UNIT_SERDE.items()}
+
+
+def polars_dtype_to_serde(dtype):
+    """One polars dtype → the polars-rs serde JSON value (externally tagged:
+    unit variants as strings, parametrized as single-key dicts)."""
+    import polars as pl
+
+    base = dtype.base_type() if hasattr(dtype, "base_type") else dtype
+    name = str(base)
+    if base == pl.Utf8:
+        return "String"
+    if name in _SERDE_UNIT_TYPES:
+        return name
+    if base == pl.Datetime:
+        return {
+            "Datetime": [
+                _TIME_UNIT_SERDE[getattr(dtype, "time_unit", "us") or "us"],
+                getattr(dtype, "time_zone", None),
+            ]
+        }
+    if base == pl.Duration:
+        return {"Duration": _TIME_UNIT_SERDE[getattr(dtype, "time_unit", "us") or "us"]}
+    if base == pl.List:
+        return {"List": polars_dtype_to_serde(dtype.inner)}
+    if base == pl.Array:
+        return {"Array": [polars_dtype_to_serde(dtype.inner), dtype.size]}
+    if base == pl.Struct:
+        return {
+            "Struct": [
+                {"name": f.name, "dtype": polars_dtype_to_serde(f.dtype)}
+                for f in dtype.fields
+            ]
+        }
+    if base == pl.Decimal:
+        return {"Decimal": [dtype.precision, dtype.scale]}
+    raise ValueError(
+        f"No polars-rs serde mapping for dtype {dtype!r}; use the "
+        "dtype-string form (polars_dtype_to_string) for this type"
+    )
+
+
+def serde_to_polars_dtype(value):
+    """Inverse of :func:`polars_dtype_to_serde`; string values additionally
+    accept the dtype-string mini-language (round 1's representation) for
+    backward compatibility."""
+    import polars as pl
+
+    if isinstance(value, str):
+        if value == "String":
+            return pl.String
+        if value in _SERDE_UNIT_TYPES:
+            return getattr(pl, value)
+        return parse_polars_dtype(value)
+    if not (isinstance(value, dict) and len(value) == 1):
+        raise ValueError(f"Invalid serde dtype value: {value!r}")
+    tag, body = next(iter(value.items()))
+    if tag == "Datetime":
+        tu, tz = body
+        return pl.Datetime(time_unit=_TIME_UNIT_PY[tu], time_zone=tz)
+    if tag == "Duration":
+        return pl.Duration(time_unit=_TIME_UNIT_PY[body])
+    if tag == "List":
+        return pl.List(serde_to_polars_dtype(body))
+    if tag == "Array":
+        inner, size = body
+        return pl.Array(serde_to_polars_dtype(inner), size)
+    if tag == "Struct":
+        return pl.Struct(
+            {f["name"]: serde_to_polars_dtype(f["dtype"]) for f in body}
+        )
+    if tag == "Decimal":
+        prec, scale = body
+        return pl.Decimal(prec, scale)
+    raise ValueError(f"Unknown serde dtype tag: {tag!r}")

@@ -340,7 +340,7 @@ def merge_document_schemas(
     of distinct schemas merged (the parallel path's ``processed_count``)."""
     if seen is None:
         seen = set()
-    count = 0
+    batch: list = []
     for schema in schemas:
         if schema is None:
             continue
@@ -348,9 +348,11 @@ def merge_document_schemas(
         if key in seen:
             continue
         seen.add(key)
-        count += 1
-        builder.add_schema(schema)
-    return count
+        batch.append(schema)
+    # C4 batch merge: one grouped traversal over the distinct schemas
+    # (strategy- and property-grouped) instead of one full pass per schema
+    builder.add_schemas(batch)
+    return len(batch)
 
 
 def finalize_schema(schema: dict, config: SchemaInferenceConfig) -> dict:

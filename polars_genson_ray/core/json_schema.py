@@ -226,6 +226,51 @@ class _ObjectStrategy(_Strategy):
             else:
                 self.required &= req_set
 
+    def add_schemas_batch(self, schemas: list):
+        """C4 batch merge (genson-core node.rs:61-108): properties grouped
+        across the whole batch, ONE recursive call per property node with
+        that property's subschema list — instead of one full traversal per
+        schema. First-seen property order, first-wins extras and the
+        required intersection all follow batch order, so the result is
+        identical to sequential ``add_schema`` calls."""
+        prop_groups: dict[str, list] = {}
+        pattern_groups: dict[str, list] = {}
+        for schema in schemas:
+            self.add_extra_keywords(schema)
+            props = schema.get("properties")
+            if isinstance(props, dict):
+                for prop, sub in props.items():
+                    g = prop_groups.get(prop)
+                    if g is None:
+                        g = prop_groups[prop] = []
+                    g.append(sub)
+            pprops = schema.get("patternProperties")
+            if isinstance(pprops, dict):
+                for pattern, sub in pprops.items():
+                    g = pattern_groups.get(pattern)
+                    if g is None:
+                        g = pattern_groups[pattern] = []
+                    g.append(sub)
+            if "required" in schema and isinstance(schema["required"], list):
+                req = schema["required"]
+                if not req:
+                    self.include_empty_required = True
+                req_set = {r for r in req if isinstance(r, str)}
+                if self.required is None:
+                    self.required = req_set
+                else:
+                    self.required &= req_set
+        for prop, subs in prop_groups.items():
+            node = self.properties.get(prop)
+            if node is None:
+                node = self.properties[prop] = SchemaNode()
+            node.add_schemas(subs)
+        for pattern, subs in pattern_groups.items():
+            node = self.pattern_properties.get(pattern)
+            if node is None:
+                node = self.pattern_properties[pattern] = SchemaNode()
+            node.add_schemas(subs)
+
     def to_schema(self):
         # skip deep-copying extras that are overwritten just below — the
         # borrowed "properties" subtree of a merged schema can be the bulk
@@ -456,6 +501,57 @@ class SchemaNode:
                 strategy.add_schema(subschema)
         return self
 
+    def add_schemas(self, schemas: list) -> "SchemaNode":
+        """Batch merge (C4, genson-core node.rs:61-108): route each schema
+        to its strategy with the keyed dispatch, group consecutive work per
+        strategy, and hand ObjectStrategy groups to its property-grouped
+        batch merge. Identical result to sequential ``add_schema`` — any
+        schema needing the legacy path (typeless, anyOf, type lists)
+        flushes pending groups first so first-wins extras keep batch order.
+        """
+        groups: dict[int, tuple] = {}  # id(strategy) → (strategy, [schemas])
+
+        def flush():
+            for strat, group in groups.values():
+                if type(strat) is _ObjectStrategy:
+                    strat.add_schemas_batch(group)
+                else:
+                    for s in group:
+                        strat.add_schema(s)
+            groups.clear()
+
+        for schema in schemas:
+            if isinstance(schema, SchemaNode):
+                schema = schema.to_schema()
+            if isinstance(schema, dict) and "anyOf" not in schema:
+                t = schema.get("type")
+                if type(t) is str:
+                    if t == "array":
+                        items = schema.get("items")
+                        if type(items) is dict:
+                            t = "array:l"
+                        elif type(items) is list:
+                            t = "array:t"
+                        else:
+                            flush()
+                            raise ValueError(
+                                "Could not find matching schema type for "
+                                f"schema: {schema!r}"
+                            )
+                    strat = self._by_key.get(t)
+                    if strat is None:
+                        strat = self._create_keyed(t)
+                    entry = groups.get(id(strat))
+                    if entry is None:
+                        groups[id(strat)] = (strat, [schema])
+                    else:
+                        entry[1].append(schema)
+                    continue
+            flush()
+            self.add_schema(schema)
+        flush()
+        return self
+
     def _create_keyed(self, key: str) -> "_Strategy":
         strategy = _KEY2CLS[key]()
         acts = self.active_strategies
@@ -563,6 +659,19 @@ class SchemaBuilder:
             schema = dict(schema)
             self.schema_uri = schema.pop("$schema")
         self.root_node.add_schema(schema)
+
+    def add_schemas(self, schemas: list) -> None:
+        """Batch variant of :func:`add_schema` (C4): same per-schema
+        ``$schema`` handling in order, then one grouped root-node merge."""
+        cleaned = []
+        for schema in schemas:
+            if not isinstance(schema, dict):
+                raise ValueError("Invalid schema type - must be a valid JSON object")
+            if "$schema" in schema and self.schema_uri is None:
+                schema = dict(schema)
+                self.schema_uri = schema.pop("$schema")
+            cleaned.append(schema)
+        self.root_node.add_schemas(cleaned)
 
     def add_object(self, obj) -> None:
         self.root_node.add_object(obj)

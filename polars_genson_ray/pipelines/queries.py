@@ -467,12 +467,39 @@ def r_ann_topk_ivf(sf_dir: str, k: int = 10):
 
 
 def r_embedding_neardup(sf_dir: str):
-    dim = len(_query_vectors(sf_dir, ids=(0,))[0])
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    """LSH-bucketed near-duplicate detection with exact in-bucket verify.
+
+    The driver's embeddings are near-orthogonal random vectors — no natural
+    near-dups — so the query plants deterministic perturbed copies of the
+    first 8 vectors (ids offset by 10^7) and must find exactly those pairs:
+    a true-positive end-to-end demonstration, not just a no-crash run."""
+    first = pq.ParquetFile(_t(sf_dir, "embeddings")).read_row_group(0).slice(0, 8)
+    ids = first["vec_id"].to_pylist()
+    vecs = np.array(first["embedding"].to_pylist(), dtype=np.float64)
+    dim = vecs.shape[1]
+    rng = np.random.default_rng(99)
+    planted = vecs + 0.02 * rng.standard_normal(vecs.shape)  # cosine ≈ 0.999
+    # Arrow table with the read schema: unioning a pandas-block dataset
+    # into an Arrow-block stream trips Ray's block-type batcher
+    planted_tbl = pa.table(
+        {
+            "vec_id": pa.array(
+                [i + 10_000_000 for i in ids], first["vec_id"].type
+            ),
+            "embedding": pa.array(
+                [v.tolist() for v in planted], first["embedding"].type
+            ),
+        }
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).union(
+        rd.from_arrow(planted_tbl)
+    )
     out = embedding_near_duplicates(
-        ds, dim=dim, threshold=0.9, num_planes=8
+        ds, dim=dim, threshold=0.9,
+        approx_rows=_table_rows(sf_dir, "embeddings"),
     ).to_pandas()
-    return out.reindex(columns=["id_a", "id_b", "cosine"])
+    out = out.reindex(columns=["id_a", "id_b", "cosine"])
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

@@ -23,11 +23,13 @@ materializes the table; decoded pixels never leave the decode stage; the
 only cross-task traffic is id hashes to the uniqueness index.
 
 Resume is incremental per fragment: each checkpoint record stores that
-fragment's report, violation kinds, schema partial, stats sketch blob,
-duplicate ids and id-hash array; a rerun re-reads ONLY pending fragments'
-data, re-seeds the uniqueness index from the stored hash arrays (exact
-cross-run duplicates without touching validated data) and merges stored
-partials for completed fragments — the north_rule's "replaying only
+fragment's report, violation kinds, schema partial, stats sketch blob and
+duplicate ids, plus a reference to a sidecar file holding the fragment's
+id-hash array (kept out of the JSON record: 8 B/row embedded would be TBs
+of checkpoint storage at 10^12 rows); a rerun re-reads ONLY pending
+fragments' data, re-seeds the uniqueness index from the sidecar arrays
+(exact cross-run duplicates without touching validated data) and merges
+stored partials for completed fragments — the north_rule's "replaying only
 unvalidated fragments".
 """
 
@@ -217,12 +219,13 @@ class ValidationWorker(DecodeValidator):
         from ..stages.unique import _id_hashes
         from ..state.checkpoint import fragment_key
 
+        from ..sources.lance_io import iter_fragment_batches
+
         chunk_partials = []
         dup_ids: list = []
         hash_blobs: list = []
-        pf = pq.ParquetFile(path)
         for idx, record_batch in enumerate(
-            pf.iter_batches(batch_size=self.chunk_rows)
+            iter_fragment_batches(path, self.chunk_rows)
         ):
             chunk = pa.Table.from_batches([record_batch])
             chunk = chunk.append_column(
@@ -307,9 +310,18 @@ def run_validation(
 
     config = config or ValidationConfig()
     if isinstance(input_paths, str):
-        import glob
+        from ..sources.lance_io import fragment_specs, is_lance_dataset
 
-        input_paths = sorted(glob.glob(os.path.join(input_paths, "*.parquet")))
+        if is_lance_dataset(input_paths):
+            # north_star input format: one Lance fragment per task/resume
+            # unit (raises NotImplementedError without the lance package)
+            input_paths = fragment_specs(input_paths)
+        else:
+            import glob
+
+            input_paths = sorted(
+                glob.glob(os.path.join(input_paths, "*.parquet"))
+            )
     store = CheckpointStore(checkpoint_dir or os.path.join(output_dir, "_checkpoint"))
     pending = [p for p in input_paths if not (resume and store.is_done(p))]
     pending_set = set(pending)
@@ -333,7 +345,7 @@ def run_validation(
         if not rec:
             continue
         duplicate_set.update(rec.get("dup_ids", []))
-        blob = base64.b64decode(rec.get("id_hashes_blob", ""))
+        blob = store.load_hashes(rec)
         if blob:
             hashes = np.frombuffer(blob, dtype=np.uint64)
             shard_of = (hashes % np.uint64(len(dup_actors))).astype(np.int64)
@@ -386,7 +398,11 @@ def run_validation(
             for blob in batch["partial"].to_pylist():
                 for path, d in pickle.loads(blob).items():
                     frag_partials[path] = d
-                    store.record(path, _fragment_record(d))
+                    rec = _fragment_record(d)
+                    rec["id_hashes_file"] = store.write_hashes(
+                        path, d.get("id_hashes", b"")
+                    )
+                    store.record(path, rec)
                     merge_stats_partials([d["stats"]], stats_accum)
                     duplicate_set.update(d.get("dup_ids", []))
         _mark("decode_annotate_write")
@@ -454,8 +470,12 @@ def run_validation(
         "rows": stats["rows"],
         "w_q50": stats["quantiles"].get("w", {}).get("0.5"),
     }
+    from ..state.checkpoint import fragment_key
+
     for p in pending:
         rec = _fragment_record(frag_partials[p])
+        # sidecar already written during streaming; keep the reference
+        rec["id_hashes_file"] = fragment_key(p) + ".hashes.bin"
         rec["schema_digest"] = schema_digest
         rec["stats_snapshot"] = snapshot
         store.record(p, rec)
@@ -497,7 +517,9 @@ def _fragment_record(d: dict) -> dict:
         "schema_partial": d["schema"],
         "stats_blob": base64.b64encode(pickle.dumps(d["stats"])).decode(),
         "dup_ids": d.get("dup_ids", []),
-        "id_hashes_blob": base64.b64encode(d.get("id_hashes", b"")).decode(),
+        # the id-hash array lives in a sidecar file (id_hashes_file, set by
+        # the caller) — embedding 8 B/row in every JSON record was ~10 TB
+        # of checkpoint storage at the 10^12-row target
     }
 
 

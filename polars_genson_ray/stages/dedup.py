@@ -307,22 +307,34 @@ def minhash_lsh_pairs(ds, column: str, id_column: str, *, num_perm=64, bands=16,
         .map_groups(emit_pairs, batch_format="pandas")
     )
 
-    # a pair can surface from several bands (different buckets). Materialize
-    # the pair set (ids + estimates only — tiny blocks, object-store
-    # resident) and pick the dedup exchange by its actual size instead of
-    # assuming pairs are rare.
+    return dedup_pair_dataset(
+        pairs, value_columns=["est_jaccard"],
+        pair_dedup_threshold=pair_dedup_threshold,
+    )
+
+
+def dedup_pair_dataset(pairs, *, value_columns: list[str],
+                       pair_dedup_threshold: int = 2_000_000):
+    """Drop duplicate (id_a, id_b) pairs, picking the exchange by the pair
+    set's ACTUAL size: the pair Dataset (ids + small values only — never
+    payload) is materialized (tiny object-store blocks) and counted; small
+    violation sets dedup in one coalesced task (a key-partitioned shuffle
+    measured 2-3 s of pure overhead at sf0.1), large ones (dup-heavy crawl
+    workloads where pairs are O(dataset)) dedup as a pair-key-bucketed
+    groupby so no single task holds all pairs."""
+    import pandas as pd
+
     pairs = pairs.materialize()
     n_pairs = pairs.count()
+    out_cols = ["id_a", "id_b"] + value_columns
 
     def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return df
         out = df.sort_values(["id_a", "id_b"]).drop_duplicates(["id_a", "id_b"])
-        return out[["id_a", "id_b", "est_jaccard"]]
+        return out[out_cols]
 
     if n_pairs <= pair_dedup_threshold:
-        # small violation set → one coalesced task (a key-partitioned
-        # shuffle here measured 2-3 s of pure overhead at sf0.1)
         return pairs.repartition(1).map_batches(
             dedup_pairs, batch_format="pandas", batch_size=None
         )
@@ -331,7 +343,9 @@ def minhash_lsh_pairs(ds, column: str, id_column: str, *, num_perm=64, bands=16,
 
     def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(df[["id_a", "id_b"]], index=False)
-        return df.assign(__pb=(h.to_numpy() & np.uint64(pair_buckets - 1)).astype(np.int64))
+        return df.assign(
+            __pb=(h.to_numpy() & np.uint64(pair_buckets - 1)).astype(np.int64)
+        )
 
     return (
         pairs.map_batches(add_pair_bucket, batch_format="pandas")

@@ -168,50 +168,118 @@ def ivf_topk(ds, queries: np.ndarray, *, id_column="vec_id",
 class HyperplaneLSH:
     """Random-hyperplane bucket id per row (``lsh_bucket``): the scale path
     for ANN — co-bucket rows are candidate neighbours; verify with exact
-    cosine inside each bucket group."""
+    cosine inside each bucket group. ``table_id`` tags rows of one banding
+    table so multiple independent tables can share a groupby."""
 
     def __init__(self, dim: int, num_planes: int = 12, seed: int = 11,
-                 column: str = "embedding"):
+                 column: str = "embedding", table_id: int = 0):
         rng = np.random.default_rng(seed)
         self.planes = rng.standard_normal((num_planes, dim))
         self.column = column
+        self.table_id = table_id
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = np.asarray(
             [np.asarray(e, dtype=np.float64) for e in batch[self.column].to_pylist()]
         )
+        n = len(batch)
         if emb.size == 0:
-            return batch.append_column("lsh_bucket", pa.array([], pa.int64()))
+            out = batch.append_column("lsh_bucket", pa.array([], pa.int64()))
+            return out.append_column("lsh_table", pa.array([], pa.int32()))
         bits = (emb @ self.planes.T) > 0
         bucket = np.zeros(len(emb), dtype=np.int64)
         for i in range(bits.shape[1]):
             bucket |= bits[:, i].astype(np.int64) << i
-        return batch.append_column("lsh_bucket", pa.array(bucket, pa.int64()))
+        out = batch.append_column("lsh_bucket", pa.array(bucket, pa.int64()))
+        return out.append_column(
+            "lsh_table", pa.array(np.full(n, self.table_id, dtype=np.int32))
+        )
 
 
 def embedding_near_duplicates(ds, *, id_column="vec_id", column="embedding",
                               dim: int, threshold: float = 0.95,
-                              num_planes: int = 10, batch_size: int = 4096):
-    """Near-duplicate pairs by cosine ≥ threshold, generated via LSH buckets
-    and verified exactly within each bucket (no all-pairs pass)."""
+                              num_planes: int | None = None,
+                              num_tables: int = 2,
+                              approx_rows: int | None = None,
+                              bucket_cap: int = 4096,
+                              batch_size: int = 4096,
+                              pair_dedup_threshold: int = 2_000_000):
+    """Near-duplicate pairs by cosine ≥ threshold via random-hyperplane LSH
+    buckets, verified exactly within each bucket — no all-pairs pass.
+
+    Scale levers (round 1 had fixed 8-10 planes → bucket population grew
+    linearly with data and the in-bucket verify is quadratic):
+      * ``num_planes`` defaults to an occupancy target (~64 expected rows
+        per bucket for ``approx_rows``), so bucket population stays bounded
+        as data grows;
+      * ``num_tables`` independent plane sets (multi-table banding) recover
+        the recall that more planes cost — a true near-dup pair collides in
+        at least one table with high probability;
+      * ``bucket_cap`` hard-bounds the verify group (deterministic id-order
+        truncation; oversized buckets mean the plane count is too low for
+        the data — resize rather than rely on the cap);
+      * the verify matmul runs in row chunks, bounding the (chunk × bucket)
+        similarity allocation;
+      * duplicate pairs across tables/buckets are dropped by
+        ``dedup_pair_dataset`` (size-adaptive exchange).
+    """
+    import math
+
     import pandas as pd
 
-    bucketed = ds.select_columns([id_column, column]).map_batches(
-        HyperplaneLSH(dim, num_planes, column=column),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-    )
+    from .dedup import dedup_pair_dataset
+
+    if num_planes is None:
+        n = approx_rows or 100_000
+        num_planes = max(4, min(24, math.ceil(math.log2(max(2.0, n / 64)))))
+
+    pruned = ds.select_columns([id_column, column])
+    tables = [
+        pruned.map_batches(
+            HyperplaneLSH(dim, num_planes, seed=11 + 101 * t, column=column,
+                          table_id=t),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+        for t in range(num_tables)
+    ]
+    bucketed = tables[0] if len(tables) == 1 else tables[0].union(*tables[1:])
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": [], "id_b": [], "cosine": pd.Series([], dtype=float)}
+        )
         if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return empty
         group = group.sort_values(id_column)
+        if len(group) > bucket_cap:
+            group = group.head(bucket_cap)
         ids = group[id_column].to_numpy()
         emb = _normalize(np.array(group[column].tolist(), dtype=np.float64))
-        sims = emb @ emb.T
-        ii, jj = np.where(np.triu(sims, 1) >= threshold)
+        out_i, out_j, out_c = [], [], []
+        chunk = 1024  # bounds the (chunk, bucket) similarity block
+        for s in range(0, len(emb), chunk):
+            e = min(len(emb), s + chunk)
+            sims = emb[s:e] @ emb.T
+            ii, jj = np.where(sims >= threshold)
+            keep = (ii + s) < jj  # global upper triangle: each pair once
+            out_i.append(ii[keep] + s)
+            out_j.append(jj[keep])
+            out_c.append(sims[ii[keep], jj[keep]])
+        if not out_i:
+            return empty
+        I = np.concatenate(out_i)
+        if len(I) == 0:
+            return empty
+        J = np.concatenate(out_j)
         return pd.DataFrame(
-            {"id_a": ids[ii], "id_b": ids[jj], "cosine": sims[ii, jj]}
+            {"id_a": ids[I], "id_b": ids[J], "cosine": np.concatenate(out_c)}
         )
 
-    return bucketed.groupby("lsh_bucket").map_groups(verify, batch_format="pandas")
+    pairs = bucketed.groupby(["lsh_table", "lsh_bucket"]).map_groups(
+        verify, batch_format="pandas"
+    )
+    return dedup_pair_dataset(
+        pairs, value_columns=["cosine"],
+        pair_dedup_threshold=pair_dedup_threshold,
+    )

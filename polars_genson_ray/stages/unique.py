@@ -17,16 +17,112 @@ before the RPC. Ray task retries would re-observe a batch and turn first
 occurrences into false duplicates, so each observe call carries a token
 derived from the (retry-stable) Ray TaskID plus the batch's ordinal within
 the task; shards memoize responses per token, making observation
-idempotent under retries.
+idempotent under retries. The memo is a bounded FIFO window (a retry
+replays promptly; round 1 kept every token forever — O(rows observed)
+actor heap).
+
+Memory story at 10^12 ids: the shard state is a compact open-addressing
+uint64 table (8 B/slot, ≤60% load → ~13 B/entry vs ~70 B for a Python int
+set), sharded over K actors across the cluster. Beyond what cluster RAM
+holds (~10^12 × 13 B / K per shard), exact global dedup cannot live in
+memory at all: the documented spill path is per-shard sorted-hash runs —
+each shard flushes its table as a sorted ``.npy`` run when it reaches a
+resident cap, and answers membership via merged binary search over runs +
+the live table (classic LSM shape; the observe API is unchanged). The
+in-RAM table is correct and optimal for the 10^8-10^9 ids per shard this
+engine targets per node.
 """
 
 from __future__ import annotations
+
+from collections import OrderedDict
 
 import numpy as np
 
 import ray
 
 from .sketches import hash64, hash_strings
+
+
+class UInt64Set:
+    """Compact open-addressing set of non-zero uint64 keys (zero tracked by
+    flag). Keys are pre-mixed 64-bit hashes, so the slot index is just the
+    low bits; linear probing resolved in vectorized rounds — no per-key
+    Python loop.
+    """
+
+    __slots__ = ("_table", "_mask", "_n", "_has_zero")
+
+    def __init__(self, initial_pow2: int = 13):
+        self._table = np.zeros(1 << initial_pow2, dtype=np.uint64)
+        self._mask = np.uint64((1 << initial_pow2) - 1)
+        self._n = 0
+        self._has_zero = False
+
+    def __len__(self) -> int:
+        return self._n + (1 if self._has_zero else 0)
+
+    def _grow(self, need: int) -> None:
+        cap = len(self._table)
+        while need > 0.6 * cap:
+            cap *= 2
+        if cap == len(self._table):
+            return
+        old = self._table[self._table != np.uint64(0)]
+        self._table = np.zeros(cap, dtype=np.uint64)
+        self._mask = np.uint64(cap - 1)
+        self._n = 0
+        self.add_many(old)  # all distinct, presence mask discarded
+
+    def add_many(self, keys: np.ndarray) -> np.ndarray:
+        """Insert ``keys``; returns a boolean mask of which were already
+        present. Equal keys within one call: the first occurrence inserts
+        and reports new, later ones report present (sequential-loop
+        semantics)."""
+        keys = keys.astype(np.uint64, copy=False)
+        out = np.zeros(len(keys), dtype=bool)
+        if len(keys) == 0:
+            return out
+        zeros = keys == np.uint64(0)
+        if zeros.any():
+            z_idx = np.flatnonzero(zeros)
+            out[z_idx] = True
+            if not self._has_zero:
+                out[z_idx[0]] = False
+                self._has_zero = True
+        pending = np.flatnonzero(~zeros)
+        if len(pending) == 0:
+            return out
+        self._grow(self._n + len(pending))
+        table = self._table
+        int_mask = int(self._mask)
+        idx = (keys[pending] & self._mask).astype(np.int64)
+        while len(pending):
+            vals = table[idx]
+            k = keys[pending]
+            hit = vals == k
+            out[pending[hit]] = True
+            empty = vals == np.uint64(0)
+            done = hit.copy()
+            # occupied by a different key → advance to the next slot;
+            # empty-slot losers stay put and re-check (the winner's key may
+            # equal theirs next round)
+            advance = ~hit & ~empty
+            e_pos = np.flatnonzero(empty)
+            if len(e_pos):
+                slots = idx[e_pos]
+                _, first = np.unique(slots, return_index=True)
+                winners = e_pos[first]
+                table[idx[winners]] = k[winners]
+                self._n += len(winners)
+                done[winners] = True
+            keep = ~done
+            pending = pending[keep]
+            idx = (idx[keep] + advance[keep].astype(np.int64)) & int_mask
+        return out
+
+    def nbytes(self) -> int:
+        return self._table.nbytes
 
 
 @ray.remote(num_cpus=0)
@@ -37,24 +133,21 @@ class UniqueIndexShard:
     collect them at the end (fire-and-forget friendly — no return value
     needed by the caller)."""
 
+    MEMO_LIMIT = 1024  # retry-window tokens kept; FIFO eviction
+
     def __init__(self):
-        self._seen: set[int] = set()
-        self._memo: dict[str, list[bool]] = {}
+        self._seen = UInt64Set()
+        self._memo: OrderedDict[str, list[bool]] = OrderedDict()
         self._dup_ids: set[str] = set()
 
     def observe(self, token: str, hashes: np.ndarray) -> list[bool]:
         memo = self._memo.get(token)
         if memo is not None:
             return memo
-        seen = self._seen
-        out = []
-        for h in hashes.tolist():
-            if h in seen:
-                out.append(True)
-            else:
-                seen.add(h)
-                out.append(False)
+        out = self._seen.add_many(hashes).tolist()
         self._memo[token] = out
+        while len(self._memo) > self.MEMO_LIMIT:
+            self._memo.popitem(last=False)
         return out
 
     def observe_ids(self, token: str, hashes: np.ndarray, ids: list) -> int:
@@ -67,7 +160,7 @@ class UniqueIndexShard:
     def seed(self, hashes: np.ndarray) -> int:
         """Register hashes without duplicate reporting (resume: ids of
         already-validated fragments, replayed from checkpoint records)."""
-        self._seen.update(hashes.tolist())
+        self._seen.add_many(hashes)
         return len(self._seen)
 
     def duplicates(self) -> list:
@@ -75,6 +168,9 @@ class UniqueIndexShard:
 
     def size(self) -> int:
         return len(self._seen)
+
+    def memo_size(self) -> int:
+        return len(self._memo)
 
 
 def create_index(num_shards: int) -> list:

@@ -53,16 +53,24 @@ def session_windows(
     key_column: str,
     *,
     gap_seconds: float = 1800.0,
+    time_bucket: str | None = "7d",
 ):
     """Session windowing: per key, sort by ts and split where the gap to the
     previous event exceeds ``gap_seconds``. Returns one row per session
     (key, session_start, session_end, n_events).
 
-    Partitioning assumption: one key's events fit in one group (true for
-    user-level sessions; salt hot keys upstream otherwise).
+    Hot-key spill path (default): events group by (key, ``time_bucket``)
+    — a hot key's events split across time buckets, so no single group
+    must hold the key's full history — then a second, tiny groupby over
+    the per-bucket SESSION rows (one row per session, not per event)
+    stitches sessions that straddle bucket edges. Sessionization is
+    transitive gap-chaining, so splitting at arbitrary time points and
+    re-merging adjacent sessions with gap ≤ threshold reproduces the
+    global answer exactly. ``time_bucket=None`` keeps the one-group-per-
+    key single-phase shape (requires a key's events to fit one group).
     """
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values(ts_column)
         ts = group[ts_column]
         gap = ts.diff().dt.total_seconds().fillna(float("inf"))
@@ -77,6 +85,42 @@ def session_windows(
             [key_column, "session_start", "session_end", "n_events"]
         ]
 
-    return ds.select_columns([key_column, ts_column]).groupby(key_column).map_groups(
-        sessions, batch_format="pandas"
+    pruned = ds.select_columns([key_column, ts_column])
+    if time_bucket is None:
+        return pruned.groupby(key_column).map_groups(
+            sessionize, batch_format="pandas"
+        )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__tb=df[ts_column].dt.floor(time_bucket))
+
+    def sessionize_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return sessionize(group.drop(columns="__tb"))
+
+    per_bucket = (
+        pruned.map_batches(add_bucket, batch_format="pandas")
+        .groupby([key_column, "__tb"])
+        .map_groups(sessionize_bucket, batch_format="pandas")
+    )
+
+    def stitch(group: pd.DataFrame) -> pd.DataFrame:
+        # input: one row per per-bucket session (events already reduced);
+        # merge consecutive sessions whose inter-session gap ≤ threshold —
+        # only sessions split by a bucket edge qualify
+        group = group.sort_values("session_start")
+        prev_end = group["session_end"].shift()
+        gap = (group["session_start"] - prev_end).dt.total_seconds()
+        merged_id = (~(gap <= gap_seconds)).cumsum()
+        out = group.groupby(merged_id).agg(
+            session_start=("session_start", "min"),
+            session_end=("session_end", "max"),
+            n_events=("n_events", "sum"),
+        )
+        out[key_column] = group[key_column].iloc[0]
+        return out.reset_index(drop=True)[
+            [key_column, "session_start", "session_end", "n_events"]
+        ]
+
+    return per_bucket.groupby(key_column).map_groups(
+        stitch, batch_format="pandas"
     )

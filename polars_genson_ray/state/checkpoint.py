@@ -15,14 +15,26 @@ import tempfile
 
 
 def fragment_key(path: str) -> str:
+    if path.startswith("lance://"):
+        # spec string → filesystem-safe key
+        return path.replace("://", "_").replace("/", "_").replace("#", "_f")
     return os.path.basename(path).replace("/", "_")
 
 
-def fragment_digest(path: str) -> str:
-    """Cheap input identity: (size, mtime_ns) — content hash would re-read
-    100 TB; parquet fragments are immutable in practice."""
+def _stat_digest(path: str) -> str:
     st = os.stat(path)
     return f"{st.st_size}:{st.st_mtime_ns}"
+
+
+def fragment_digest(path: str) -> str:
+    """Cheap input identity: (size, mtime_ns) for parquet files — content
+    hash would re-read 100 TB; fragments are immutable in practice. Lance
+    fragment specs use (dataset version, fragment id)."""
+    if path.startswith("lance://"):
+        from ..sources.lance_io import fragment_identity
+
+        return fragment_identity(path)
+    return _stat_digest(path)
 
 
 class CheckpointStore:
@@ -60,6 +72,33 @@ class CheckpointStore:
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+
+    def write_hashes(self, fragment: str, blob: bytes) -> str:
+        """Store a fragment's id-hash array as a sidecar binary file and
+        return its name for the record. Embedding the array in the JSON
+        record (round 1) cost ~11 B/row of checkpoint JSON at 10^12 rows;
+        the sidecar keeps records KB-sized and lets resume stream the
+        arrays straight into the uniqueness index."""
+        name = fragment_key(fragment) + ".hashes.bin"
+        fd, tmp = tempfile.mkstemp(dir=self.directory, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, os.path.join(self.directory, name))
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        return name
+
+    def load_hashes(self, record: dict) -> bytes:
+        name = record.get("id_hashes_file")
+        if not name:
+            return b""
+        try:
+            with open(os.path.join(self.directory, name), "rb") as f:
+                return f.read()
+        except OSError:
+            return b""
 
     def completed(self) -> dict[str, dict]:
         out = {}

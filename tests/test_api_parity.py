@@ -234,3 +234,91 @@ def test_document_schema_fast_path_matches_string_path():
             a = document_schema(text, 0, cfg)
             b = _document_schema_from_text(text, 0, cfg)
             assert json.dumps(a, sort_keys=False) == json.dumps(b, sort_keys=False), text
+
+
+def test_schema_to_json_serde_representation_roundtrip():
+    """A6: schema JSON uses the polars-rs serde encoding (schema.rs:19-95)
+    — exchangeable with the reference toolchain — and round-trips."""
+    import json as _json
+
+    from polars_genson_ray.api import json_to_schema, schema_to_json
+
+    schema = pl.Schema(
+        {
+            "a": pl.Int64,
+            "s": pl.String,
+            "tags": pl.List(pl.String),
+            "matrix": pl.List(pl.List(pl.Int64)),
+            "user": pl.Struct({"id": pl.Int64, "name": pl.String}),
+            "ts": pl.Datetime("us", "UTC"),
+            "dur": pl.Duration("ms"),
+            "arr": pl.Array(pl.Float64, 3),
+            "price": pl.Decimal(10, 2),
+            "d": pl.Date,
+        }
+    )
+    js = schema_to_json(schema)
+    parsed = _json.loads(js)
+    # externally-tagged serde shapes
+    assert parsed["a"] == "Int64" and parsed["s"] == "String"
+    assert parsed["tags"] == {"List": "String"}
+    assert parsed["matrix"] == {"List": {"List": "Int64"}}
+    assert parsed["user"] == {
+        "Struct": [
+            {"name": "id", "dtype": "Int64"},
+            {"name": "name", "dtype": "String"},
+        ]
+    }
+    assert parsed["ts"] == {"Datetime": ["Microseconds", "UTC"]}
+    assert parsed["dur"] == {"Duration": "Milliseconds"}
+    assert parsed["arr"] == {"Array": ["Float64", 3]}
+    assert parsed["price"] == {"Decimal": [10, 2]}
+    assert parsed["d"] == "Date"
+    assert json_to_schema(js) == schema
+    # legacy dtype-string values still accepted on input
+    legacy = _json.dumps({"x": "List[Int64]", "y": "Int32"})
+    got = json_to_schema(legacy)
+    assert got == pl.Schema({"x": pl.List(pl.Int64), "y": pl.Int32})
+
+
+def test_add_schemas_batch_matches_sequential():
+    """C4: the strategy/property-grouped batch merge must be byte-identical
+    to sequential add_schema for every schema shape (incl. typeless, anyOf
+    and type-list decomposition interleavings)."""
+    import json as _json
+    import random
+
+    from polars_genson_ray.core.json_schema import SchemaBuilder
+
+    random.seed(3)
+
+    def rand_schema(depth=0):
+        opts = ["scalar", "obj", "list", "tuple", "anyof", "typeless", "typelist"]
+        if depth > 2:
+            opts = ["scalar"]
+        t = random.choice(opts)
+        if t == "scalar":
+            return {"type": random.choice(["string", "integer", "number", "boolean", "null"])}
+        if t == "obj":
+            return {
+                "type": "object",
+                "properties": {f"k{i}": rand_schema(depth + 1) for i in range(random.randint(0, 3))},
+                "required": [f"k{i}" for i in range(random.randint(0, 2))],
+            }
+        if t == "list":
+            return {"type": "array", "items": rand_schema(depth + 1)}
+        if t == "tuple":
+            return {"type": "array", "items": [rand_schema(depth + 1) for _ in range(2)]}
+        if t == "anyof":
+            return {"anyOf": [rand_schema(depth + 1) for _ in range(2)]}
+        if t == "typeless":
+            return {"foo": random.randint(0, 5)}
+        return {"type": ["string", "integer"]}
+
+    for _ in range(300):
+        schemas = [rand_schema() for _ in range(random.randint(1, 8))]
+        b1, b2 = SchemaBuilder(), SchemaBuilder()
+        for s in schemas:
+            b1.add_schema(_json.loads(_json.dumps(s)))
+        b2.add_schemas([_json.loads(_json.dumps(s)) for s in schemas])
+        assert _json.dumps(b1.to_schema()) == _json.dumps(b2.to_schema())

@@ -461,3 +461,123 @@ def test_validation_dup_ids_survive_resume(ray_session, tmp_path):
         paths, str(tmp_path / "o3"), checkpoint_dir=os.path.join(out1, "_checkpoint")
     )
     assert rep3.duplicate_image_ids == rep1.duplicate_image_ids
+
+
+def test_uint64set_matches_python_set():
+    from polars_genson_ray.stages.unique import UInt64Set
+
+    rng = np.random.default_rng(5)
+    s = UInt64Set(initial_pow2=4)  # tiny start exercises growth/rehash
+    ref: set[int] = set()
+    for _ in range(60):
+        keys = rng.integers(0, 800, size=int(rng.integers(1, 300))).astype(np.uint64)
+        keys[0] = 0  # zero-key path
+        mask = s.add_many(keys)
+        exp = []
+        for k in keys.tolist():
+            exp.append(k in ref)
+            ref.add(k)
+        assert mask.tolist() == exp
+    assert len(s) == len(ref)
+
+
+def test_unique_shard_memo_bounded_retry_window(ray_session):
+    import ray
+
+    from polars_genson_ray.stages.unique import UniqueIndexShard
+
+    shard = UniqueIndexShard.remote()
+    try:
+        h = np.array([1, 2, 3], dtype=np.uint64)
+        first = ray.get(shard.observe.remote("tok-A", h))
+        assert first == [False, False, False]
+        # a prompt retry replays the memoized answer, not fresh membership
+        assert ray.get(shard.observe.remote("tok-A", h)) == first
+        # memo is a bounded FIFO window, not O(rows observed)
+        limit = 1024
+        for i in range(limit + 50):
+            ray.get(shard.observe.remote(f"tok-{i}", np.array([10 + i], dtype=np.uint64)))
+        assert ray.get(shard.memo_size.remote()) <= limit
+        # evicted token now answers from live membership (all present)
+        assert ray.get(shard.observe.remote("tok-A", h)) == [True, True, True]
+    finally:
+        ray.kill(shard)
+
+
+def test_lance_source_gate_and_parquet_fallback(tmp_path):
+    """The Lance reader is import-gated (package absent in this container);
+    detection, the fragment-batch iterator, and checkpoint identity are
+    real and run against parquet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from polars_genson_ray.sources import lance_io
+    from polars_genson_ray.state.checkpoint import fragment_digest, fragment_key
+
+    assert not lance_io.have_lance()
+    with pytest.raises(NotImplementedError):
+        lance_io.read_lance("/tmp/nope.lance")
+    with pytest.raises(NotImplementedError):
+        lance_io.fragment_specs("/tmp/nope.lance")
+    with pytest.raises(NotImplementedError):
+        list(lance_io.iter_fragment_batches("lance:///tmp/x#0", 128))
+
+    # detection: spec / .lance suffix / _versions+data layout; parquet no
+    assert lance_io.is_lance_dataset("lance:///data/t#3")
+    assert lance_io.is_lance_dataset("/data/table.lance")
+    lroot = tmp_path / "ds"
+    (lroot / "_versions").mkdir(parents=True)
+    (lroot / "data").mkdir()
+    assert lance_io.is_lance_dataset(str(lroot))
+    assert not lance_io.is_lance_dataset(str(tmp_path))
+
+    assert lance_io.parse_spec("lance:///a/b#7") == ("/a/b", 7)
+    assert fragment_key("lance:///a/b#7") == "lance_/a/b#7".replace("/", "_").replace("#", "_f")
+    assert fragment_digest("lance:///a/b#7") == "lance:unavailable"
+
+    # parquet path of the same iterator: row-group streaming
+    p = str(tmp_path / "frag.parquet")
+    pq.write_table(pa.table({"x": list(range(1000))}), p)
+    batches = list(lance_io.iter_fragment_batches(p, 256))
+    assert sum(b.num_rows for b in batches) == 1000
+    assert max(b.num_rows for b in batches) <= 256
+
+
+def test_session_windows_bucketed_matches_single_phase(ray_session):
+    """The hot-key spill path (time-bucketed sessionize + session-row
+    stitch) must reproduce the single-phase answer exactly, including
+    sessions straddling bucket edges."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.windows import session_windows
+
+    rng = np.random.default_rng(17)
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    # hot key: 5000 events over ~40 days with gaps around the threshold,
+    # including events within minutes of 7d bucket edges
+    t = base
+    for i in range(5000):
+        step = float(rng.choice([60, 600, 2400], p=[0.6, 0.3, 0.1]))
+        t = t + pd.Timedelta(seconds=step)
+        rows.append({"user": "hot", "ts": t})
+    # events hugging bucket boundaries explicitly
+    for d in (7, 14, 21):
+        edge = base + pd.Timedelta(days=d)
+        rows.append({"user": "hot", "ts": edge - pd.Timedelta(seconds=30)})
+        rows.append({"user": "hot", "ts": edge + pd.Timedelta(seconds=30)})
+    for i in range(50):
+        rows.append({"user": f"u{i}", "ts": base + pd.Timedelta(hours=i)})
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df).repartition(6)
+
+    def norm(res):
+        out = res.to_pandas().sort_values(["user", "session_start"]).reset_index(drop=True)
+        return out
+
+    bucketed = norm(session_windows(ds, "ts", "user", gap_seconds=1800, time_bucket="7d"))
+    single = norm(session_windows(ds, "ts", "user", gap_seconds=1800, time_bucket=None))
+    pd.testing.assert_frame_equal(bucketed, single)
