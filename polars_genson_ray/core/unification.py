@@ -273,9 +273,46 @@ def _unify_map_schemas(schemas, path, config):
 
 
 def _unify_field_schemas(field_name, schemas, path, config):
+    """Strategy dispatch for one record field (T5, map_inference/
+    unification.rs:680-706): sequential left-fold when scalar promotion may
+    apply or the set is small (<50); the reference's divide-and-conquer
+    variant for large homogeneous sets. The tree fold here runs
+    sequentially — the Ray engine takes its parallelism at the data level
+    (per-batch partials); the semantic content of the reference's rayon
+    path is its tree-shaped merge order, mirrored exactly."""
+    if len(schemas) == 1:
+        return _copy(schemas[0])
+    needs_scalar_promo = config.wrap_scalars and (
+        any(is_scalar_schema(s) for s in schemas)
+        and any(is_object_schema(s) for s in schemas)
+    )
+    if needs_scalar_promo or len(schemas) < 50:
+        return _unify_field_schemas_sequential(field_name, schemas, path, config)
+    return _unify_field_schemas_tree(field_name, schemas, path, config)
+
+
+def _unify_field_schemas_tree(field_name, schemas, path, config):
+    """Divide-and-conquer fold (unification.rs:636-678): halves below 10
+    schemas fold sequentially; merged via check_unifiable_schemas."""
+    if not schemas:
+        return None
+    if len(schemas) == 1:
+        return _copy(schemas[0])
+    if len(schemas) < 10:
+        return _unify_field_schemas_sequential(field_name, schemas, path, config)
+    mid = len(schemas) // 2
+    left = _unify_field_schemas_tree(field_name, schemas[:mid], path, config)
+    right = _unify_field_schemas_tree(field_name, schemas[mid:], path, config)
+    if left is None or right is None:
+        return None
+    return check_unifiable_schemas(
+        [left, right], f"{path}.{field_name}", config
+    )
+
+
+def _unify_field_schemas_sequential(field_name, schemas, path, config):
     """Left-fold pairwise unification for one record field
-    (unification.rs:567-705; the reference's divide-and-conquer variant is a
-    perf-only path chosen exactly when scalar promotion cannot apply)."""
+    (unification.rs:567-634)."""
     if len(schemas) == 1:
         return _copy(schemas[0])
     first = schemas[0]

@@ -322,3 +322,36 @@ def test_add_schemas_batch_matches_sequential():
             b1.add_schema(_json.loads(_json.dumps(s)))
         b2.add_schemas([_json.loads(_json.dumps(s)) for s in schemas])
         assert _json.dumps(b1.to_schema()) == _json.dumps(b2.to_schema())
+
+
+def test_unify_field_schemas_tree_matches_sequential():
+    """T5: the ≥50-schema divide-and-conquer unification path must agree
+    with the sequential fold on homogeneous record sets."""
+    from polars_genson_ray.core.config import SchemaInferenceConfig
+    from polars_genson_ray.core.unification import (
+        _unify_field_schemas,
+        _unify_field_schemas_sequential,
+    )
+
+    cfg = SchemaInferenceConfig(unify_maps=True)
+    # 60 homogeneous object schemas (same property set — the shape the
+    # reference routes to its parallel path; heterogeneous sets may fold
+    # to different property order / requiredness under ANY tree fold,
+    # reference included) with nullable/type variations
+    schemas = []
+    for i in range(60):
+        props = {
+            "a": {"type": "string"},
+            "b": {"type": ["null", "integer"] if i % 2 else "integer"},
+            "c": {"type": ["null", "string"] if i % 3 else "string"},
+        }
+        schemas.append(
+            {"type": "object", "properties": props, "required": sorted(props)}
+        )
+    tree = _unify_field_schemas("f", schemas, "$", cfg)
+    seq = _unify_field_schemas_sequential("f", schemas, "$", cfg)
+    assert tree == seq and tree is not None
+    # dispatch: <50 schemas stays on the sequential fold
+    small = schemas[:20]
+    assert _unify_field_schemas("f", small, "$", cfg) == \
+        _unify_field_schemas_sequential("f", small, "$", cfg)
