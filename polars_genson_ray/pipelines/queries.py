@@ -127,15 +127,25 @@ def q_distinct_users(sf_dir: str):
     return pd.DataFrame({"n_distinct": [int(n)]})
 
 
-def q_quantity_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
-    """Exact PERCENTILE_DISC via distributed value counts (low-cardinality
-    numeric column) — the exact counterpart of the t-digest sketch path."""
+def q_quantity_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9),
+                         max_distinct: int = 1_000_000):
+    """Exact PERCENTILE_DISC via distributed value counts — ONLY correct
+    for bounded-cardinality columns (l_quantity has 50 distinct values).
+    The distinct-value counts land on the driver, so a continuous column
+    would materialize every distinct value there: guarded by
+    ``max_distinct``; continuous columns belong on the t-digest sketch
+    path (stages/sketches.TDigest, used by the validation stats pass)."""
     rows = (
         _read(sf_dir, "lineitem", ["l_quantity"])
         .groupby("l_quantity")
         .count()
-        .take_all()
+        .take(max_distinct + 1)
     )
+    if len(rows) > max_distinct:
+        raise ValueError(
+            f"q_quantity_quantiles: > {max_distinct} distinct values — "
+            "use the t-digest quantile path for continuous columns"
+        )
     vals = sorted((r["l_quantity"], r["count()"]) for r in rows)
     total = sum(c for _, c in vals)
     out_q, out_v = [], []
