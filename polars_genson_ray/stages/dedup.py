@@ -185,7 +185,7 @@ class BandExploder:
 
 
 def _derive_num_buckets(approx_rows: int | None, *, rows_per_bucket: int = 4096,
-                        floor_per_cpu: int = 8, lo: int = 64, hi: int = 1 << 20) -> int:
+                        floor_per_cpu: int = 2, lo: int = 32, hi: int = 1 << 20) -> int:
     """Power-of-two shuffle bucket count scaled to data size (when known)
     and cluster width — replaces round 1's fixed 128, whose per-bucket group
     size grew linearly with the dataset."""

@@ -26,7 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True, help="directory of parquet fragments")
+    ap.add_argument(
+        "--input", required=True,
+        help="directory of parquet fragments, or a Lance dataset "
+             "(auto-detected; requires the pylance package)",
+    )
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--psnr", type=float, default=40.0)
