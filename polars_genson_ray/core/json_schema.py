@@ -418,6 +418,11 @@ _KEY2CLS = {
     "array:l": _ListStrategy,
     "array:t": _TupleStrategy,
 }
+# type values for which a bare {"type": X} schema cannot change strategy
+# state (beyond Number widening, special-cased at the call sites)
+_TYPE_ONLY_NOOP = frozenset(
+    {"null", "boolean", "string", "integer", "number", "object"}
+)
 _CLS2KEYS = {
     _NullStrategy: ("null",),
     _BooleanStrategy: ("boolean",),
@@ -486,6 +491,13 @@ class SchemaNode:
                 strat = self._by_key.get(t)
                 if strat is None:
                     strat = self._create_keyed(t)
+                if len(schema) == 1 and t in _TYPE_ONLY_NOOP:
+                    # bare {"type": X}: no extras to collect, no required/
+                    # properties to merge — the only state change is the
+                    # integer→number widening
+                    if t == "number":
+                        strat.number_type = "number"
+                    return self
                 strat.add_schema(schema)
                 return self
             if not isinstance(t, list):
@@ -515,9 +527,17 @@ class SchemaNode:
             for strat, group in groups.values():
                 if type(strat) is _ObjectStrategy:
                     strat.add_schemas_batch(group)
+                elif type(strat) is _NumberStrategy:
+                    for s in group:
+                        if len(s) == 1:
+                            if s["type"] == "number":
+                                strat.number_type = "number"
+                        else:
+                            strat.add_schema(s)
                 else:
                     for s in group:
-                        strat.add_schema(s)
+                        if len(s) > 1:  # bare {"type": X} is a no-op
+                            strat.add_schema(s)
             groups.clear()
 
         for schema in schemas:

@@ -15,9 +15,9 @@ it is deliberately not distributed.
 
 from __future__ import annotations
 
-import copy
 
 from .config import SchemaInferenceConfig, make_promoted_scalar_key
+from .json_schema import _deepcopy
 from .unification import check_unifiable_schemas, unify_anyof_schemas
 
 _PROMOTABLE = ("string", "integer", "number", "boolean")
@@ -91,7 +91,7 @@ def _replace(schema: dict, new_value: dict) -> None:
 
 def _wrap_promoted_scalar(schema: dict, field_name: str, scalar_type: str) -> None:
     wrapped_key = make_promoted_scalar_key(field_name, scalar_type)
-    inner = copy.deepcopy(schema)
+    inner = _deepcopy(schema)
     _replace(schema, {"type": "object", "properties": {wrapped_key: inner}})
 
 
@@ -194,7 +194,7 @@ def rewrite_objects(
                     and "properties" in first
                     and all(other == first for other in child_schemas)
                 ):
-                    first_clone = copy.deepcopy(first)
+                    first_clone = _deepcopy(first)
                     obj.pop("properties", None)
                     obj.pop("required", None)
                     obj["additionalProperties"] = first_clone
@@ -208,7 +208,7 @@ def rewrite_objects(
                 normalised = [extract_non_null_schema(v) for v in child_schemas]
                 first_normalised = normalised[0]
                 if all(s == first_normalised for s in normalised):
-                    unified_schema = copy.deepcopy(first_normalised)
+                    unified_schema = _deepcopy(first_normalised)
                 elif config.unify_maps:
                     has_excluded = any(k in config.no_unify for k in props)
                     if not has_excluded:
@@ -255,7 +255,7 @@ def rewrite_objects(
                 obj.pop("properties", None)
                 obj.pop("required", None)
                 obj["type"] = "object"
-                processed = copy.deepcopy(unified_schema)
+                processed = _deepcopy(unified_schema)
                 rewrite_objects(processed, None, config, False)
                 obj["additionalProperties"] = processed
                 return

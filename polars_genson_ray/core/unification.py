@@ -14,6 +14,7 @@ plain dicts.
 from __future__ import annotations
 
 from .config import SchemaInferenceConfig, make_promoted_scalar_key
+from .json_schema import _deepcopy
 
 _SCALARS = ("string", "number", "integer", "boolean")
 
@@ -89,10 +90,9 @@ def schemas_compatible(existing, new):
     return None
 
 
-def _copy(v):
-    import copy
-
-    return copy.deepcopy(v)
+# plain-JSON recursive copy — schemas are dict/list/scalar trees, and
+# copy.deepcopy's memo/dispatch machinery measured 3x slower here
+_copy = _deepcopy
 
 
 # ---------------------------------------------------------------------------
