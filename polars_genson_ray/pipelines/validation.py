@@ -369,6 +369,25 @@ def run_validation(
             # to reach steady state on short runs; and since this one stage
             # owns all per-row work there is nothing else to starve)
             concurrency = max(2, min(cpus, len(pending)))
+            if len(pending) <= 256 and all(
+                not p.startswith("lance://") for p in pending
+            ):
+                # small jobs: size the pool to the actual work so actor
+                # spawn doesn't dominate (A/B: 8 actors beat 20 by 25% on
+                # a 20k-image run — ~7 core-seconds of decode). Footer
+                # reads are cheap at this fragment count; large jobs skip
+                # the scan and take the whole cluster.
+                try:
+                    import pyarrow.parquet as _pq
+
+                    total_rows = sum(
+                        _pq.ParquetFile(p).metadata.num_rows for p in pending
+                    )
+                    concurrency = max(
+                        2, min(concurrency, (total_rows + 2499) // 2500)
+                    )
+                except Exception:
+                    pass
         if isinstance(concurrency, tuple):
             concurrency = concurrency[-1]
         annotated_dir = os.path.join(output_dir, "annotated")
