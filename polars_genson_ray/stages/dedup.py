@@ -226,6 +226,11 @@ def minhash_lsh_pairs(ds, column: str, id_column: str, *, num_perm=64, bands=16,
 
     if num_buckets is None:
         num_buckets = _derive_num_buckets(approx_rows)
+    # NB: a batch_size above the block size makes Ray bundle blocks into
+    # fewer signature tasks — measured FASTER here than per-block batching
+    # (batch_size=None read 4.6 s vs 1.6 s: 64 toy blocks = 64 tiny tasks
+    # of pure overhead); at real scale blocks are >=128 MB so task count is
+    # block count either way
     hasher = MinHasher(column=column, num_perm=num_perm, bands=bands)
     sigs = ds.select_columns([id_column, column]).map_batches(
         hasher, batch_format="pyarrow", batch_size=batch_size
