@@ -118,8 +118,12 @@ def parse_args(argv: list[str]):
             cfg.max_builders = int(val())
         elif a == "--pq-column":
             pq_column = val()
-        elif a in ("--debug", "--profile", "--verbose"):
-            pass
+        elif a == "--debug":
+            cfg.debug = True
+        elif a == "--profile":
+            cfg.profile = True
+        elif a == "--verbose":
+            cfg.verbosity = "verbose"
         elif a.startswith("--"):
             raise SystemExit(f"Unknown option: {a}")
         else:

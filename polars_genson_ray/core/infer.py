@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass
 
 from .config import SchemaInferenceConfig
@@ -357,9 +358,18 @@ def merge_document_schemas(
 
 def finalize_schema(schema: dict, config: SchemaInferenceConfig) -> dict:
     """Driver-side post-processing of the merged schema (schema.rs:585-595)."""
+    t0 = time.perf_counter() if config.profile else 0.0
     preprocess_force_field_types(schema, config)
     rewrite_objects(schema, None, config, is_root=True)
     reorder_unions(schema)
+    if config.profile:
+        from .diagnostics import profile
+
+        profile(
+            config,
+            f"Finalize (map inference + reorder) took "
+            f"{time.perf_counter() - t0:.4f}s",
+        )
     if config.avro:
         from .avro import json_schema_to_avro
 
@@ -391,15 +401,27 @@ def infer_json_schema_from_strings(
 
     builder = SchemaBuilder(schema_uri=config.schema_uri)
     if use_parallel:
+        from .diagnostics import profile, profile_rss
+
         chunk = config.max_builders or len(json_strings)
         processed = 0
         seen: set = set()
+        profile_rss(config, "before parallel processing")
         for start in range(0, len(json_strings), chunk):
+            t0 = time.perf_counter() if config.profile else 0.0
             schemas = (
                 document_schema(s, start + i, config)
                 for i, s in enumerate(json_strings[start : start + chunk])
             )
             processed += merge_document_schemas(builder, schemas, seen)
+            if config.profile:
+                profile(
+                    config,
+                    f"Processed chunk {start // chunk} "
+                    f"({min(chunk, len(json_strings) - start)} strings) in "
+                    f"{time.perf_counter() - t0:.4f}s",
+                )
+                profile_rss(config, f"after chunk {start // chunk}")
     else:
         processed = 0
         for i, text in enumerate(json_strings):

@@ -183,6 +183,15 @@ def rewrite_objects(
 
             key_count = len(props)
             above_threshold = key_count >= config.map_threshold
+            if config.debug:
+                from .diagnostics import debug
+
+                debug(
+                    config,
+                    f"{field_name or '$'}: {key_count} keys vs map_threshold="
+                    f"{config.map_threshold} → "
+                    f"{'map candidate' if above_threshold else 'record'}",
+                )
             child_schemas = list(props.values())
 
             # map-of-identical-records fast path (map_inference.rs:462-478)

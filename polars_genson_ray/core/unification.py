@@ -374,6 +374,10 @@ def _unify_record_schemas(schemas, path, config):
     first-seen order), then optional (nullable) fields — mirroring the
     reference's two emission loops.
     """
+    if config.debug:
+        from .diagnostics import debug
+
+        debug(config, f"{path}: Attempting to unify {len(schemas)} record schemas")
     schema_properties = []
     for schema in schemas:
         props = _extract_field_from_nullable_schema(schema, "properties")

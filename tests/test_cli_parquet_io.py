@@ -100,3 +100,30 @@ def test_read_string_column_type_error(tmp_path):
     pq.write_table(pa.table({"x": [1, 2]}), path)
     with pytest.raises(ValueError, match="not a string column"):
         read_string_column(path, "x")
+
+
+def test_debug_profile_flags_emit_stderr_only(capsys):
+    """--debug/--profile print diagnostics to stderr (schema/core.rs:70-130
+    semantics incl. RSS under profile); stdout (the schema) is unchanged."""
+    import json
+
+    from polars_genson_ray.core import (
+        SchemaInferenceConfig,
+        infer_json_schema_from_strings,
+    )
+
+    texts = ['{"a": 1}'] * 12  # >=10 rows → parallel path with profiling
+    quiet = infer_json_schema_from_strings(texts, SchemaInferenceConfig())
+    loud = infer_json_schema_from_strings(
+        texts, SchemaInferenceConfig(debug=True, profile=True)
+    )
+    assert loud.schema == quiet.schema
+    err = capsys.readouterr().err
+    assert "RSS" in err and "chunk" in err
+
+    from polars_genson_ray.core.diagnostics import _truncate
+
+    long = "\n".join(f"line{i}" for i in range(30))
+    t = _truncate(long, "normal")
+    assert "truncated" in t and t.splitlines()[0] == "line0"
+    assert _truncate(long, "verbose") == long
