@@ -581,3 +581,52 @@ def test_session_windows_bucketed_matches_single_phase(ray_session):
     bucketed = norm(session_windows(ds, "ts", "user", gap_seconds=1800, time_bucket="7d"))
     single = norm(session_windows(ds, "ts", "user", gap_seconds=1800, time_bucket=None))
     pd.testing.assert_frame_equal(bucketed, single)
+
+
+def test_pair_dedup_bucketed_path_matches_small_path(ray_session):
+    """dedup_pair_dataset's large-pair-set exchange (pair-key-bucketed
+    groupby) must produce the same deduped pairs as the single-task path."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.dedup import dedup_pair_dataset
+
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, 50, size=400)
+    b = a + rng.integers(1, 10, size=400)
+    df = pd.DataFrame({"id_a": a, "id_b": b, "est_jaccard": 0.9})
+    ds = rd.from_pandas(df).repartition(4)
+
+    def norm(d):
+        out = d.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        return out
+
+    small = norm(dedup_pair_dataset(
+        rd.from_pandas(df).repartition(4), value_columns=["est_jaccard"]))
+    bucketed = norm(dedup_pair_dataset(
+        ds, value_columns=["est_jaccard"], pair_dedup_threshold=0))
+    pd.testing.assert_frame_equal(small, bucketed)
+    assert not small.duplicated(["id_a", "id_b"]).any()
+
+
+def test_embedding_neardup_bucket_cap_and_tables(ray_session):
+    """Capped, multi-table embedding near-dup still finds planted pairs."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.similarity import embedding_near_duplicates
+
+    rng = np.random.default_rng(31)
+    base = rng.standard_normal((60, 16))
+    dups = base[:5] + 0.01 * rng.standard_normal((5, 16))
+    vecs = np.vstack([base, dups])
+    df = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": list(vecs)})
+    out = embedding_near_duplicates(
+        rd.from_pandas(df).repartition(3), dim=16, threshold=0.95,
+        approx_rows=len(vecs), num_tables=3, bucket_cap=40,
+    ).to_pandas()
+    found = {tuple(sorted((int(r.id_a), int(r.id_b)))) for r in out.itertuples()}
+    expected = {(i, 60 + i) for i in range(5)}
+    assert expected <= found
