@@ -470,7 +470,8 @@ def r_ann_topk_ivf(sf_dir: str, k: int = 10):
 
     queries = _query_vectors(sf_dir, ids=(0,))
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    df = ivf_topk(ds, queries, k=k, n_cells=16, nprobe=6)
+    df = ivf_topk(ds, queries, k=k, n_cells=16, nprobe=6,
+                  approx_rows=_table_rows(sf_dir, "embeddings"))
     df = df[["vec_id", "cosine"]].copy()
     df["cosine"] = df["cosine"].round(4)
     return df.reset_index(drop=True)

@@ -21,6 +21,30 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _embedding_matrix(col) -> np.ndarray:
+    """Arrow ``list<float>`` column → (n, dim) float64 matrix without a
+    Python loop: flatten the list values (respects slicing/validity) and
+    reshape when the widths are uniform — the embedding-column invariant.
+    Falls back to the per-row path for ragged input."""
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if isinstance(arr.type, pa.ExtensionType):
+        # Ray tensor extension (e.g. from_pandas of ndarray cells)
+        return np.asarray(arr.to_numpy(zero_copy_only=False), dtype=np.float64)
+    lengths = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+    width = int(lengths[0]) if len(lengths) else 0
+    if (lengths == width).all() and arr.null_count == 0:
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.astype(np.float64, copy=False).reshape(n, width)
+    return np.asarray(
+        [np.asarray(e, dtype=np.float64) for e in arr.to_pylist()]
+    )
+
+
 class BatchTopK:
     """Per-batch cosine top-k against a broadcast query matrix."""
 
@@ -38,9 +62,7 @@ class BatchTopK:
             if isinstance(q, ray.ObjectRef):
                 q = ray.get(q)
             self._q = _normalize(np.asarray(q, dtype=np.float64))
-        emb = np.asarray(
-            [np.asarray(e, dtype=np.float64) for e in batch[self.column].to_pylist()]
-        )
+        emb = _embedding_matrix(batch[self.column])
         ids = np.asarray(batch[self.id_column].to_pylist())
         if emb.size == 0:
             return pa.table(
@@ -127,9 +149,7 @@ class IVFAssignFilter:
             c, p = self.centroids_ref, self.probed_ref
             self._c = ray.get(c) if isinstance(c, ray.ObjectRef) else c
             self._probed = ray.get(p) if isinstance(p, ray.ObjectRef) else p
-        emb = np.asarray(
-            [np.asarray(e, dtype=np.float64) for e in batch[self.column].to_pylist()]
-        )
+        emb = _embedding_matrix(batch[self.column])
         if emb.size == 0:
             return batch
         cells = np.argmax(_normalize(emb) @ self._c.T, axis=1)
@@ -139,12 +159,20 @@ class IVFAssignFilter:
 
 def ivf_topk(ds, queries: np.ndarray, *, id_column="vec_id",
              column="embedding", k=10, n_cells=16, nprobe=4,
-             train_sample=2048, batch_size=4096):
+             train_sample=2048, batch_size=4096, approx_rows=None):
     """IVF approximate top-k: train a coarse quantizer on a sample, probe
     the ``nprobe`` cells nearest each query, exact cosine only within the
     probed cells. Returns (query_idx, id, cosine) like ``brute_force_topk``
-    (whose scan touches every row; this one's touches ~nprobe/n_cells)."""
-    sample_rows = ds.select_columns([column]).limit(train_sample).take_all()
+    (whose scan touches every row; this one's touches ~nprobe/n_cells).
+
+    With ``approx_rows`` the quantizer trains on a seeded Bernoulli sample
+    across the whole dataset; without it, on the first ``train_sample``
+    rows (biased when the input is sorted/clustered by position)."""
+    sample_ds = ds.select_columns([column])
+    if approx_rows and approx_rows > train_sample:
+        frac = min(1.0, (train_sample * 4) / approx_rows)
+        sample_ds = sample_ds.random_sample(frac, seed=5)
+    sample_rows = sample_ds.limit(train_sample).take_all()
     sample = np.asarray([np.asarray(r[column], dtype=np.float64)
                          for r in sample_rows])
     centroids = _kmeans(sample, n_cells)
@@ -179,9 +207,7 @@ class HyperplaneLSH:
         self.table_id = table_id
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.asarray(
-            [np.asarray(e, dtype=np.float64) for e in batch[self.column].to_pylist()]
-        )
+        emb = _embedding_matrix(batch[self.column])
         n = len(batch)
         if emb.size == 0:
             out = batch.append_column("lsh_bucket", pa.array([], pa.int64()))
