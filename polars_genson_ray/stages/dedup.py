@@ -184,6 +184,64 @@ class BandExploder:
         )
 
 
+class MinHashBands:
+    """Fused signatures → band hashes → exploded (band_id, band_hash, id,
+    minhash-blob) rows in one numpy flow. Composing ``MinHasher`` then
+    ``BandExploder`` keeps an intermediate ``list<int64>`` Arrow column
+    that costs a to_pylist/from_list round trip per batch; this stage goes
+    straight from the (n, num_perm) signature matrix to the exploded
+    table. Signatures travel as fixed-width binary blobs (a list<int64>
+    column multiplied sort-shuffle payload and serialization cost)."""
+
+    def __init__(self, column: str, id_column: str, *, num_perm: int = 64,
+                 bands: int = 16, shingle_k: int = 5, seed: int = 7):
+        self.hasher = MinHasher(column=column, num_perm=num_perm,
+                                bands=bands, shingle_k=shingle_k, seed=seed)
+        self.id_column = id_column
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_column]
+        sig_mat = self.hasher.signatures(batch[self.hasher.column].to_pylist())
+        n = len(sig_mat)
+        if n == 0:
+            return pa.table(
+                {
+                    "band_id": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                    self.id_column: pa.array([], ids.type),
+                    "minhash": pa.array([], pa.binary()),
+                }
+            )
+        sig3 = sig_mat.reshape(n, self.bands, self.rows_per_band)
+        with np.errstate(over="ignore"):
+            band_offsets = np.arange(self.bands, dtype=np.uint64)[None, :, None]
+            mixed = hash64((sig3 + band_offsets).reshape(-1)).reshape(
+                n, self.bands, self.rows_per_band
+            )
+            band_hash = (
+                mixed.sum(axis=2, dtype=np.uint64) & np.uint64(0x7FFFFFFFFFFFFFFF)
+            ).astype(np.int64)
+        band_id = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        idx = np.repeat(np.arange(n), self.bands)
+        blob_width = self.bands * self.rows_per_band * 8
+        # one repeated buffer → FixedSizeBinary column, no per-row tobytes
+        repeated = np.repeat(sig_mat, self.bands, axis=0)
+        blobs = pa.Array.from_buffers(
+            pa.binary(blob_width), n * self.bands,
+            [None, pa.py_buffer(np.ascontiguousarray(repeated).tobytes())],
+        )
+        return pa.table(
+            {
+                "band_id": pa.array(band_id, pa.int32()),
+                "band_hash": pa.array(band_hash.reshape(-1), pa.int64()),
+                self.id_column: ids.take(pa.array(idx)),
+                "minhash": blobs.cast(pa.binary()),
+            }
+        )
+
+
 def _derive_num_buckets(approx_rows: int | None, *, rows_per_bucket: int = 4096,
                         floor_per_cpu: int = 2, lo: int = 32, hi: int = 1 << 20) -> int:
     """Power-of-two shuffle bucket count scaled to data size (when known)
@@ -231,12 +289,8 @@ def minhash_lsh_pairs(ds, column: str, id_column: str, *, num_perm=64, bands=16,
     # (batch_size=None read 4.6 s vs 1.6 s: 64 toy blocks = 64 tiny tasks
     # of pure overhead); at real scale blocks are >=128 MB so task count is
     # block count either way
-    hasher = MinHasher(column=column, num_perm=num_perm, bands=bands)
-    sigs = ds.select_columns([id_column, column]).map_batches(
-        hasher, batch_format="pyarrow", batch_size=batch_size
-    ).select_columns([id_column, "minhash"])
-    exploded = sigs.map_batches(
-        BandExploder(id_column, bands, num_perm // bands),
+    exploded = ds.select_columns([id_column, column]).map_batches(
+        MinHashBands(column, id_column, num_perm=num_perm, bands=bands),
         batch_format="pyarrow",
         batch_size=batch_size,
     )

@@ -630,3 +630,24 @@ def test_embedding_neardup_bucket_cap_and_tables(ray_session):
     found = {tuple(sorted((int(r.id_a), int(r.id_b)))) for r in out.itertuples()}
     expected = {(i, 60 + i) for i in range(5)}
     assert expected <= found
+
+
+def test_minhash_bands_fused_matches_two_stage():
+    """The fused MinHashBands stage must emit exactly what
+    MinHasher → BandExploder emits (same band hashes, ids, blobs)."""
+    import pyarrow as pa
+
+    from polars_genson_ray.stages.dedup import BandExploder, MinHasher, MinHashBands
+
+    rng = np.random.default_rng(13)
+    words = ["a", "bb", "ccc", "dd", "e"]
+    texts = [" ".join(rng.choice(words, size=int(n)).tolist())
+             for n in rng.integers(0, 40, size=30)]
+    batch = pa.table({"doc_id": list(range(30)), "text": texts})
+    two = BandExploder("doc_id", 16, 4)(MinHasher()(batch).select(["doc_id", "minhash"]))
+    fused = MinHashBands("text", "doc_id")(batch)
+    assert two.column_names == fused.column_names
+    assert two["band_id"].to_pylist() == fused["band_id"].to_pylist()
+    assert two["band_hash"].to_pylist() == fused["band_hash"].to_pylist()
+    assert two["doc_id"].to_pylist() == fused["doc_id"].to_pylist()
+    assert two["minhash"].to_pylist() == fused["minhash"].to_pylist()
