@@ -28,7 +28,7 @@ from ..api import normalise_rows
 from ..functions.context import default_pool_size
 from ..stages.aggregate import combine_partials
 from ..core import SchemaInferenceConfig
-from ..stages.dedup import MinHasher, SimHasher, exact_dedup, minhash_lsh_pairs
+from ..stages.dedup import SimHasher, exact_dedup, minhash_lsh_pairs
 from ..stages.infer import infer_schema_distributed
 from ..stages.similarity import brute_force_topk, embedding_near_duplicates
 from ..stages.text import Fingerprinter, LangId, QualityScorer, TokenCounter

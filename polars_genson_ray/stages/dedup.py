@@ -3,9 +3,11 @@
 Patterns (ray_guide "Aggregation at scale"):
   exact      — content hash per batch (vectorized) → hash-partitioned
                groupby → keep the min-id row per group
-  minhash    — shingle → minhash signature per row (numpy) → explode to
-               (band_id, band_hash, id) rows → groupby bands → candidate
-               groups → pairwise signature-estimated Jaccard
+  minhash    — batch-vectorized signatures (one rolling-hash pass over the
+               batch, per-perm minimum.reduceat) → fused explode to
+               (band_id, band_hash, id) rows → bucketed groupby → candidate
+               groups → pairwise signature-estimated Jaccard →
+               size-adaptive pair dedup
   simhash    — 64-bit simhash per row; equal-prefix buckets group near-dups
   embedding  — random-hyperplane LSH buckets + exact cosine verify
 
