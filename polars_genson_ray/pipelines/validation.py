@@ -83,6 +83,11 @@ class ValidationConfig:
     decode_batch_size: int = 512
     max_side: int = 4096  # histogram range for w/h drift
     dup_shards: int | None = None  # None → sized to cluster
+    # LSM spill for the uniqueness index: beyond ~10^9 ids/shard the live
+    # table can't fit a node's heap; set a per-shard resident cap and a
+    # spill root (runs land in <dir>/shard_NNN/). None → in-RAM only.
+    dup_spill_dir: str | None = None
+    dup_resident_limit: int | None = None
 
 
 @dataclass
@@ -338,7 +343,11 @@ def run_validation(
 
     from ..stages.unique import create_index
 
-    dup_actors = create_index(config.dup_shards or max(2, cpus // 4))
+    dup_actors = create_index(
+        config.dup_shards or max(2, cpus // 4),
+        spill_dir=config.dup_spill_dir,
+        resident_limit=config.dup_resident_limit,
+    )
     duplicate_set: set[str] = set()
     seed_refs = []
     for rec in completed.values():

@@ -25,12 +25,18 @@ Memory story at 10^12 ids: the shard state is a compact open-addressing
 uint64 table (8 B/slot, ≤60% load → ~13 B/entry vs ~70 B for a Python int
 set), sharded over K actors across the cluster. Beyond what cluster RAM
 holds (~10^12 × 13 B / K per shard), exact global dedup cannot live in
-memory at all: the documented spill path is per-shard sorted-hash runs —
-each shard flushes its table as a sorted ``.npy`` run when it reaches a
-resident cap, and answers membership via merged binary search over runs +
-the live table (classic LSM shape; the observe API is unchanged). The
-in-RAM table is correct and optimal for the 10^8-10^9 ids per shard this
-engine targets per node.
+memory at all, so each shard IMPLEMENTS the spill path (LSM shape): when
+the live table reaches ``resident_limit`` entries it is flushed as a
+sorted ``.npy`` run under ``spill_dir``; membership is answered by
+vectorized ``searchsorted`` over the memory-mapped runs plus the live
+table, and new keys are only ever inserted when absent from every run, so
+runs stay pairwise disjoint by construction. Runs are compacted
+(concatenate-sort-rewrite — disjointness makes this a pure merge) when
+their count exceeds ``MAX_RUNS`` to bound the per-lookup run fan-out; at
+true cluster scale the same compaction would stream a k-way merge instead
+of loading runs whole, which is the only piece deferred here. Spill is
+off by default (``resident_limit=None``) — the in-RAM table alone is
+optimal for the 10^8-10^9 ids per shard a node's heap holds.
 """
 
 from __future__ import annotations
@@ -124,6 +130,13 @@ class UInt64Set:
     def nbytes(self) -> int:
         return self._table.nbytes
 
+    def keys(self) -> np.ndarray:
+        """All stored keys, sorted ascending (zero included if present)."""
+        occupied = self._table[self._table != np.uint64(0)]
+        if self._has_zero:
+            occupied = np.concatenate([[np.uint64(0)], occupied])
+        return np.sort(occupied)
+
 
 @ray.remote(num_cpus=0)
 class UniqueIndexShard:
@@ -131,20 +144,91 @@ class UniqueIndexShard:
     returns a boolean mask of which were already present; ``observe_ids``
     additionally records the id strings of duplicates so the driver can
     collect them at the end (fire-and-forget friendly — no return value
-    needed by the caller)."""
+    needed by the caller).
+
+    With ``resident_limit`` set, the live table spills to sorted runs under
+    ``spill_dir`` (see module docstring) — same observe API, bounded heap.
+    """
 
     MEMO_LIMIT = 1024  # retry-window tokens kept; FIFO eviction
+    MAX_RUNS = 8  # compact when exceeded: bounds per-lookup run fan-out
 
-    def __init__(self):
+    def __init__(self, spill_dir: str | None = None,
+                 resident_limit: int | None = None):
         self._seen = UInt64Set()
         self._memo: OrderedDict[str, list[bool]] = OrderedDict()
         self._dup_ids: set[str] = set()
+        self._spill_dir = spill_dir
+        self._resident_limit = resident_limit
+        self._runs: list[np.ndarray] = []  # sorted uint64 memmaps, disjoint
+        self._run_no = 0
+        if resident_limit is not None and spill_dir is None:
+            raise ValueError("resident_limit requires spill_dir")
+        if spill_dir is not None:
+            import os
+
+            os.makedirs(spill_dir, exist_ok=True)
+
+    # -- spill machinery -------------------------------------------------
+    def _in_runs(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership over the spilled sorted runs (binary
+        search per run; runs are memory-mapped so only touched pages load)."""
+        mask = np.zeros(len(hashes), dtype=bool)
+        for run in self._runs:
+            pos = np.searchsorted(run, hashes)
+            inb = pos < len(run)
+            if inb.any():
+                idx = np.flatnonzero(inb)
+                mask[idx] |= np.asarray(run[pos[idx]]) == hashes[idx]
+        return mask
+
+    def _maybe_spill(self) -> None:
+        if self._resident_limit is None or len(self._seen) < self._resident_limit:
+            return
+        import os
+
+        run = self._seen.keys()
+        path = os.path.join(self._spill_dir, f"run_{self._run_no:06d}.npy")
+        np.save(path, run)
+        self._run_no += 1
+        self._runs.append(np.load(path, mmap_mode="r"))
+        self._seen = UInt64Set()
+        if len(self._runs) > self.MAX_RUNS:
+            # compact: runs are pairwise disjoint, so concatenate+sort is a
+            # pure merge with no dedup needed. (At cluster scale this would
+            # stream a k-way merge rather than loading runs whole.)
+            merged = np.sort(np.concatenate([np.asarray(r) for r in self._runs]))
+            old = [r.filename for r in self._runs]
+            path = os.path.join(self._spill_dir, f"run_{self._run_no:06d}.npy")
+            np.save(path, merged)
+            self._run_no += 1
+            self._runs = [np.load(path, mmap_mode="r")]
+            for f in old:
+                try:
+                    os.unlink(f)
+                except OSError:
+                    pass
+
+    def _register(self, hashes: np.ndarray) -> np.ndarray:
+        """Present-mask across runs + live table; inserts unseen keys into
+        the live table (never keys already in a run → runs stay disjoint)."""
+        hashes = hashes.astype(np.uint64, copy=False)
+        if not self._runs:
+            out = self._seen.add_many(hashes)
+            self._maybe_spill()
+            return out
+        out = self._in_runs(hashes)
+        new_idx = np.flatnonzero(~out)
+        if len(new_idx):
+            out[new_idx] = self._seen.add_many(hashes[new_idx])
+            self._maybe_spill()
+        return out
 
     def observe(self, token: str, hashes: np.ndarray) -> list[bool]:
         memo = self._memo.get(token)
         if memo is not None:
             return memo
-        out = self._seen.add_many(hashes).tolist()
+        out = self._register(hashes).tolist()
         self._memo[token] = out
         while len(self._memo) > self.MEMO_LIMIT:
             self._memo.popitem(last=False)
@@ -160,21 +244,36 @@ class UniqueIndexShard:
     def seed(self, hashes: np.ndarray) -> int:
         """Register hashes without duplicate reporting (resume: ids of
         already-validated fragments, replayed from checkpoint records)."""
-        self._seen.add_many(hashes)
-        return len(self._seen)
+        self._register(hashes)
+        return self.size()
 
     def duplicates(self) -> list:
         return sorted(self._dup_ids)
 
     def size(self) -> int:
-        return len(self._seen)
+        return len(self._seen) + sum(len(r) for r in self._runs)
+
+    def num_runs(self) -> int:
+        return len(self._runs)
 
     def memo_size(self) -> int:
         return len(self._memo)
 
 
-def create_index(num_shards: int) -> list:
-    return [UniqueIndexShard.remote() for _ in range(num_shards)]
+def create_index(num_shards: int, *, spill_dir: str | None = None,
+                 resident_limit: int | None = None) -> list:
+    """K index-shard actors. ``spill_dir``/``resident_limit`` enable the
+    LSM spill path (each shard gets its own subdirectory)."""
+    import os
+
+    return [
+        UniqueIndexShard.remote(
+            spill_dir=None if spill_dir is None
+            else os.path.join(spill_dir, f"shard_{i:03d}"),
+            resident_limit=resident_limit,
+        )
+        for i in range(num_shards)
+    ]
 
 
 def _id_hashes(ids) -> np.ndarray:

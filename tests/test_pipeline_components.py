@@ -504,6 +504,79 @@ def test_unique_shard_memo_bounded_retry_window(ray_session):
         ray.kill(shard)
 
 
+def test_unique_shard_spill_differential(ray_session, tmp_path):
+    """LSM spill path vs in-RAM shard: identical observe masks on a random
+    duplicate-heavy stream; runs actually hit disk; compaction fires; final
+    cardinality exact."""
+    import ray
+
+    from polars_genson_ray.stages.unique import UniqueIndexShard
+
+    spill = UniqueIndexShard.remote(
+        spill_dir=str(tmp_path / "runs"), resident_limit=64
+    )
+    plain = UniqueIndexShard.remote()
+    try:
+        rng = np.random.default_rng(11)
+        ref: set[int] = set()
+        for i in range(40):  # 40 batches × ~200 keys ≫ 64×MAX_RUNS → compacts
+            keys = rng.integers(0, 2500, size=int(rng.integers(50, 350))).astype(
+                np.uint64
+            )
+            a = ray.get(spill.observe.remote(f"t{i}", keys))
+            b = ray.get(plain.observe.remote(f"t{i}", keys))
+            assert a == b
+            ref.update(keys.tolist())
+        assert ray.get(spill.num_runs.remote()) >= 1  # spill really engaged
+        assert ray.get(spill.size.remote()) == len(ref)
+        assert ray.get(plain.size.remote()) == len(ref)
+        import glob
+
+        assert glob.glob(str(tmp_path / "runs" / "run_*.npy"))
+    finally:
+        ray.kill(spill)
+        ray.kill(plain)
+
+
+def test_unique_shard_spill_seed_and_validation(ray_session, tmp_path):
+    """seed() registers through the spill path, and the flagship validation
+    pipeline finds the same duplicate ids with spill enabled."""
+    import ray
+
+    from polars_genson_ray.stages.unique import UniqueIndexShard
+
+    shard = UniqueIndexShard.remote(
+        spill_dir=str(tmp_path / "seedruns"), resident_limit=16
+    )
+    try:
+        h = np.arange(1, 100, dtype=np.uint64)
+        ray.get(shard.seed.remote(h))
+        assert ray.get(shard.size.remote()) == 99
+        # all previously-seeded hashes answer present across run boundaries
+        assert ray.get(shard.observe.remote("q", h)) == [True] * 99
+    finally:
+        ray.kill(shard)
+
+    from polars_genson_ray.pipelines.validation import (
+        ValidationConfig,
+        run_validation,
+    )
+    from polars_genson_ray.sources.synth import generate_image_table
+
+    img_dir = str(tmp_path / "imgs")
+    generate_image_table(img_dir, num_rows=400, num_fragments=4, dup_rate=0.05)
+    base = run_validation(img_dir, str(tmp_path / "o_plain"))
+    spilled = run_validation(
+        img_dir,
+        str(tmp_path / "o_spill"),
+        config=ValidationConfig(
+            dup_spill_dir=str(tmp_path / "valruns"), dup_resident_limit=32
+        ),
+    )
+    assert spilled.duplicate_image_ids == base.duplicate_image_ids
+    assert len(base.duplicate_image_ids) > 0
+
+
 def test_lance_source_gate_and_parquet_fallback(tmp_path):
     """The Lance reader is import-gated (package absent in this container);
     detection, the fragment-batch iterator, and checkpoint identity are
