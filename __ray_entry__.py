@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": Q.q_token_counts,
         "doc_quality": Q.q_doc_quality,
         "exact_dedup_docs": Q.q_exact_dedup_docs,
+        "jaccard_neardup_docs": Q.q_jaccard_neardup_docs,
         "doc_fingerprints": Q.r_doc_fingerprints,
         "langid_docs": Q.r_langid_docs,
         "minhash_neardup_docs": Q.r_minhash_neardup_docs,
@@ -72,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": Q.r_embedding_neardup,
         # windows / sessions
         "event_windows_hourly": Q.q_event_windows_hourly,
+        "event_windows_sliding": Q.q_event_windows_sliding,
         "sessions": Q.r_sessions,
         # multimodal stages (synthetic codec; rows-only)
         "image_features": Q.r_image_features,
@@ -176,6 +178,33 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": (
             "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text"
         ),
+        "jaccard_neardup_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+                FROM toks WHERE len(w) >= 3
+            ), exploded AS (
+                SELECT doc_id, UNNEST(s) AS g FROM sh
+            ), cand AS (
+                SELECT DISTINCT e1.doc_id AS id_a, e2.doc_id AS id_b
+                FROM exploded e1
+                JOIN exploded e2 ON e1.g = e2.g AND e1.doc_id < e2.doc_id
+            )
+            SELECT c.id_a, c.id_b,
+                   ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+                         / len(list_distinct(list_concat(a.s, b.s))), 4)
+                       AS jaccard
+            FROM cand c
+            JOIN sh a ON c.id_a = a.doc_id
+            JOIN sh b ON c.id_b = b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        """,
         "ann_topk": """
             SELECT vec_id,
                    ROUND(list_cosine_similarity(
@@ -194,6 +223,20 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MIN(value), 2) AS min_value,
                    ROUND(MAX(value), 2) AS max_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "event_windows_sliding": """
+            WITH exp AS (
+                SELECT event_type, value,
+                       UNNEST([time_bucket(INTERVAL 30 MINUTE, ts),
+                               time_bucket(INTERVAL 30 MINUTE, ts)
+                                   - INTERVAL 30 MINUTE]) AS window_start
+                FROM events
+            )
+            SELECT event_type, window_start, COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS sum_value,
+                   ROUND(MIN(value), 2) AS min_value,
+                   ROUND(MAX(value), 2) AS max_value
+            FROM exp GROUP BY event_type, window_start
         """,
         # schema_infer / avro / normalise / fingerprints / langid / minhash /
         # simhash / embedding_neardup / sessions / validation_image_table:

@@ -525,6 +525,33 @@ def q_event_windows_hourly(sf_dir: str):
     return out
 
 
+def q_jaccard_neardup_docs(sf_dir: str):
+    """EXACT near-duplicate pairs (word-trigram Jaccard ≥ 0.8) via the
+    prefix-filtered set-similarity self-join — contrast with the
+    probabilistic minhash path (r_minhash_neardup_docs)."""
+    from ..stages.setjoin import set_similarity_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = set_similarity_join(
+        ds, "text", "doc_id", threshold=0.8, ngram_words=3
+    ).to_pandas()
+    out["jaccard"] = out["jaccard"].round(4)
+    return out.reset_index(drop=True)
+
+
+def q_event_windows_sliding(sf_dir: str):
+    """1-hour windows hopping every 30 minutes (each event lands in 2)."""
+    from ..stages.windows import sliding_window
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = sliding_window(
+        ds, "ts", "event_type", "value", window="1h", hop="30min"
+    ).to_pandas()
+    for c in ("sum_value", "min_value", "max_value"):
+        out[c] = out[c].round(2)
+    return out
+
+
 def r_sessions(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     return session_windows(ds, "ts", "user_id", gap_seconds=1800)

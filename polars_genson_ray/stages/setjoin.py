@@ -1,0 +1,269 @@
+"""Exact set-similarity self-join (prefix-filter / AllPairs family).
+
+Unlike the MinHash path in :mod:`.dedup` (probabilistic candidates,
+signature-estimated Jaccard), this operator is EXACT: it finds every pair
+of documents whose word-n-gram Jaccard similarity meets ``threshold`` —
+no false negatives, verified true Jaccard on every emitted pair. The
+price is carrying each doc's full shingle-hash set through the verify
+phase, so it suits moderate thresholds (≥0.5) where the prefix filter
+prunes hard; below that, MinHash+LSH with a verify pass is the right tool.
+
+Algorithm (Bayardo et al. "Scaling Up All Pairs Similarity Search" /
+Chaudhuri et al. SSJoin — public literature; also the MapReduce layout of
+Vernica et al. 2010):
+
+  1. tokenize:   per batch, each doc → sorted unique uint64 hashes of its
+                 word n-gram shingles (one narrow (id, blob) dataset).
+  2. prefix:     a pair with Jaccard ≥ t must share a shingle within each
+                 doc's PREFIX of length ``n - ceil(t*n) + 1`` under any
+                 fixed global total order of the shingle universe (we use
+                 the hash value itself — uniform, so prefixes spread
+                 evenly). Emit only (prefix_shingle, id) rows — ids, never
+                 payload, cross this exchange.
+  3. candidates: bucket the shingle hash (bucket count scaled to data /
+                 cluster, as everywhere else), groupby bucket, vectorized
+                 within-bucket pair generation for rows sharing the exact
+                 shingle; dedup pairs with the size-adaptive exchange
+                 shared with MinHash (:func:`.dedup.dedup_pair_dataset`).
+  4. verify:     attach each side's shingle blob to the pair and compute
+                 true Jaccard (sorted-array intersection). Small token
+                 tables broadcast via ``ray.put`` (one object-store copy,
+                 shared-memory reads per task); large ones attach via two
+                 ``Dataset.join`` passes keyed by id — pairs are the
+                 *reduced* output, so both joins are narrow.
+
+Scale notes: step 2's row count is ``(1-t)·|shingles|`` per doc; step 3
+groups are per-distinct-shingle (bounded by doc frequency of that
+shingle — the classic hot key here is a stopword n-gram, which the
+prefix filter already biases against since hot shingles are no more
+likely to be prefix members under hash order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import _derive_num_buckets, dedup_pair_dataset
+from .sketches import hash_strings
+
+
+def word_ngram_hashes(text: str | None, n: int = 3) -> np.ndarray:
+    """Sorted unique uint64 hashes of lowercased word n-grams. Docs with
+    fewer than ``n`` words have no shingles (empty array) and never join —
+    mirrors the SQL formulation ``WHERE len(words) >= n``."""
+    words = text.lower().split() if text else []
+    if len(words) < n:
+        return np.zeros(0, dtype=np.uint64)
+    grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    return np.unique(hash_strings(grams))
+
+
+class ShingleTokens:
+    """map_batches: (id, text) → (id, shingles: binary blob of the sorted
+    unique uint64 shingle hashes, n_shingles)."""
+
+    def __init__(self, column: str, id_column: str, ngram_words: int = 3):
+        self.column = column
+        self.id_column = id_column
+        self.n = ngram_words
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.column].to_pylist()
+        blobs = [word_ngram_hashes(t, self.n) for t in texts]
+        return pa.table(
+            {
+                self.id_column: batch[self.id_column],
+                "shingles": pa.array([b.tobytes() for b in blobs], pa.binary()),
+                "n_shingles": pa.array(
+                    [len(b) for b in blobs], pa.int32()
+                ),
+            }
+        )
+
+
+def _prefix_len(n: int, threshold: float) -> int:
+    # prefix-filter bound: sharing NO prefix element implies the overlap is
+    # at most n - p < ceil(t*n) <= |A∩B| required by J >= t — contradiction
+    return n - int(np.ceil(threshold * n)) + 1
+
+
+class PrefixExplode:
+    """map_batches: token rows → (shingle: int64, id) rows for each doc's
+    prefix shingles only."""
+
+    def __init__(self, id_column: str, threshold: float):
+        self.id_column = id_column
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_column]
+        blobs = batch["shingles"].to_pylist()
+        counts = batch["n_shingles"].to_numpy()
+        out_sh: list[np.ndarray] = []
+        rep_idx: list[int] = []
+        for i, (blob, n) in enumerate(zip(blobs, counts.tolist())):
+            if n == 0:
+                continue
+            p = _prefix_len(n, self.threshold)
+            # blob is sorted ascending = the global (hash) order
+            out_sh.append(np.frombuffer(blob, dtype=np.uint64, count=p))
+            rep_idx.extend([i] * p)
+        if not out_sh:
+            return pa.table(
+                {
+                    "shingle": pa.array([], pa.int64()),
+                    self.id_column: pa.array([], ids.type),
+                }
+            )
+        sh = np.concatenate(out_sh).astype(np.int64)
+        return pa.table(
+            {
+                "shingle": pa.array(sh, pa.int64()),
+                self.id_column: ids.take(pa.array(rep_idx, pa.int32())),
+            }
+        )
+
+
+def _pair_jaccard(blob_a: bytes, blob_b: bytes) -> float:
+    a = np.frombuffer(blob_a, dtype=np.uint64)
+    b = np.frombuffer(blob_b, dtype=np.uint64)
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    return inter / (len(a) + len(b) - inter)
+
+
+def set_similarity_join(
+    ds,
+    column: str,
+    id_column: str,
+    *,
+    threshold: float = 0.8,
+    ngram_words: int = 3,
+    num_buckets: int | None = None,
+    approx_rows: int | None = None,
+    broadcast_limit: int = 500_000,
+    batch_size: int = 4096,
+):
+    """All pairs (id_a < id_b) with exact word-``ngram_words``-gram Jaccard
+    ≥ ``threshold``. Returns a Dataset of (id_a, id_b, jaccard).
+
+    ``broadcast_limit``: token-table row bound under which the verify phase
+    broadcasts the (id → shingle blob) map via ``ray.put``; above it the
+    blobs attach with two ``Dataset.join`` passes instead (see module
+    docstring).
+    """
+    import pandas as pd
+
+    import ray
+
+    if num_buckets is None:
+        num_buckets = _derive_num_buckets(approx_rows)
+
+    tokens = ds.select_columns([id_column, column]).map_batches(
+        ShingleTokens(column, id_column, ngram_words),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    # tokens feed both the candidate and verify phases — materialize once
+    # (narrow: id + hash blob, never the text)
+    tokens = tokens.materialize()
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        bucket = pc.cast(
+            pc.bit_wise_and(batch["shingle"], num_buckets - 1), pa.int32()
+        )
+        return batch.append_column("__bucket", bucket)
+
+    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # rows sharing the exact shingle value are candidates; same ragged
+        # all-pairs shape as dedup.minhash_lsh_pairs.emit_pairs
+        empty = pd.DataFrame({"id_a": [], "id_b": []})
+        g = group[group.duplicated("shingle", keep=False)]
+        if g.empty:
+            return empty
+        g = g.sort_values(["shingle", id_column], kind="mergesort")
+        ids = g[id_column].to_numpy()
+        sh = g["shingle"].to_numpy()
+        boundary = np.flatnonzero(np.concatenate(([True], sh[1:] != sh[:-1])))
+        counts = np.diff(np.concatenate((boundary, [len(g)])))
+        pair_i, pair_j = [], []
+        for s, k in zip(boundary.tolist(), counts.tolist()):
+            if k < 2:
+                continue
+            ii, jj = np.triu_indices(k, 1)
+            pair_i.append(ii + s)
+            pair_j.append(jj + s)
+        if not pair_i:
+            return empty
+        I = np.concatenate(pair_i)
+        J = np.concatenate(pair_j)
+        keep = ids[I] != ids[J]
+        return pd.DataFrame({"id_a": ids[I[keep]], "id_b": ids[J[keep]]})
+
+    candidates = dedup_pair_dataset(
+        tokens.map_batches(PrefixExplode(id_column, threshold),
+                           batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(emit_pairs, batch_format="pandas"),
+        value_columns=[],
+    )
+
+    n_tokens = tokens.count()
+    if n_tokens <= broadcast_limit:
+        blob_map = {
+            r[id_column]: r["shingles"] for r in tokens.take_all()
+        }
+        blob_ref = ray.put(blob_map)
+
+        def verify(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame(
+                    {"id_a": [], "id_b": [],
+                     "jaccard": pd.Series([], dtype=float)}
+                )
+            blobs = ray.get(blob_ref)  # shared-memory read per task
+            jac = np.fromiter(
+                (_pair_jaccard(blobs[a], blobs[b])
+                 for a, b in zip(df["id_a"], df["id_b"])),
+                count=len(df), dtype=np.float64,
+            )
+            out = df.assign(jaccard=jac)
+            return out[out["jaccard"] >= threshold]
+
+        return candidates.map_batches(verify, batch_format="pandas")
+
+    # large token tables: repartition-join the blobs onto the pair rows
+    # (pairs are the reduced output — both joins are narrow)
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    nparts = max(4, cpus // 2)
+    side_a = candidates.join(
+        tokens.select_columns([id_column, "shingles"]),
+        join_type="inner", num_partitions=nparts,
+        on=("id_a",), right_on=(id_column,),
+    ).rename_columns({"shingles": "blob_a"})
+    both = side_a.join(
+        tokens.select_columns([id_column, "shingles"]),
+        join_type="inner", num_partitions=nparts,
+        on=("id_b",), right_on=(id_column,),
+    ).rename_columns({"shingles": "blob_b"})
+
+    def verify_joined(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "jaccard": pd.Series([], dtype=float)}
+            )
+        jac = np.fromiter(
+            (_pair_jaccard(a, b) for a, b in zip(df["blob_a"], df["blob_b"])),
+            count=len(df), dtype=np.float64,
+        )
+        out = df.assign(jaccard=jac)
+        return out.loc[out["jaccard"] >= threshold, ["id_a", "id_b", "jaccard"]]
+
+    return both.map_batches(verify_joined, batch_format="pandas")

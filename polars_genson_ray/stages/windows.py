@@ -47,6 +47,54 @@ def tumbling_window(
     )
 
 
+def sliding_window(
+    ds,
+    ts_column: str,
+    key_column: str,
+    value_column: str,
+    *,
+    window: str = "1h",
+    hop: str = "30min",
+    small: bool = True,
+):
+    """Hopping/sliding windows: size ``window``, advancing by ``hop``
+    (``window`` must be a multiple of ``hop``). Each event belongs to
+    ``window/hop`` overlapping windows; the expansion happens per batch
+    (k small copies, each immediately pre-aggregated), so only per-(key,
+    window_start) partials — not replicated events — cross the exchange.
+    Same combine shape as :func:`tumbling_window`.
+    """
+    w, h = pd.Timedelta(window), pd.Timedelta(hop)
+    k, rem = divmod(w, h)
+    if rem != pd.Timedelta(0):
+        raise ValueError(f"window {window} must be a multiple of hop {hop}")
+    k = int(k)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[ts_column, key_column, value_column]].copy()
+        base = batch[ts_column].dt.floor(hop)
+        frames = []
+        for i in range(k):
+            f = batch[[key_column, value_column]].copy()
+            f["window_start"] = base - i * h
+            frames.append(f)
+        rep = pd.concat(frames, ignore_index=True)
+        return rep.groupby([key_column, "window_start"], as_index=False).agg(
+            n=(value_column, "size"),
+            sum_value=(value_column, "sum"),
+            min_value=(value_column, "min"),
+            max_value=(value_column, "max"),
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return combine_partials(
+        partials,
+        [key_column, "window_start"],
+        {"n": "sum", "sum_value": "sum", "min_value": "min", "max_value": "max"},
+        small=small,
+    )
+
+
 def session_windows(
     ds,
     ts_column: str,

@@ -244,6 +244,78 @@ def test_minhash_finds_near_duplicates(ray_session):
     assert ngram_jaccard(base, near) > 0.6 > ngram_jaccard(base, far)
 
 
+def _brute_force_jaccard_pairs(texts: dict, threshold: float, n: int = 3):
+    from polars_genson_ray.stages.setjoin import word_ngram_hashes
+
+    sets = {i: set(word_ngram_hashes(t, n).tolist()) for i, t in texts.items()}
+    out = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            if not a or not b:
+                continue
+            j = len(a & b) / len(a | b)
+            if j >= threshold:
+                out[(ids[x], ids[y])] = round(j, 6)
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.7, 0.9])
+def test_set_similarity_join_exact_vs_brute_force(ray_session, threshold):
+    """The prefix filter must have NO false negatives at any threshold —
+    this differential vs all-pairs brute force is the guard against
+    prefix-length off-by-ones."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.setjoin import set_similarity_join
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = {}
+    for i in range(60):
+        words = rng.choice(vocab, size=int(rng.integers(5, 30))).tolist()
+        texts[i] = " ".join(words)
+    # plant near-dups at varying overlap
+    for i, keep in ((60, 0.95), (61, 0.8), (62, 0.6), (63, 0.4)):
+        base = texts[0].split()
+        cut = int(len(base) * keep)
+        texts[i] = " ".join(base[:cut] + ["zz"] * (len(base) - cut))
+    df = pd.DataFrame(
+        {"doc_id": list(texts), "text": [texts[i] for i in texts]}
+    )
+    got = set_similarity_join(
+        rd.from_pandas(df), "text", "doc_id", threshold=threshold
+    ).take_all()
+    got_pairs = {(r["id_a"], r["id_b"]): round(r["jaccard"], 6) for r in got}
+    assert got_pairs == _brute_force_jaccard_pairs(texts, threshold)
+
+
+def test_set_similarity_join_large_path_matches_broadcast(ray_session):
+    """broadcast_limit=0 forces the Dataset.join verify path; results must
+    equal the broadcast path."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.setjoin import set_similarity_join
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [base, base.replace("zeta", "zz"), "unrelated words only here now",
+             base + " extra tail words", "alpha beta gamma"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = rd.from_pandas(df)
+    small = {(r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+             for r in set_similarity_join(ds, "text", "doc_id",
+                                          threshold=0.5).take_all()}
+    large = {(r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+             for r in set_similarity_join(ds, "text", "doc_id", threshold=0.5,
+                                          broadcast_limit=0).take_all()}
+    assert small == large and len(small) > 0
+
+
 def test_brute_force_topk(ray_session):
     import pandas as pd
 

@@ -126,6 +126,8 @@ def test_oracle_keys_subset_of_queries(entry_module):
         "exact_dedup_docs",
         "ann_topk",
         "event_windows_hourly",
+        "event_windows_sliding",
+        "jaccard_neardup_docs",
     ],
 )
 def test_query_matches_oracle(entry_module, duck, name):
