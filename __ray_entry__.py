@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins
         "nation_revenue": Q.q_nation_revenue,
         "customer_order_join": Q.q_customer_order_join,
+        "events_asof_orders": Q.q_events_asof_orders,
         # JSON / schema-inference ops
         "json_extract_props": Q.q_json_extract_props,
         "schema_infer_events_props": Q.r_schema_infer_events_props,
@@ -132,6 +133,19 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_join": """
             SELECT o.o_orderkey, o.o_totalprice, c.c_name
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "events_asof_orders": """
+            WITH r AS (
+                SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+                FROM orders
+                QUALIFY row_number() OVER (
+                    PARTITION BY o_custkey, o_orderdate
+                    ORDER BY o_orderkey DESC) = 1
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   r.o_orderdate, r.o_orderkey, r.o_totalprice
+            FROM events e
+            ASOF JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
         """,
         "sessions": """
             WITH flagged AS (

@@ -525,6 +525,28 @@ def q_event_windows_hourly(sf_dir: str):
     return out
 
 
+def q_events_asof_orders(sf_dir: str):
+    """Point-in-time enrichment: each event joined to the user's most
+    recent order at event time (distributed as-of join; oracle is
+    DuckDB's native ASOF JOIN)."""
+    from ..stages.asof import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    return asof_join(
+        events,
+        orders,
+        key="user_id",
+        ts="ts",
+        right_key="o_custkey",
+        right_ts="o_orderdate",
+        right_values=["o_orderkey", "o_totalprice"],
+        dedup_right_by="o_orderkey",
+    )
+
+
 def q_jaccard_neardup_docs(sf_dir: str):
     """EXACT near-duplicate pairs (word-trigram Jaccard ≥ 0.8) via the
     prefix-filtered set-similarity self-join — contrast with the

@@ -316,6 +316,54 @@ def test_set_similarity_join_large_path_matches_broadcast(ray_session):
     assert small == large and len(small) > 0
 
 
+def test_asof_join_semantics(ray_session):
+    """Backward as-of semantics vs a hand-computed expectation: greatest
+    right ts <= left ts per key; no-match rows dropped; right ties broken
+    by dedup_right_by max."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.asof import asof_join
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [10, 10, 20, 30],
+            "ts": pd.to_datetime(
+                ["2024-01-05", "2024-01-20", "2024-01-10", "2024-01-10"]
+            ),
+        }
+    )
+    od = pd.DataFrame(
+        {
+            "o_orderkey": [100, 101, 102, 103, 104],
+            "o_custkey": [10, 10, 10, 20, 20],
+            "o_orderdate": pd.to_datetime(
+                # two orders for user 10 on 01-03 (tie → keep key 101);
+                # user 20's only order is AFTER its event (no match);
+                # user 30 has no orders at all
+                ["2024-01-03", "2024-01-03", "2024-01-15", "2024-01-12", "2024-01-12"]
+            ),
+            "o_totalprice": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    out = asof_join(
+        rd.from_pandas(ev),
+        rd.from_pandas(od),
+        key="user_id",
+        ts="ts",
+        right_key="o_custkey",
+        right_ts="o_orderdate",
+        right_values=["o_orderkey", "o_totalprice"],
+        dedup_right_by="o_orderkey",
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert out["event_id"].tolist() == [1, 2]
+    assert out["o_orderkey"].tolist() == [101, 102]
+    assert out["o_totalprice"].tolist() == [2.0, 3.0]
+    assert str(out["o_orderkey"].dtype) == "int64"  # upcast undone
+
+
 def test_brute_force_topk(ray_session):
     import pandas as pd
 

@@ -128,6 +128,7 @@ def test_oracle_keys_subset_of_queries(entry_module):
         "event_windows_hourly",
         "event_windows_sliding",
         "jaccard_neardup_docs",
+        "events_asof_orders",
     ],
 )
 def test_query_matches_oracle(entry_module, duck, name):
