@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "normalise_events_props",
     "exact_dedup_docs",
     "minhash_neardup_docs",
+    "jaccard_neardup_docs",
+    "events_asof_orders",
     "token_counts",
     "ann_topk",
     "nation_revenue",
@@ -102,13 +104,14 @@ def run_bench() -> dict:
     import shutil
     import tempfile
 
-    # Two interleaved passes, per-query minimum: this host steals CPU in
+    # Interleaved passes, per-query minimum: this host steals CPU in
     # bursts (identical suites measured 13 s and 78 s an hour apart with
     # zero local load), so a single-sample suite time measures the host's
-    # mood, not the engine. The per-query minimum of two passes is the
-    # engine measurement; pass 2 is also the honest warm number (pass 1
-    # carries any remaining first-touch costs).
-    for _pass in range(2):
+    # mood, not the engine. The per-query minimum across passes is the
+    # engine measurement; later passes are also the honest warm numbers
+    # (pass 1 carries any remaining first-touch costs). Three passes
+    # because a steal burst comfortably outlives one full pass.
+    for _pass in range(int(os.environ.get("GRAFT_BENCH_PASSES", "3"))):
         out_dir = tempfile.mkdtemp(prefix="pgr_bench_val_")
         t0 = time.perf_counter()
         run_validation(img_dir, out_dir, resume=False)
@@ -126,7 +129,7 @@ def run_bench() -> dict:
 
     total = sum(timings.values())
     out = {
-        "metric": "headline pipeline suite wall time (validation + operator queries; per-query best-of-2 interleaved passes)",
+        "metric": "headline pipeline suite wall time (validation + operator queries; per-query best-of-N interleaved passes)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},

@@ -531,10 +531,15 @@ def q_events_asof_orders(sf_dir: str):
     DuckDB's native ASOF JOIN)."""
     from ..stages.asof import asof_join
 
-    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    orders = _read(
-        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
-    )
+    ev_cols = ["event_id", "user_id", "ts"]
+    od_cols = ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    events = _read(sf_dir, "events", ev_cols)
+    orders = _read(sf_dir, "orders", od_cols)
+
+    def _footer(table: str, cols: list[str]) -> "pa.Schema":
+        s = pq.read_schema(_t(sf_dir, table))
+        return pa.schema([s.field(c) for c in cols])
+
     return asof_join(
         events,
         orders,
@@ -544,6 +549,8 @@ def q_events_asof_orders(sf_dir: str):
         right_ts="o_orderdate",
         right_values=["o_orderkey", "o_totalprice"],
         dedup_right_by="o_orderkey",
+        left_schema=_footer("events", ev_cols),
+        right_schema=_footer("orders", od_cols),
     )
 
 

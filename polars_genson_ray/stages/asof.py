@@ -45,6 +45,8 @@ def asof_join(
     dedup_right_by: str | None = None,
     num_buckets: int | None = None,
     approx_rows: int | None = None,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ):
     """As-of join ``left`` to ``right``. Returns a Dataset with all of
     ``left``'s columns plus ``right_values`` (and ``right_ts``) from the
@@ -56,13 +58,21 @@ def asof_join(
     post-shuffle, inside the bucket, so it costs no extra exchange — and
     the join is deterministic (SQL equivalent: ``QUALIFY row_number()
     OVER (PARTITION BY key, ts ORDER BY col DESC) = 1``)."""
-    left_schema = left.schema()
-    right_schema = right.schema()
+    # Dataset.schema() executes a limit-1 probe per side when maps precede
+    # it; callers that know their parquet footer schemas pass them instead
+    if left_schema is None:
+        left_schema = pa.schema(
+            list(zip(left.schema().names, left.schema().types))
+        )
+    if right_schema is None:
+        right_schema = pa.schema(
+            list(zip(right.schema().names, right.schema().types))
+        )
     left_cols = list(left_schema.names)
     if key not in left_cols or ts not in left_cols:
         raise ValueError(f"left must contain {key!r} and {ts!r}")
-    lt = dict(zip(left_schema.names, left_schema.types))
-    rt = dict(zip(right_schema.names, right_schema.types))
+    lt = {f.name: f.type for f in left_schema}
+    rt = {f.name: f.type for f in right_schema}
     carry = [c for c in left_cols if c != key]
     out_right = [right_ts] + list(right_values)
     # one unified Arrow schema for both sides (explicit — unioning pandas
