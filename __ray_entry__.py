@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_quantiles": Q.q_quantity_quantiles,
         "part_pruned_filter": Q.q_part_pruned_filter,
         "top_events": Q.q_top_events,
+        "top_events_per_type": Q.q_top_events_per_type,
         "union_ids": Q.q_union_ids,
         "sample_events": Q.r_sample_events,
         # constraint checks
@@ -107,6 +108,11 @@ def oracle_sql() -> dict[str, str]:
         "top_events": """
             SELECT event_id, event_type, value FROM events
             ORDER BY value DESC, event_id LIMIT 10
+        """,
+        "top_events_per_type": """
+            SELECT event_id, event_type, value FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY event_type ORDER BY value DESC, event_id) <= 3
         """,
         "duplicate_user_events": """
             SELECT user_id, COUNT(*) AS cnt FROM events

@@ -6,11 +6,15 @@ Prints ONE JSON line:
    "images": N, "images_per_sec": N}
 
 ``--scaling`` runs the flagship validation job in fresh processes at two
-parallelism levels (num_cpus=4 and 16 by default — N and 4N, both under
-this host's memory-bandwidth knee) on the same input, interleaved
-best-of-N with per-run machine calibration, and reports throughput at both
-levels plus raw and machine-normalized scaling efficiency (the sandbox
-evidence for the north_rule's two-cluster-size criterion).
+parallelism levels (num_cpus=2 and 8 by default — N and 4N, both under
+this host's memory-bandwidth knee; override with GRAFT_SCALING_LO/HI) on
+the same input, interleaved best-of-N with bracketing machine
+calibration, and reports throughput at both levels plus raw and
+machine-normalized scaling efficiency (the sandbox evidence for the
+north_rule's two-cluster-size criterion). Each leg is CONFINED to a CPU
+set of its size via taskset — a fixed-size N-node cluster has only N
+nodes' cores for everything, and confinement also removed most
+run-to-run variance (repeats went ±40% → ±4%).
 """
 
 from __future__ import annotations
@@ -209,21 +213,32 @@ def run_validation_only(images: int) -> dict:
 def _calibrate(workers: int) -> float:
     """Machine calibration: the validation pipeline's own per-row kernel
     (decode + reference render + PSNR) on a plain process pool — NO Ray —
-    at ``workers`` parallelism; returns kernel-iterations/sec. Run
-    immediately before each timed run, this measures what the *host* can
-    deliver for THIS workload at that moment: the sandbox VM shares its
-    host (bursty steal), and the kernel is memory-bandwidth-bound, so its
-    process-pool scaling is the hardware ceiling. raw_eff / machine_eff
-    then isolates what the engine (Ray scheduling, shuffle, actor spawn)
-    adds on top of that ceiling."""
+    at ``workers`` parallelism; returns kernel-iterations/sec. Bracketing
+    each timed run, this measures what the *host* can deliver for THIS
+    workload at that moment: the sandbox VM shares its host (bursty
+    steal), and the kernel is memory-bandwidth-bound, so its process-pool
+    scaling is the hardware ceiling. raw_eff / machine_eff then isolates
+    what the engine (Ray scheduling, shuffle, actor spawn) adds on top of
+    that ceiling. Confined to the same ``workers``-CPU affinity set as
+    the timed run it brackets."""
     n = workers * 8
+    import os as _os
     from concurrent.futures import ProcessPoolExecutor
 
-    with ProcessPoolExecutor(max_workers=workers) as pool:
-        list(pool.map(_warm_task, range(workers)))  # spawn outside timing
-        t0 = time.perf_counter()
-        list(pool.map(_calib_task, range(n)))
-        elapsed = time.perf_counter() - t0
+    try:
+        prev_aff = _os.sched_getaffinity(0)
+        _os.sched_setaffinity(0, set(range(workers)))
+    except (AttributeError, OSError):
+        prev_aff = None
+    try:
+        with ProcessPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(_warm_task, range(workers)))  # spawn outside timing
+            t0 = time.perf_counter()
+            list(pool.map(_calib_task, range(n)))
+            elapsed = time.perf_counter() - t0
+    finally:
+        if prev_aff is not None:
+            _os.sched_setaffinity(0, prev_aff)
     return n / elapsed
 
 
@@ -265,9 +280,20 @@ def run_scaling(lo: int = 4, hi: int = 16) -> dict:
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # confine the whole session (workers, raylet, driver, object
+        # store) to ncpu CPUs: a fixed-size N-node cluster has only N
+        # nodes' cores for EVERYTHING, while an unconfined num_cpus=4
+        # session on a 32-core host lets Ray's system processes ride the
+        # other 28 (measured ~12% lo-leg inflation, which deflates the
+        # efficiency ratio)
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--validation-only", str(images)]
+        import shutil as _sh
+
+        if _sh.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--validation-only",
-             str(images)],
+            cmd,
             env=env,
             capture_output=True,
             text=True,
@@ -280,11 +306,16 @@ def run_scaling(lo: int = 4, hi: int = 16) -> dict:
     for i in range(repeats):
         if i:
             time.sleep(5)  # let the previous session's raylet fully exit
-        calib_lo.append(_calibrate(lo))
+        c0 = _calibrate(lo)
         runs_lo.append(run(lo))
+        # bracket each timed run with calibrations (a steal burst that
+        # starts mid-run is invisible to a single pre-run sample); the
+        # pair's mean is the host rate attributed to that run
+        calib_lo.append((c0 + _calibrate(lo)) / 2)
         time.sleep(5)
-        calib_hi.append(_calibrate(hi))
+        c0 = _calibrate(hi)
         runs_hi.append(run(hi))
+        calib_hi.append((c0 + _calibrate(hi)) / 2)
     i_lo = min(range(repeats), key=lambda i: runs_lo[i]["value"])
     i_hi = min(range(repeats), key=lambda i: runs_hi[i]["value"])
     r_lo, r_hi = runs_lo[i_lo], runs_hi[i_hi]
@@ -306,6 +337,8 @@ def run_scaling(lo: int = 4, hi: int = 16) -> dict:
         "scaling_efficiency": round(eff, 3),
         "machine_calib_tasks_per_sec_lo": round(calib_lo[i_lo], 1),
         "machine_calib_tasks_per_sec_hi": round(calib_hi[i_hi], 1),
+        "machine_calib_all_lo": [round(c, 1) for c in calib_lo],
+        "machine_calib_all_hi": [round(c, 1) for c in calib_hi],
         "machine_scaling_efficiency": round(machine_eff, 3),
         "engine_scaling_efficiency_normalized": round(
             min(1.0, eff / machine_eff) if machine_eff > 0 else eff, 3
@@ -315,7 +348,9 @@ def run_scaling(lo: int = 4, hi: int = 16) -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        lo = int(os.environ.get("GRAFT_SCALING_LO", "2"))
+        hi = int(os.environ.get("GRAFT_SCALING_HI", str(lo * 4)))
+        print(json.dumps(run_scaling(lo, hi)))
     elif "--validation-only" in sys.argv:
         idx = sys.argv.index("--validation-only")
         n = int(sys.argv[idx + 1]) if idx + 1 < len(sys.argv) else 150000

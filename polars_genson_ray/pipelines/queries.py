@@ -525,6 +525,17 @@ def q_event_windows_hourly(sf_dir: str):
     return out
 
 
+def q_top_events_per_type(sf_dir: str):
+    """Grouped top-k: the 3 highest-value events per event_type (partial
+    per batch, tiny final combine — no global sort)."""
+    from ..stages.aggregate import grouped_topk
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return grouped_topk(
+        ds, "event_type", "value", 3, tie_columns=("event_id",)
+    ).select_columns(["event_id", "event_type", "value"])
+
+
 def q_events_asof_orders(sf_dir: str):
     """Point-in-time enrichment: each event joined to the user's most
     recent order at event time (distributed as-of join; oracle is

@@ -62,3 +62,40 @@ def combine_partials(
 
     aggs = [_RAY_COMBINERS[fn](c, alias_name=c) for c, fn in agg_map.items()]
     return partials.groupby(keys).aggregate(*aggs)
+
+
+def grouped_topk(
+    ds,
+    key_column: str,
+    value_column: str,
+    k: int,
+    *,
+    tie_columns: tuple = (),
+    small: bool = True,
+):
+    """Per-key top-``k`` rows by ``value_column`` descending (ties broken by
+    ``tie_columns`` ascending — pass a unique column for determinism).
+
+    Same partial+final shape as :func:`combine_partials`: each batch
+    reduces to ≤ ``k`` rows per key it contains, so the exchange carries
+    ``n_blocks × n_keys × k`` rows, never the dataset. ``small=True``
+    finishes in one coalesced task (bounded key sets); ``small=False``
+    finishes under a keyed groupby (data-scaled key sets)."""
+    sort_cols = [value_column, *tie_columns]
+    ascending = [False] + [True] * len(tie_columns)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return (
+            df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+            .groupby(key_column, as_index=False, sort=False)
+            .head(k)
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    if small:
+        return parts.repartition(1).map_batches(
+            partial, batch_format="pandas", batch_size=None
+        )
+    return parts.groupby(key_column).map_groups(partial, batch_format="pandas")

@@ -316,6 +316,39 @@ def test_set_similarity_join_large_path_matches_broadcast(ray_session):
     assert small == large and len(small) > 0
 
 
+def test_grouped_topk_small_and_large_paths(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.aggregate import grouped_topk
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(500),
+            "key": rng.choice(list("abcd"), size=500),
+            "v": rng.standard_normal(500).round(6),
+        }
+    )
+    exp = (
+        df.sort_values(["v", "id"], ascending=[False, True])
+        .groupby("key")
+        .head(3)
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    ds = rd.from_pandas(df).repartition(8)  # partials really fan out
+    for small in (True, False):
+        got = (
+            grouped_topk(ds, "key", "v", 3, tie_columns=("id",), small=small)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
 def test_asof_join_semantics(ray_session):
     """Backward as-of semantics vs a hand-computed expectation: greatest
     right ts <= left ts per key; no-match rows dropped; right ties broken
