@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # JSON / schema-inference ops
         "json_extract_props": Q.q_json_extract_props,
         "schema_infer_events_props": Q.r_schema_infer_events_props,
+        "schema_infer_props_by_type": Q.r_schema_infer_props_by_type,
         "avro_schema_events_props": Q.r_avro_schema_events_props,
         "normalise_events_props": Q.r_normalise_events_props,
         "decode_props_typed": Q.q_decode_props_typed,

@@ -352,6 +352,17 @@ def r_schema_infer_events_props(sf_dir: str):
     )
 
 
+def r_schema_infer_props_by_type(sf_dir: str):
+    """Per-event-type merged schemas (keyed monoid reduce; rows-only —
+    per-group equivalence vs sequential inference is unit-tested)."""
+    from ..stages.infer import grouped_schema_infer
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    return grouped_schema_infer(
+        ds, "event_type", "props", SchemaInferenceConfig()
+    )
+
+
 def r_avro_schema_events_props(sf_dir: str):
     ds = _read(sf_dir, "events", ["props"])
     result = infer_schema_distributed(

@@ -140,6 +140,74 @@ def reduce_partials(
     )
 
 
+def grouped_schema_infer(
+    ds,
+    key_column: str,
+    column: str,
+    config: SchemaInferenceConfig | None = None,
+    *,
+    batch_size: int = 8192,
+    small: bool = True,
+):
+    """Per-key merged schemas: one genson schema per distinct value of
+    ``key_column`` (the north-star's "per-partition schemas reduced with
+    groupby-aggregate", keyed by a column instead of the input fragment).
+
+    Same monoid shape as :func:`infer_schema_distributed`, keyed: each
+    batch emits one partial-schema row PER KEY it contains, so the
+    exchange carries ``n_blocks × n_keys`` tiny schema rows — never the
+    documents. ``small=True`` merges all keys in one coalesced task
+    (bounded key sets); ``small=False`` merges under a keyed groupby.
+    Returns a Dataset of (key, schema_json, processed_docs, invalid_docs).
+    """
+    import pandas as pd
+
+    config = config or SchemaInferenceConfig()
+    fn = SchemaPartialBatch(column, config)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_column, column]).to_pandas()
+        keys, schemas, keysets, invalid = [], [], [], []
+        for k, g in df.groupby(key_column, sort=False):
+            p = fn.compute(g[column].tolist())
+            keys.append(k)
+            schemas.append(p["schema_json"])
+            keysets.append(p["keys"])
+            invalid.append(p["invalid"])
+        return pa.table(
+            {
+                key_column: pa.array(keys),
+                "schema_json": pa.array(schemas, pa.large_string()),
+                "keys": pa.array(keysets, pa.list_(pa.large_string())),
+                "invalid": pa.array(invalid, pa.int64()),
+            }
+        )
+
+    parts = ds.select_columns([key_column, column]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in df.groupby(key_column, sort=False):
+            res = reduce_partials(g.to_dict("records"), config)
+            rows.append(
+                {
+                    key_column: k,
+                    "schema_json": json.dumps(res.schema, sort_keys=True),
+                    "processed_docs": res.processed_count,
+                    "invalid_docs": res.invalid_count,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    if small:
+        return parts.repartition(1).map_batches(
+            combine, batch_format="pandas", batch_size=None
+        )
+    return parts.groupby(key_column).map_groups(combine, batch_format="pandas")
+
+
 def infer_schema_distributed(
     ds,
     column: str,

@@ -59,3 +59,42 @@ def test_distributed_matches_sequential(ray_session, batch_size, config_kwargs):
     )
     assert json.dumps(got.schema) == json.dumps(expected.schema)
     assert got.processed_count == expected.processed_count
+
+
+@pytest.mark.parametrize("small", [True, False])
+def test_grouped_schema_infer_matches_per_group_sequential(ray_session, small):
+    """Keyed variant: each key's merged schema must equal the sequential
+    inference over just that key's documents, for both finish paths."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.infer import grouped_schema_infer
+
+    groups = {
+        "click": DOCS[:20],
+        "view": DOCS[20:33],
+        "scroll": ['{"depth": 1}', '{"depth": 2.5, "el": "div"}'] * 5,
+    }
+    rows = [(k, d) for k, docs in groups.items() for d in docs]
+    df = pd.DataFrame(rows, columns=["event_type", "props"])
+    config = SchemaInferenceConfig()
+    out = (
+        grouped_schema_infer(
+            rd.from_pandas(df).repartition(6),
+            "event_type",
+            "props",
+            config,
+            batch_size=4,
+            small=small,
+        )
+        .to_pandas()
+        .set_index("event_type")
+    )
+    assert sorted(out.index) == sorted(groups)
+    for k, docs in groups.items():
+        expected = infer_json_schema_from_strings(docs, config)
+        assert out.loc[k, "schema_json"] == json.dumps(
+            expected.schema, sort_keys=True
+        )
+        assert out.loc[k, "processed_docs"] == expected.processed_count

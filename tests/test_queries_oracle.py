@@ -144,6 +144,7 @@ def test_query_matches_oracle(entry_module, duck, name):
     "name",
     [
         "schema_infer_events_props",
+        "schema_infer_props_by_type",
         "avro_schema_events_props",
         "normalise_events_props",
         "doc_fingerprints",
