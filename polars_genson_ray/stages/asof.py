@@ -120,11 +120,14 @@ def asof_join(
             cols[c] = batch[c]
         return pa.table(cols, schema=unified)
 
+    # coarse batches: the tagged rows feed an AllToAll sort whose cost is
+    # dominated by block COUNT at this row width (measured: 144 ~1.4k-row
+    # blocks → 2.3 s sort; coalescing to ~16k-row blocks halves it)
     tagged = left.select_columns(left_cols).map_batches(
-        tag_left, batch_format="pyarrow"
+        tag_left, batch_format="pyarrow", batch_size=16384
     ).union(
         right.select_columns([right_key] + out_right).map_batches(
-            tag_right, batch_format="pyarrow"
+            tag_right, batch_format="pyarrow", batch_size=16384
         )
     )
 

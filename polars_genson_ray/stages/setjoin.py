@@ -48,6 +48,28 @@ from .dedup import _derive_num_buckets, dedup_pair_dataset
 from .sketches import hash_strings
 
 
+# Horner multiplier combining consecutive word hashes into a gram hash:
+# g[i] = mix(((wh[i]·M) + wh[i+1])·M + wh[i+2] ...) — words hash once,
+# grams never materialize as strings (3× shorter hash inputs, no joins)
+_GRAM_M = np.uint64(0x100000001B3)
+
+
+def _gram_hashes_flat(wh: np.ndarray, n: int) -> np.ndarray:
+    """Gram hashes of every n-window over a flat word-hash array (windows
+    straddling document boundaries are discarded by the caller's gather)."""
+    W = len(wh) - n + 1
+    if W <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    acc = np.zeros(W, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            np.multiply(acc, _GRAM_M, out=acc)
+            np.add(acc, wh[j : j + W], out=acc)
+    from .sketches import hash64
+
+    return hash64(acc)
+
+
 def word_ngram_hashes(text: str | None, n: int = 3) -> np.ndarray:
     """Sorted unique uint64 hashes of lowercased word n-grams. Docs with
     fewer than ``n`` words have no shingles (empty array) and never join —
@@ -55,8 +77,7 @@ def word_ngram_hashes(text: str | None, n: int = 3) -> np.ndarray:
     words = text.lower().split() if text else []
     if len(words) < n:
         return np.zeros(0, dtype=np.uint64)
-    grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-    return np.unique(hash_strings(grams))
+    return np.unique(_gram_hashes_flat(hash_strings(words), n))
 
 
 class ShingleTokens:
@@ -70,13 +91,33 @@ class ShingleTokens:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.column].to_pylist()
-        blobs = [word_ngram_hashes(t, self.n) for t in texts]
+        n = self.n
+        word_lists = [t.lower().split() if t else [] for t in texts]
+        counts = np.fromiter(
+            (len(w) for w in word_lists), count=len(word_lists), dtype=np.int64
+        )
+        all_words = [w for ws in word_lists for w in ws]
+        # ONE string-hash pass for the whole batch, then vectorized Horner
+        # gram combination over the flat array; per-doc slices gathered by
+        # boundary-aware indexing (same shape as MinHasher.signatures) —
+        # bit-identical to word_ngram_hashes per row
+        wh = hash_strings(all_words)
+        flat = _gram_hashes_flat(wh, n)
+        starts = np.concatenate(([0], np.cumsum(counts)))
+        vcounts = np.maximum(counts - n + 1, 0)
+        blobs = []
+        for i, vc in enumerate(vcounts.tolist()):
+            if vc == 0:
+                blobs.append(b"")
+                continue
+            s = starts[i]
+            blobs.append(np.unique(flat[s : s + vc]).tobytes())
         return pa.table(
             {
                 self.id_column: batch[self.id_column],
-                "shingles": pa.array([b.tobytes() for b in blobs], pa.binary()),
+                "shingles": pa.array(blobs, pa.binary()),
                 "n_shingles": pa.array(
-                    [len(b) for b in blobs], pa.int32()
+                    [len(b) // 8 for b in blobs], pa.int32()
                 ),
             }
         )
@@ -204,10 +245,12 @@ def set_similarity_join(
         keep = ids[I] != ids[J]
         return pd.DataFrame({"id_a": ids[I[keep]], "id_b": ids[J[keep]]})
 
+    # coarse batches into the candidate exchange: the bucket groupby is an
+    # AllToAll sort whose cost at this row width is block-count-bound
     candidates = dedup_pair_dataset(
         tokens.map_batches(PrefixExplode(id_column, threshold),
-                           batch_format="pyarrow")
-        .map_batches(add_bucket, batch_format="pyarrow")
+                           batch_format="pyarrow", batch_size=8192)
+        .map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
         .groupby("__bucket")
         .map_groups(emit_pairs, batch_format="pandas"),
         value_columns=[],
