@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_pruned_filter": Q.q_part_pruned_filter,
         "top_events": Q.q_top_events,
         "top_events_per_type": Q.q_top_events_per_type,
+        "quantity_tier_revenue": Q.q_quantity_tier_revenue,
         "union_ids": Q.q_union_ids,
         "sample_events": Q.r_sample_events,
         # constraint checks
@@ -114,6 +115,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type, value FROM events
             QUALIFY row_number() OVER (
                 PARTITION BY event_type ORDER BY value DESC, event_id) <= 3
+        """,
+        "quantity_tier_revenue": """
+            WITH tiers(tier, lo, hi) AS (
+                VALUES ('low', 1, 9), ('mid', 10, 24),
+                       ('high', 25, 39), ('bulk', 40, 50)
+            )
+            SELECT t.tier, COUNT(*) AS n,
+                   ROUND(SUM(l.l_extendedprice), 2) AS revenue
+            FROM lineitem l
+            JOIN tiers t ON l.l_quantity BETWEEN t.lo AND t.hi
+            GROUP BY t.tier
         """,
         "duplicate_user_events": """
             SELECT user_id, COUNT(*) AS cnt FROM events

@@ -536,6 +536,35 @@ def q_event_windows_hourly(sf_dir: str):
     return out
 
 
+def q_quantity_tier_revenue(sf_dir: str):
+    """Broadcast range join: classify lineitems into quantity tiers
+    (no shuffle — vectorized interval lookup per batch) then aggregate."""
+    from ..stages.rangejoin import broadcast_range_join
+
+    tiers = pd.DataFrame(
+        {
+            "tier": ["low", "mid", "high", "bulk"],
+            "lo": [1, 10, 25, 40],
+            "hi": [9, 24, 39, 50],
+        }
+    )
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    tagged = broadcast_range_join(ds, "l_quantity", tiers)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("tier", as_index=False).agg(
+            n=("l_quantity", "size"), revenue=("l_extendedprice", "sum")
+        )
+
+    out = combine_partials(
+        tagged.map_batches(partial, batch_format="pandas"),
+        ["tier"],
+        {"n": "sum", "revenue": "sum"},
+    ).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
 def q_top_events_per_type(sf_dir: str):
     """Grouped top-k: the 3 highest-value events per event_type (partial
     per batch, tiny final combine — no global sort)."""
