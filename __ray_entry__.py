@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_tier_revenue": Q.q_quantity_tier_revenue,
         "union_ids": Q.q_union_ids,
         "sample_events": Q.r_sample_events,
+        "stratified_sample_events": Q.q_stratified_sample_events,
         # constraint checks
         "duplicate_user_events": Q.q_duplicate_user_events,
         "referential_orphans": Q.q_referential_orphans,
@@ -115,6 +116,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type, value FROM events
             QUALIFY row_number() OVER (
                 PARTITION BY event_type ORDER BY value DESC, event_id) <= 3
+        """,
+        "stratified_sample_events": """
+            SELECT event_id, event_type, value FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) <= 5
         """,
         "quantity_tier_revenue": """
             WITH tiers(tier, lo, hi) AS (

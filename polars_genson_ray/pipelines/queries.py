@@ -536,6 +536,17 @@ def q_event_windows_hourly(sf_dir: str):
     return out
 
 
+def q_stratified_sample_events(sf_dir: str):
+    """Deterministic stratified sample: 5 events per event_type by md5(id)
+    priority — reproducible across runs/cluster sizes, SQL-verifiable."""
+    from ..stages.aggregate import stratified_sample
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return stratified_sample(ds, "event_type", "event_id", 5).select_columns(
+        ["event_id", "event_type", "value"]
+    )
+
+
 def q_quantity_tier_revenue(sf_dir: str):
     """Broadcast range join: classify lineitems into quantity tiers
     (no shuffle — vectorized interval lookup per batch) then aggregate."""

@@ -72,9 +72,11 @@ def grouped_topk(
     *,
     tie_columns: tuple = (),
     small: bool = True,
+    ascending: bool = False,
 ):
-    """Per-key top-``k`` rows by ``value_column`` descending (ties broken by
-    ``tie_columns`` ascending — pass a unique column for determinism).
+    """Per-key top-``k`` rows by ``value_column`` descending (``ascending=
+    True`` flips it to bottom-k; ties broken by ``tie_columns`` ascending —
+    pass a unique column for determinism).
 
     Same partial+final shape as :func:`combine_partials`: each batch
     reduces to ≤ ``k`` rows per key it contains, so the exchange carries
@@ -82,7 +84,7 @@ def grouped_topk(
     finishes in one coalesced task (bounded key sets); ``small=False``
     finishes under a keyed groupby (data-scaled key sets)."""
     sort_cols = [value_column, *tie_columns]
-    ascending = [False] + [True] * len(tie_columns)
+    ascending = [ascending] + [True] * len(tie_columns)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -99,3 +101,37 @@ def grouped_topk(
             partial, batch_format="pandas", batch_size=None
         )
     return parts.groupby(key_column).map_groups(partial, batch_format="pandas")
+
+
+def stratified_sample(
+    ds,
+    key_column: str,
+    id_column: str,
+    n_per_key: int,
+    *,
+    small: bool = True,
+):
+    """Deterministic stratified sample: the ``n_per_key`` rows per key with
+    the smallest md5(id) — a stable per-row priority, so the sample is
+    (a) exactly reproducible run-to-run and across cluster sizes,
+    (b) mergeable (bottom-k is a monoid → same partial+final shape as
+    :func:`grouped_topk`), and (c) SQL-verifiable (``ORDER BY
+    md5(CAST(id AS VARCHAR))``), unlike seeded RNG sampling."""
+    import hashlib
+
+    def add_priority(df: pd.DataFrame) -> pd.DataFrame:
+        pri = [
+            hashlib.md5(str(v).encode()).hexdigest() for v in df[id_column]
+        ]
+        return df.assign(__pri=pri)
+
+    out = grouped_topk(
+        ds.map_batches(add_priority, batch_format="pandas"),
+        key_column,
+        "__pri",
+        n_per_key,
+        tie_columns=(id_column,),
+        small=small,
+        ascending=True,
+    )
+    return out.drop_columns(["__pri"])

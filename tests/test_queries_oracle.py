@@ -131,6 +131,7 @@ def test_oracle_keys_subset_of_queries(entry_module):
         "events_asof_orders",
         "top_events_per_type",
         "quantity_tier_revenue",
+        "stratified_sample_events",
     ],
 )
 def test_query_matches_oracle(entry_module, duck, name):
