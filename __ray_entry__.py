@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windows / sessions
         "event_windows_hourly": Q.q_event_windows_hourly,
         "event_windows_sliding": Q.q_event_windows_sliding,
+        "events_value_drift": Q.r_events_value_drift,
         "sessions": Q.r_sessions,
         # multimodal stages (synthetic codec; rows-only)
         "image_features": Q.r_image_features,

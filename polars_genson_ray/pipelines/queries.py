@@ -536,6 +536,66 @@ def q_event_windows_hourly(sf_dir: str):
     return out
 
 
+def r_events_value_drift(sf_dir: str):
+    """Distribution drift of events.value between the first and second
+    half of the stream's time range: mergeable fixed-bin histogram
+    partials per batch → one tiny driver merge → KS + PSI (the same
+    sketches the validation pipeline uses, as a standalone operator).
+    Rows-only: histogram KS/PSI semantics are unit-tested; a SQL
+    reproduction of numpy's bin-edge conventions would be fragile."""
+    from ..stages.sketches import Histogram
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "ts_mn": [pc.min(t["ts"]).as_py()],
+                "ts_mx": [pc.max(t["ts"]).as_py()],
+                "v_mn": [pc.min(t["value"]).as_py()],
+                "v_mx": [pc.max(t["value"]).as_py()],
+            }
+        )
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    split = mm.ts_mn.min() + (mm.ts_mx.max() - mm.ts_mn.min()) / 2
+    v_lo, v_hi = float(mm.v_mn.min()), float(mm.v_mx.max())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        early = df.loc[df.ts < split, "value"].to_numpy()
+        late = df.loc[df.ts >= split, "value"].to_numpy()
+        ha, hb = Histogram(v_lo, v_hi, 64), Histogram(v_lo, v_hi, 64)
+        ha.add_array(early)
+        hb.add_array(late)
+        return pd.DataFrame(
+            {
+                "ha": [ha.to_bytes()],
+                "hb": [hb.to_bytes()],
+                "na": [len(early)],
+                "nb": [len(late)],
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pandas").take_all()
+    ha, hb = Histogram(v_lo, v_hi, 64), Histogram(v_lo, v_hi, 64)
+    na = nb = 0
+    for r in rows:
+        ha.merge(Histogram.from_bytes(r["ha"]))
+        hb.merge(Histogram.from_bytes(r["hb"]))
+        na += r["na"]
+        nb += r["nb"]
+    return pd.DataFrame(
+        {
+            "ks": [round(ha.ks(hb), 6)],
+            "psi": [round(ha.psi(hb), 6)],
+            "rows_early": [na],
+            "rows_late": [nb],
+        }
+    )
+
+
 def q_stratified_sample_events(sf_dir: str):
     """Deterministic stratified sample: 5 events per event_type by md5(id)
     priority — reproducible across runs/cluster sizes, SQL-verifiable."""

@@ -155,6 +155,7 @@ def test_query_matches_oracle(entry_module, duck, name):
         "simhash_docs",
         "embedding_neardup",
         "sample_events",
+        "events_value_drift",
         "ann_topk_ivf",
         "image_features",
         "image_resize",
