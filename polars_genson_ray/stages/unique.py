@@ -30,13 +30,12 @@ the live table reaches ``resident_limit`` entries it is flushed as a
 sorted ``.npy`` run under ``spill_dir``; membership is answered by
 vectorized ``searchsorted`` over the memory-mapped runs plus the live
 table, and new keys are only ever inserted when absent from every run, so
-runs stay pairwise disjoint by construction. Runs are compacted
-(concatenate-sort-rewrite — disjointness makes this a pure merge) when
-their count exceeds ``MAX_RUNS`` to bound the per-lookup run fan-out; at
-true cluster scale the same compaction would stream a k-way merge instead
-of loading runs whole, which is the only piece deferred here. Spill is
-off by default (``resident_limit=None``) — the in-RAM table alone is
-optimal for the 10^8-10^9 ids per shard a node's heap holds.
+runs stay pairwise disjoint by construction. Runs are compacted when
+their count exceeds ``MAX_RUNS`` (bounding the per-lookup run fan-out)
+via a bounded-memory k-way merge over the memmaps — resident memory is
+``k × COMPACT_CHUNK`` keys regardless of run size. Spill is off by
+default (``resident_limit=None``) — the in-RAM table alone is optimal
+for the 10^8-10^9 ids per shard a node's heap holds.
 """
 
 from __future__ import annotations
@@ -154,7 +153,8 @@ class UniqueIndexShard:
     MAX_RUNS = 8  # compact when exceeded: bounds per-lookup run fan-out
 
     def __init__(self, spill_dir: str | None = None,
-                 resident_limit: int | None = None):
+                 resident_limit: int | None = None,
+                 compact_chunk: int | None = None):
         self._seen = UInt64Set()
         self._memo: OrderedDict[str, list[bool]] = OrderedDict()
         self._dup_ids: set[str] = set()
@@ -162,6 +162,8 @@ class UniqueIndexShard:
         self._resident_limit = resident_limit
         self._runs: list[np.ndarray] = []  # sorted uint64 memmaps, disjoint
         self._run_no = 0
+        if compact_chunk is not None:
+            self.COMPACT_CHUNK = compact_chunk  # instance override (tests)
         if resident_limit is not None and spill_dir is None:
             raise ValueError("resident_limit requires spill_dir")
         if spill_dir is not None:
@@ -194,20 +196,55 @@ class UniqueIndexShard:
         self._runs.append(np.load(path, mmap_mode="r"))
         self._seen = UInt64Set()
         if len(self._runs) > self.MAX_RUNS:
-            # compact: runs are pairwise disjoint, so concatenate+sort is a
-            # pure merge with no dedup needed. (At cluster scale this would
-            # stream a k-way merge rather than loading runs whole.)
-            merged = np.sort(np.concatenate([np.asarray(r) for r in self._runs]))
-            old = [r.filename for r in self._runs]
-            path = os.path.join(self._spill_dir, f"run_{self._run_no:06d}.npy")
-            np.save(path, merged)
-            self._run_no += 1
-            self._runs = [np.load(path, mmap_mode="r")]
-            for f in old:
-                try:
-                    os.unlink(f)
-                except OSError:
-                    pass
+            self._compact_runs()
+
+    COMPACT_CHUNK = 1 << 18  # ≈2 MB of keys per run per merge round
+
+    def _compact_runs(self) -> None:
+        """Bounded-memory k-way merge of the sorted runs into one run.
+        Runs are pairwise disjoint, so this is a pure merge (no dedup).
+        Each round picks a global boundary (the smallest chunk-ahead key
+        across runs), gathers every run's keys below it (searchsorted
+        slices off the memmaps), sorts that bounded chunk, and appends to
+        the output memmap — resident memory ≤ k × COMPACT_CHUNK keys, not
+        the total run size."""
+        import os
+
+        import numpy.lib.format as npf
+
+        total = sum(len(r) for r in self._runs)
+        path = os.path.join(self._spill_dir, f"run_{self._run_no:06d}.npy")
+        self._run_no += 1
+        out = npf.open_memmap(path, mode="w+", dtype=np.uint64, shape=(total,))
+        cursors = [0] * len(self._runs)
+        pos = 0
+        while pos < total:
+            bound = None
+            for r, c in zip(self._runs, cursors):
+                if c < len(r):
+                    ahead = r[min(len(r) - 1, c + self.COMPACT_CHUNK)]
+                    bound = ahead if bound is None else min(bound, ahead)
+            parts = []
+            for i, r in enumerate(self._runs):
+                c = cursors[i]
+                if c >= len(r):
+                    continue
+                e = int(np.searchsorted(r, bound, side="right"))
+                if e > c:
+                    parts.append(np.asarray(r[c:e]))
+                    cursors[i] = e
+            merged = np.sort(np.concatenate(parts))
+            out[pos : pos + len(merged)] = merged
+            pos += len(merged)
+        out.flush()
+        old = [r.filename for r in self._runs]
+        del out
+        self._runs = [np.load(path, mmap_mode="r")]
+        for f in old:
+            try:
+                os.unlink(f)
+            except OSError:
+                pass
 
     def _register(self, hashes: np.ndarray) -> np.ndarray:
         """Present-mask across runs + live table; inserts unseen keys into

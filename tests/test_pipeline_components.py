@@ -691,6 +691,38 @@ def test_unique_shard_spill_differential(ray_session, tmp_path):
         ray.kill(plain)
 
 
+def test_unique_shard_compaction_kway_merge(ray_session, tmp_path):
+    """Tiny compact_chunk forces many k-way merge rounds; post-compaction
+    membership and cardinality must be exact and the merged run sorted."""
+    import ray
+
+    from polars_genson_ray.stages.unique import UniqueIndexShard
+
+    shard = UniqueIndexShard.remote(
+        spill_dir=str(tmp_path / "kway"), resident_limit=32, compact_chunk=8
+    )
+    try:
+        rng = np.random.default_rng(3)
+        ref: set[int] = set()
+        for i in range(60):  # 60×~150 keys ≫ 32×MAX_RUNS → several compactions
+            keys = rng.integers(1, 5000, size=150).astype(np.uint64)
+            ray.get(shard.observe.remote(f"c{i}", keys))
+            ref.update(keys.tolist())
+        assert ray.get(shard.size.remote()) == len(ref)
+        # every key ever seen answers present; fresh keys answer absent
+        probe = np.array(sorted(ref)[:500] + [999999999], dtype=np.uint64)
+        mask = ray.get(shard.observe.remote("probe", probe))
+        assert mask == [True] * 500 + [False]
+        import glob
+
+        runs = glob.glob(str(tmp_path / "kway" / "run_*.npy"))
+        for f in runs:
+            arr = np.load(f, mmap_mode="r")
+            assert (np.diff(np.asarray(arr).astype(np.int64)) > 0).all()
+    finally:
+        ray.kill(shard)
+
+
 def test_unique_shard_spill_seed_and_validation(ray_session, tmp_path):
     """seed() registers through the spill path, and the flagship validation
     pipeline finds the same duplicate ids with spill enabled."""
