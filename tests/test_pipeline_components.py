@@ -397,6 +397,75 @@ def test_asof_join_semantics(ray_session):
     assert str(out["o_orderkey"].dtype) == "int64"  # upcast undone
 
 
+def test_asof_join_randomized_vs_pandas(ray_session):
+    """Randomized differential: distributed asof_join equals a single
+    global pandas merge_asof (inner, backward) on keys present both
+    sides, across skewed keys and unmatched rows."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.asof import asof_join
+
+    rng = np.random.default_rng(41)
+    n_l, n_r = 400, 150
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(n_l),
+            "user_id": rng.choice([1, 2, 3, 5, 8, 99], size=n_l),  # 99: no orders
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n_l), unit="m"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_r),
+            "o_custkey": rng.choice([1, 2, 3, 5, 8, 42], size=n_r),  # 42: no events
+            "o_orderdate": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n_r), unit="m"),
+            "o_totalprice": rng.random(n_r).round(4),
+        }
+    )
+    # dedup right ties deterministically in the expectation too
+    r2 = (
+        right.sort_values("o_orderkey")
+        .drop_duplicates(["o_custkey", "o_orderdate"], keep="last")
+        .sort_values("o_orderdate", kind="mergesort")
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        r2,
+        left_on="ts",
+        right_on="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        direction="backward",
+    ).dropna(subset=["o_orderdate"])
+    exp = (
+        exp[["event_id", "user_id", "ts", "o_orderdate", "o_orderkey", "o_totalprice"]]
+        .astype({"o_orderkey": "int64"})
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        asof_join(
+            rd.from_pandas(left).repartition(7),
+            rd.from_pandas(right).repartition(5),
+            key="user_id",
+            ts="ts",
+            right_key="o_custkey",
+            right_ts="o_orderdate",
+            right_values=["o_orderkey", "o_totalprice"],
+            dedup_right_by="o_orderkey",
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    got["user_id"] = got["user_id"].astype(exp["user_id"].dtype)
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
 def test_brute_force_topk(ray_session):
     import pandas as pd
 
