@@ -371,10 +371,14 @@ class DupRouter:
         return pa.table({"image_id": pa.array([str(i) for i in dup_ids], pa.string())})
 
 
-def find_duplicate_ids(ds, column: str, *, num_shards: int = 8) -> list:
+def find_duplicate_ids(ds, column: str, *, num_shards: int = 8,
+                       spill_dir: str | None = None,
+                       resident_limit: int | None = None) -> list:
     """Exact duplicate ids of ``column`` via the sharded index. Returns the
     sorted unique list of ids that occur more than once."""
-    actors = create_index(num_shards)
+    actors = create_index(
+        num_shards, spill_dir=spill_dir, resident_limit=resident_limit
+    )
     try:
         rows = ds.map_batches(
             DupRouter(actors, column), batch_format="pyarrow"
