@@ -131,13 +131,31 @@ def _prefix_len(n: int, threshold: float) -> int:
 
 class PrefixExplode:
     """map_batches: token rows → (shingle: int64, id) rows for each doc's
-    prefix shingles only."""
+    prefix shingles only.
 
-    def __init__(self, id_column: str, threshold: float):
+    ``hot_ref``: broadcast sorted array of high-document-frequency shingle
+    hashes (boilerplate n-grams). The global total order becomes
+    (is_hot, hash) — hot shingles sort LAST, so they only enter a prefix
+    when a doc has almost nothing else. Without this, one boilerplate
+    sentence shared by the corpus lands its shingles in ~(1-t) of all
+    prefixes and the candidate groups go quadratic (the frequency-ordered
+    prefix of Bayardo et al. exists precisely for this). ANY consistent
+    total order preserves exactness, so the hot set only needs to be the
+    same for every doc in the run — it is estimated from a sample."""
+
+    def __init__(self, id_column: str, threshold: float, hot_ref=None):
         self.id_column = id_column
         self.threshold = threshold
+        self.hot_ref = hot_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        hot = None
+        if self.hot_ref is not None:
+            hot = ray.get(self.hot_ref)  # shared-memory read per task
+            if len(hot) == 0:
+                hot = None
         ids = batch[self.id_column]
         blobs = batch["shingles"].to_pylist()
         counts = batch["n_shingles"].to_numpy()
@@ -147,8 +165,16 @@ class PrefixExplode:
             if n == 0:
                 continue
             p = _prefix_len(n, self.threshold)
-            # blob is sorted ascending = the global (hash) order
-            out_sh.append(np.frombuffer(blob, dtype=np.uint64, count=p))
+            # blob is sorted ascending by hash; with a hot set the order
+            # becomes (is_hot, hash): stable-partition non-hot first
+            arr = np.frombuffer(blob, dtype=np.uint64)
+            if hot is not None:
+                pos = np.searchsorted(hot, arr)
+                pos[pos >= len(hot)] = len(hot) - 1
+                is_hot = hot[pos] == arr
+                if is_hot.any():
+                    arr = np.concatenate([arr[~is_hot], arr[is_hot]])
+            out_sh.append(arr[:p])
             rep_idx.extend([i] * p)
         if not out_sh:
             return pa.table(
@@ -186,6 +212,8 @@ def set_similarity_join(
     approx_rows: int | None = None,
     broadcast_limit: int = 500_000,
     batch_size: int = 4096,
+    hot_sample: int = 2048,
+    hot_doc_frac: float = 0.05,
 ):
     """All pairs (id_a < id_b) with exact word-``ngram_words``-gram Jaccard
     ≥ ``threshold``. Returns a Dataset of (id_a, id_b, jaccard).
@@ -194,6 +222,12 @@ def set_similarity_join(
     broadcasts the (id → shingle blob) map via ``ray.put``; above it the
     blobs attach with two ``Dataset.join`` passes instead (see module
     docstring).
+
+    ``hot_sample``/``hot_doc_frac``: shingles appearing in more than
+    ``hot_doc_frac`` of ``hot_sample`` sampled docs are treated as
+    boilerplate and ordered last in every prefix (see
+    :class:`PrefixExplode`) — a perf guard only; exactness never depends
+    on the estimate.
     """
     import pandas as pd
 
@@ -210,6 +244,22 @@ def set_similarity_join(
     # tokens feed both the candidate and verify phases — materialize once
     # (narrow: id + hash blob, never the text)
     tokens = tokens.materialize()
+
+    # estimate boilerplate shingles from a sample (doc frequency — blobs
+    # hold unique shingles per doc) and broadcast the hot set
+    hot = np.zeros(0, dtype=np.uint64)
+    if hot_sample > 0:
+        sampled = tokens.limit(hot_sample).take_all()
+        if sampled:
+            cat = np.concatenate(
+                [np.frombuffer(r["shingles"], dtype=np.uint64) for r in sampled]
+            ) if any(len(r["shingles"]) for r in sampled) else np.zeros(
+                0, dtype=np.uint64
+            )
+            if len(cat):
+                vals, cnts = np.unique(cat, return_counts=True)
+                hot = vals[cnts > hot_doc_frac * len(sampled)]
+    hot_ref = ray.put(np.sort(hot))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -248,7 +298,7 @@ def set_similarity_join(
     # coarse batches into the candidate exchange: the bucket groupby is an
     # AllToAll sort whose cost at this row width is block-count-bound
     candidates = dedup_pair_dataset(
-        tokens.map_batches(PrefixExplode(id_column, threshold),
+        tokens.map_batches(PrefixExplode(id_column, threshold, hot_ref),
                            batch_format="pyarrow", batch_size=8192)
         .map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
         .groupby("__bucket")

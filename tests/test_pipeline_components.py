@@ -293,6 +293,34 @@ def test_set_similarity_join_exact_vs_brute_force(ray_session, threshold):
     assert got_pairs == _brute_force_jaccard_pairs(texts, threshold)
 
 
+def test_set_similarity_join_boilerplate_stays_exact(ray_session):
+    """Every doc shares a boilerplate sentence (hot shingles). The
+    frequency-aware prefix order must keep the join EXACT (brute-force
+    differential) while keeping boilerplate shingles out of prefixes."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.setjoin import set_similarity_join
+
+    rng = np.random.default_rng(29)
+    vocab = [f"tok{i}" for i in range(200)]
+    boiler = "all rights reserved click here to subscribe to our newsletter"
+    texts = {}
+    for i in range(80):
+        words = rng.choice(vocab, size=int(rng.integers(15, 40))).tolist()
+        texts[i] = boiler + " " + " ".join(words)
+    base = texts[0].split()
+    texts[80] = " ".join(base[:-2] + ["zz", "zz"])  # near-dup of doc 0
+    df = pd.DataFrame({"doc_id": list(texts), "text": [texts[i] for i in texts]})
+    got = set_similarity_join(
+        rd.from_pandas(df), "text", "doc_id", threshold=0.7, hot_doc_frac=0.5
+    ).take_all()
+    got_pairs = {(r["id_a"], r["id_b"]): round(r["jaccard"], 6) for r in got}
+    assert got_pairs == _brute_force_jaccard_pairs(texts, 0.7)
+    assert (0, 80) in got_pairs
+
+
 def test_set_similarity_join_large_path_matches_broadcast(ray_session):
     """broadcast_limit=0 forces the Dataset.join verify path; results must
     equal the broadcast path."""
