@@ -1,0 +1,76 @@
+"""Plan-level scale guards: queries designed around partial+tiny-combine
+must never regress into an all-to-all Sort of the input. The logical plan
+string is asserted BEFORE execution, so these guards catch a regression
+even at toy data sizes where the sort would still be fast.
+
+(`Repartition(1)` of pre-reduced partials and the keyed groupby of
+bucket-partitioned exchanges are fine — the guard is specifically about
+sorting the full input to produce k rows.)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="testdata not available"
+)
+
+
+def _plan(ds) -> str:
+    return ds._plan.get_plan_as_string(type(ds))
+
+
+def test_top_events_has_no_global_sort(ray_session):
+    from polars_genson_ray.pipelines import queries as Q
+
+    ds = Q.q_top_events(SF_DIR)
+    assert "Sort" not in _plan(ds)
+    assert len(ds.take_all()) == 10
+
+
+def test_grouped_topk_small_path_has_no_global_sort(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.aggregate import grouped_topk
+
+    ds = grouped_topk(
+        rd.from_pandas(pd.DataFrame({"k": list("ab") * 50, "v": range(100)})),
+        "k",
+        "v",
+        3,
+        tie_columns=(),
+    )
+    assert "Sort" not in _plan(ds)
+
+
+def test_tumbling_window_small_path_has_no_global_sort(ray_session):
+    from polars_genson_ray.pipelines import queries as Q
+    from polars_genson_ray.stages.windows import tumbling_window
+    from polars_genson_ray.pipelines.queries import _read
+
+    ds = tumbling_window(
+        _read(SF_DIR, "events", ["ts", "event_type", "value"]),
+        "ts",
+        "event_type",
+        "value",
+        window="1h",
+    )
+    assert "Sort" not in _plan(ds)
+
+
+def test_top_events_per_type_has_no_global_sort(ray_session):
+    from polars_genson_ray.pipelines import queries as Q
+
+    ds = Q.q_top_events_per_type(SF_DIR)
+    assert "Sort" not in _plan(ds)
+    assert len(ds.take_all()) == 15  # 5 event types × 3
