@@ -140,10 +140,9 @@ class UInt64Set:
 @ray.remote(num_cpus=0)
 class UniqueIndexShard:
     """Owns one shard of the id-hash space. ``observe`` registers hashes and
-    returns a boolean mask of which were already present; ``observe_ids``
-    additionally records the id strings of duplicates so the driver can
-    collect them at the end (fire-and-forget friendly — no return value
-    needed by the caller).
+    returns a boolean mask of which were already present (callers — the
+    validation worker, DupRouter — map the mask back to ids themselves, so
+    the shard holds only fixed-width hashes, never id strings).
 
     With ``resident_limit`` set, the live table spills to sorted runs under
     ``spill_dir`` (see module docstring) — same observe API, bounded heap.
@@ -157,7 +156,6 @@ class UniqueIndexShard:
                  compact_chunk: int | None = None):
         self._seen = UInt64Set()
         self._memo: OrderedDict[str, list[bool]] = OrderedDict()
-        self._dup_ids: set[str] = set()
         self._spill_dir = spill_dir
         self._resident_limit = resident_limit
         self._runs: list[np.ndarray] = []  # sorted uint64 memmaps, disjoint
@@ -271,21 +269,11 @@ class UniqueIndexShard:
             self._memo.popitem(last=False)
         return out
 
-    def observe_ids(self, token: str, hashes: np.ndarray, ids: list) -> int:
-        mask = self.observe(token, hashes)
-        for already, i in zip(mask, ids):
-            if already:
-                self._dup_ids.add(str(i))
-        return len(self._dup_ids)
-
     def seed(self, hashes: np.ndarray) -> int:
         """Register hashes without duplicate reporting (resume: ids of
         already-validated fragments, replayed from checkpoint records)."""
         self._register(hashes)
         return self.size()
-
-    def duplicates(self) -> list:
-        return sorted(self._dup_ids)
 
     def size(self) -> int:
         return len(self._seen) + sum(len(r) for r in self._runs)
