@@ -355,3 +355,30 @@ def test_unify_field_schemas_tree_matches_sequential():
     small = schemas[:20]
     assert _unify_field_schemas("f", small, "$", cfg) == \
         _unify_field_schemas_sequential("f", small, "$", cfg)
+
+
+def test_avro_to_polars_schema_and_schema_to_dict():
+    """A6 surface: Avro JSON → pl.Schema, and pl.Schema → nested dict
+    (reference polars-genson-py __init__.py:1236-1276)."""
+    import json
+
+    import polars as pl
+
+    from polars_genson_ray.api import (
+        avro_to_polars_schema,
+        infer_avro_schema,
+        schema_to_dict,
+    )
+
+    docs = ['{"name": "a", "age": 1}', '{"name": "b", "age": 2, "tags": ["x"]}']
+    avro = infer_avro_schema(docs)
+    schema = avro_to_polars_schema(json.dumps(avro))
+    assert isinstance(schema, pl.Schema)
+    assert set(schema.names()) == {"name", "age", "tags"}
+    assert schema["tags"] == pl.List(pl.String)
+
+    d = schema_to_dict(schema)
+    assert d["name"] == "String" and d["age"] == "Int64"
+    nested = pl.Schema({"s": pl.Struct({"x": pl.Int64}), "v": pl.List(pl.Float64)})
+    dn = schema_to_dict(nested)
+    assert dn["s"] == {"x": "Int64"}
