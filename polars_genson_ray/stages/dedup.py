@@ -174,8 +174,13 @@ class BandExploder:
         # each source row repeats `bands` times
         idx = np.repeat(np.arange(n), self.bands)
         # signatures travel as fixed-width binary — a list<int64> column
-        # multiplied sort-shuffle payload and serialization cost
-        sig_blobs = [sig_mat[i].tobytes() for i in range(n)]
+        # multiplied sort-shuffle payload and serialization cost. Stored
+        # minima are quantized to their low 16 bits: the estimator only
+        # tests ENTRY EQUALITY, and two distinct minima colliding in 16
+        # bits inflates est_jaccard by ~(1-j)·2^-16 — irrelevant at any
+        # usable threshold — while the shuffle payload shrinks 4×.
+        sig16 = (sig_mat & np.uint64(0xFFFF)).astype(np.uint16)
+        sig_blobs = [sig16[i].tobytes() for i in range(n)]
         return pa.table(
             {
                 "band_id": pa.array(band_id, pa.int32()),
@@ -227,9 +232,12 @@ class MinHashBands:
             ).astype(np.int64)
         band_id = np.tile(np.arange(self.bands, dtype=np.int32), n)
         idx = np.repeat(np.arange(n), self.bands)
-        blob_width = self.bands * self.rows_per_band * 8
-        # one repeated buffer → FixedSizeBinary column, no per-row tobytes
-        repeated = np.repeat(sig_mat, self.bands, axis=0)
+        blob_width = self.bands * self.rows_per_band * 2
+        # one repeated buffer → FixedSizeBinary column, no per-row tobytes;
+        # minima quantized to 16 bits (see BandExploder note: equality-only
+        # estimator, ~2^-16 bias, 4× less shuffle payload)
+        sig16 = (sig_mat & np.uint64(0xFFFF)).astype(np.uint16)
+        repeated = np.repeat(sig16, self.bands, axis=0)
         blobs = pa.Array.from_buffers(
             pa.binary(blob_width), n * self.bands,
             [None, pa.py_buffer(np.ascontiguousarray(repeated).tobytes())],
@@ -345,7 +353,7 @@ def minhash_lsh_pairs(ds, column: str, id_column: str, *, num_perm=64, bands=16,
             return empty
         I = np.concatenate(pair_i)
         J = np.concatenate(pair_j)
-        sig = np.frombuffer(b"".join(g["minhash"]), dtype=np.uint64).reshape(
+        sig = np.frombuffer(b"".join(g["minhash"]), dtype=np.uint16).reshape(
             len(g), -1
         )
         ests = np.empty(len(I), dtype=np.float64)
