@@ -344,6 +344,37 @@ def test_set_similarity_join_large_path_matches_broadcast(ray_session):
     assert small == large and len(small) > 0
 
 
+def test_write_partitioned_resume_semantics(ray_session, tmp_path):
+    """Two-phase partitioned sink: full write marks all partitions; a
+    resume skips marked ones; a crashed partition (files, no marker) is
+    cleaned and rewritten without duplicate rows."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from polars_genson_ray.sources.partitioned_sink import write_partitioned
+
+    df = pd.DataFrame({"lang": ["en"] * 6 + ["fr"] * 4, "v": range(10)})
+    out = str(tmp_path / "parts")
+    rep = write_partitioned(rd.from_pandas(df), out, "lang")
+    assert rep == {"written": ["en", "fr"], "skipped": []}
+
+    # resume: everything marked → nothing rewritten
+    rep2 = write_partitioned(rd.from_pandas(df), out, "lang")
+    assert rep2 == {"written": [], "skipped": ["en", "fr"]}
+
+    # simulate a crash on fr: drop its marker (stale files remain)
+    import os
+
+    os.unlink(os.path.join(out, "lang=fr", "_SUCCESS"))
+    rep3 = write_partitioned(rd.from_pandas(df), out, "lang")
+    assert rep3 == {"written": ["fr"], "skipped": ["en"]}
+    got = pq.read_table(out).to_pandas()
+    assert len(got) == 10  # no duplicate rows after the rewrite
+    assert sorted(got[got.lang == "fr"].v.tolist()) == [6, 7, 8, 9]
+
+
 def test_grouped_topk_small_and_large_paths(ray_session):
     import pandas as pd
 
