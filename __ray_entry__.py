@@ -46,6 +46,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events": Q.q_top_events,
         "top_events_per_type": Q.q_top_events_per_type,
         "quantity_tier_revenue": Q.q_quantity_tier_revenue,
+        "quantity_stats_by_flag": Q.q_quantity_stats_by_flag,
+        "events_hour_pivot": Q.q_events_hour_pivot,
+        "shipping_priority": Q.q_shipping_priority,
         "union_ids": Q.q_union_ids,
         "sample_events": Q.r_sample_events,
         "stratified_sample_events": Q.q_stratified_sample_events,
@@ -68,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": Q.q_doc_quality,
         "exact_dedup_docs": Q.q_exact_dedup_docs,
         "jaccard_neardup_docs": Q.q_jaccard_neardup_docs,
+        "doc_repetition": Q.q_doc_repetition,
+        "decontaminate_docs": Q.q_decontaminate_docs,
         "doc_fingerprints": Q.r_doc_fingerprints,
         "langid_docs": Q.r_langid_docs,
         "minhash_neardup_docs": Q.r_minhash_neardup_docs,
@@ -279,7 +284,118 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MAX(value), 2) AS max_value
             FROM exp GROUP BY event_type, window_start
         """,
-        # schema_infer / avro / normalise / fingerprints / langid / minhash /
-        # simhash / embedding_neardup / sessions / validation_image_table:
-        # not SQL-expressible → rows-only checks.
+        "quantity_stats_by_flag": """
+            SELECT l_returnflag,
+                   UNNEST([0.25, 0.5, 0.9]) AS q,
+                   UNNEST(quantile_cont(l_quantity, [0.25, 0.5, 0.9])) AS value
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "events_hour_pivot": """
+            SELECT EXTRACT(hour FROM ts)::BIGINT AS hour,
+                   COUNT(*) FILTER (event_type = 'click') AS n_click,
+                   COUNT(*) FILTER (event_type = 'error') AS n_error,
+                   COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+                   COUNT(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY 1
+        """,
+        "shipping_priority": """
+            SELECT o.o_orderkey,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue,
+                   o.o_orderdate, o.o_orderpriority
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, o.o_orderkey
+            LIMIT 10
+        """,
+        "doc_repetition": """
+            WITH words AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents WHERE trim(text) <> ''
+            ), wexp AS (
+                SELECT doc_id, UNNEST(w) AS word FROM words
+            ), wtop AS (
+                SELECT doc_id, MAX(c) AS top_w FROM (
+                    SELECT doc_id, word, COUNT(*) AS c
+                    FROM wexp GROUP BY doc_id, word
+                ) GROUP BY doc_id
+            ), bexp AS (
+                SELECT doc_id, UNNEST(
+                    list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i+1])) AS bg
+                FROM words WHERE len(w) >= 2
+            ), btop AS (
+                SELECT doc_id, MAX(c) AS top_b, SUM(c) AS n_b FROM (
+                    SELECT doc_id, bg, COUNT(*) AS c
+                    FROM bexp GROUP BY doc_id, bg
+                ) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(len(s.w), 0) AS n_words,
+                   COALESCE(1.0 - len(list_distinct(s.w))::DOUBLE / len(s.w),
+                            0.0) AS dup_word_frac,
+                   COALESCE(w.top_w::DOUBLE / len(s.w), 0.0) AS top_word_frac,
+                   COALESCE(b.top_b::DOUBLE / b.n_b, 0.0) AS top_bigram_frac
+            FROM documents d
+            LEFT JOIN words s USING (doc_id)
+            LEFT JOIN wtop w USING (doc_id)
+            LEFT JOIN btop b USING (doc_id)
+        """,
+        "decontaminate_docs": """
+            WITH words AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(w) - 3),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] ||
+                                ' ' || w[i+3] || ' ' || w[i+4])) AS g
+                FROM words WHERE len(w) >= 5
+            ), bench AS (
+                SELECT DISTINCT UNNEST(g) AS gram FROM grams
+                WHERE doc_id % 50 = 0
+            ), hits AS (
+                SELECT e.doc_id, COUNT(*) AS n
+                FROM (SELECT doc_id, UNNEST(g) AS gram FROM grams
+                      WHERE doc_id % 50 <> 0) e
+                JOIN bench b ON e.gram = b.gram
+                GROUP BY e.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(h.n, 0) AS n_contam,
+                   COALESCE(h.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 50 <> 0
+        """,
+        "doc_fingerprints": """
+            WITH norm AS (
+                SELECT doc_id,
+                       regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+                           AS s
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN s = '' THEN 0 ELSE
+                       (list_reduce(
+                            list_prepend(
+                                1469598103934665603::HUGEINT,
+                                list_transform(string_split(s, ''),
+                                               c -> unicode(c)::HUGEINT)),
+                            (h, c) -> (h * 1099511628211 + c)
+                                      % 18446744073709551616)
+                        % 9223372036854775808)::BIGINT
+                   END AS fingerprint
+            FROM norm
+        """,
+        # schema_infer / avro / normalise / langid / minhash / simhash /
+        # embedding_neardup / sample_events / drift / ivf / image stages /
+        # validation_image_table: not SQL-expressible → rows-only checks.
     }

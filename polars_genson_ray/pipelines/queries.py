@@ -454,6 +454,150 @@ def r_simhash_docs(sf_dir: str):
     )
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition/boilerplate features per document
+    (duplicate-word mass, top word/bigram share) — the filters a training
+    pipeline thresholds before tokenization."""
+    from ..stages.text import RepetitionScorer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(RepetitionScorer(), batch_format="pyarrow")
+
+
+def q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: docs sharing a word 5-gram with the
+    benchmark corpus (here: every 50th doc, standing in for an eval set —
+    a real pipeline passes the held-out benchmark table) are flagged.
+
+    Broadcast-semi-join shape: the benchmark shingle-hash set is built once
+    on the small side, ``ray.put`` once, probed per batch via vectorized
+    searchsorted — the training corpus streams with no shuffle."""
+    from ..stages.decontam import decontaminate
+
+    bench_tbl = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    mask = np.asarray(bench_tbl["doc_id"]) % 50 == 0
+    bench_texts = [t for t, m in zip(bench_tbl["text"].to_pylist(), mask) if m]
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def drop_benchmark(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df.doc_id % 50 != 0]
+
+    return decontaminate(
+        ds.map_batches(drop_benchmark, batch_format="pandas"),
+        bench_texts,
+        column="text",
+        id_column="doc_id",
+        ngram_words=5,
+    )
+
+
+def q_quantity_stats_by_flag(sf_dir: str):
+    """Exact per-group quantiles (quantile_cont semantics) over lineitem
+    quantity by return flag — distributed value-count partials, one tiny
+    interpolation task; O(groups × distinct values), never O(rows)."""
+    from ..stages.aggregate import grouped_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return grouped_quantiles(ds, "l_returnflag", "l_quantity", qs=(0.25, 0.5, 0.9))
+
+
+def q_events_hour_pivot(sf_dir: str):
+    """Pivot / wide conditional aggregate: events per hour-of-day × type
+    (5 fixed type columns). Partial (hour, type) counts per batch → tiny
+    combine → driver-free pivot in the final single-block task."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(hour=df.ts.dt.hour.astype("int64"))
+        return df.groupby(["hour", "event_type"], as_index=False).agg(
+            n=("event_type", "size")
+        )
+
+    combined = combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["hour", "event_type"],
+        {"n": "sum"},
+    )
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        wide = (
+            df.pivot_table(index="hour", columns="event_type", values="n",
+                           aggfunc="sum", fill_value=0)
+            .reindex(columns=types, fill_value=0)
+            .astype("int64")
+        )
+        wide.columns = [f"n_{t}" for t in types]
+        return wide.reset_index()
+
+    return combined.map_batches(pivot, batch_format="pandas", batch_size=None)
+
+
+def q_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                        cutoff: str = "1998-01-01", k: int = 10):
+    """TPC-H-Q3-shape composition: broadcast semi-filter (customer segment)
+    → pre-aggregated lineitem revenue per order (partials BEFORE the join,
+    so the shuffle join carries one row per orderkey, not per lineitem) →
+    hash join with the filtered orders → global top-k without a sort."""
+    cutoff_ts = pd.Timestamp(cutoff)
+    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    seg_keys = frozenset(
+        k_ for k_, s in zip(cust["c_custkey"].to_pylist(),
+                            cust["c_mktsegment"].to_pylist())
+        if s == segment
+    )
+    keys_ref = ray.put(seg_keys)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.l_shipdate > cutoff_ts]
+        df = df.assign(revenue=df.l_extendedprice * (1 - df.l_discount))
+        return df.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum"))
+
+    # orderkey cardinality scales with the data → hash-partitioned combine
+    rev = combine_partials(
+        li.map_batches(li_partial, batch_format="pandas"),
+        ["l_orderkey"], {"revenue": "sum"}, small=False,
+    )
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def ord_filter(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(keys_ref)
+        df = df[(df.o_orderdate < cutoff_ts) & df.o_custkey.isin(keys)]
+        return df[["o_orderkey", "o_orderdate", "o_orderpriority"]]
+
+    orders_f = orders.map_batches(ord_filter, batch_format="pandas")
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    # orders on the left: Dataset.join drops the RIGHT key column, keeping
+    # o_orderkey in the output
+    joined = orders_f.join(
+        rev,
+        join_type="inner",
+        num_partitions=max(4, cpus // 2),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    ).select_columns(["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        # round BEFORE ranking so ties resolve exactly like the oracle's
+        # ORDER BY on the rounded alias
+        df = df.assign(revenue=df.revenue.round(2))
+        return df.sort_values(
+            ["revenue", "o_orderkey"], ascending=[False, True]
+        ).head(k)
+
+    return (
+        joined.map_batches(topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(topk, batch_format="pandas", batch_size=None)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity
 # ---------------------------------------------------------------------------

@@ -103,6 +103,71 @@ def grouped_topk(
     return parts.groupby(key_column).map_groups(partial, batch_format="pandas")
 
 
+def grouped_quantiles(
+    ds,
+    key_column: str,
+    value_column: str,
+    qs: tuple = (0.5,),
+    *,
+    max_distinct: int = 1_000_000,
+):
+    """Exact per-group quantiles (``quantile_cont`` semantics: linear
+    interpolation at rank ``(n−1)·q``) via distributed value counts.
+
+    Same bounded-cardinality contract as ``q_quantity_quantiles``: each
+    batch pre-reduces to (key, value) counts, the tiny combine sums them,
+    and the final task interpolates per group from the cumulative counts —
+    O(keys × distinct values) state, never O(rows). Continuous columns
+    belong on the t-digest sketch path (``stages.sketches.TDigest``).
+
+    Returns a Dataset with columns ``key_column, q, value`` (one row per
+    key × quantile; ``value`` is DOUBLE, matching DuckDB quantile_cont)."""
+    import numpy as np
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby([key_column, value_column], as_index=False).agg(
+            __cnt=(value_column, "size")
+        )
+
+    counts = combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        [key_column, value_column],
+        {"__cnt": "sum"},
+    )
+
+    def interpolate(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({key_column: [], "q": [], "value": []})
+        if len(df) > max_distinct:
+            raise ValueError(
+                f"grouped_quantiles: > {max_distinct} distinct (key, value) "
+                "pairs — use the t-digest path for continuous columns"
+            )
+        out_k, out_q, out_v = [], [], []
+        for key, g in df.groupby(key_column, sort=False):
+            g = g.sort_values(value_column)
+            vals = g[value_column].to_numpy(dtype=np.float64)
+            cum = g["__cnt"].to_numpy(dtype=np.int64).cumsum()
+            n = int(cum[-1])
+
+            def value_at(rank: int) -> float:
+                # first distinct value whose cumulative count exceeds rank
+                return float(vals[np.searchsorted(cum, rank, side="right")])
+
+            for q in qs:
+                pos = (n - 1) * q
+                lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+                v = value_at(lo)
+                if hi != lo:
+                    v += (pos - lo) * (value_at(hi) - v)
+                out_k.append(key)
+                out_q.append(q)
+                out_v.append(v)
+        return pd.DataFrame({key_column: out_k, "q": out_q, "value": out_v})
+
+    return counts.map_batches(interpolate, batch_format="pandas", batch_size=None)
+
+
 def stratified_sample(
     ds,
     key_column: str,

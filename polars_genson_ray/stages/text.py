@@ -119,10 +119,62 @@ class LangId:
         return batch.append_column("lang_pred", pa.array(preds, pa.string()))
 
 
+class RepetitionScorer:
+    """Gopher-style repetition features over lowercased whitespace tokens:
+
+    * ``n_words``          — token count
+    * ``dup_word_frac``    — ``1 − distinct/total`` (mass of repeated words)
+    * ``top_word_frac``    — most frequent word's share of all words
+    * ``top_bigram_frac``  — most frequent word-bigram's share of bigrams
+
+    Boilerplate/spam detectors in training-data pipelines threshold these
+    (e.g. drop top_bigram_frac > 0.18). All four are SQL-reproducible
+    (list/unnest aggregation), so the operator is oracle-checked; fractions
+    are emitted UNROUNDED — identical integer ratios divide to bit-identical
+    doubles on both sides."""
+
+    def __init__(self, column: str = "text", id_column: str = "doc_id"):
+        self.column = column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.column].to_pylist()
+        n = len(texts)
+        n_words = np.zeros(n, dtype=np.int64)
+        dup_frac = np.zeros(n)
+        top_word = np.zeros(n)
+        top_bigram = np.zeros(n)
+        for i, t in enumerate(texts):
+            words = t.lower().split() if t else []
+            if not words:
+                continue
+            n_words[i] = len(words)
+            _, counts = np.unique(words, return_counts=True)
+            dup_frac[i] = 1.0 - len(counts) / len(words)
+            top_word[i] = counts.max() / len(words)
+            if len(words) >= 2:
+                bigrams = [
+                    words[j] + " " + words[j + 1] for j in range(len(words) - 1)
+                ]
+                _, bcounts = np.unique(bigrams, return_counts=True)
+                top_bigram[i] = bcounts.max() / len(bigrams)
+        return pa.table(
+            {
+                self.id_column: batch[self.id_column],
+                "n_words": pa.array(n_words),
+                "dup_word_frac": pa.array(dup_frac),
+                "top_word_frac": pa.array(top_word),
+                "top_bigram_frac": pa.array(top_bigram),
+            }
+        )
+
+
 class Fingerprinter:
     """64-bit rolling polynomial hash of normalised text (document
     fingerprint for exact-dup detection with a SQL-checkable definition:
-    applied to lowercased whitespace-collapsed text)."""
+    Horner over the UNICODE CODEPOINTS of lowercased whitespace-collapsed
+    text, mod 2^64, masked to 63 bits — ``oracle_sql()['doc_fingerprints']``
+    reproduces it in DuckDB with a hugeint ``list_reduce``)."""
 
     def __init__(self, column: str = "text", out_column: str = "fingerprint"):
         self.column = column
@@ -131,11 +183,13 @@ class Fingerprinter:
 
     def fingerprint(self, t: str) -> int:
         # polynomial rolling hash mod 2^64, fully vectorized:
-        #   h = offset * P^n + Σ byte_i * P^(n-1-i)
-        # (the per-byte FNV chain is sequential by construction and cost a
-        # Python iteration per byte)
+        #   h = offset * P^n + Σ code_i * P^(n-1-i)   (≡ Horner h = h·P + cᵢ)
+        # (the per-char chain is sequential by construction and would cost a
+        # Python iteration per char)
         norm = self.ws_re.sub(" ", t.strip().lower()) if t else ""
-        data = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        data = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.uint64
+        )
         n = len(data)
         if n == 0:
             return 0

@@ -132,6 +132,12 @@ def test_oracle_keys_subset_of_queries(entry_module):
         "top_events_per_type",
         "quantity_tier_revenue",
         "stratified_sample_events",
+        "quantity_stats_by_flag",
+        "events_hour_pivot",
+        "shipping_priority",
+        "doc_repetition",
+        "decontaminate_docs",
+        "doc_fingerprints",
     ],
 )
 def test_query_matches_oracle(entry_module, duck, name):
@@ -149,7 +155,6 @@ def test_query_matches_oracle(entry_module, duck, name):
         "schema_infer_props_by_type",
         "avro_schema_events_props",
         "normalise_events_props",
-        "doc_fingerprints",
         "langid_docs",
         "minhash_neardup_docs",
         "simhash_docs",
