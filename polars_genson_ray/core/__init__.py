@@ -26,7 +26,7 @@ from .infer import (
     prepare_json_text,
     schema_dedup_key,
 )
-from .json_schema import SchemaBuilder, SchemaNode
+from .json_schema import SchemaBuilder, SchemaNode, wire_mode
 from .map_inference import rewrite_objects
 from .normalise import normalise_value, normalise_values
 from .reorder import reorder_unions, type_rank

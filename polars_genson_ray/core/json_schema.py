@@ -25,10 +25,46 @@ from __future__ import annotations
 import copy
 import re
 
-__all__ = ["SchemaNode", "SchemaBuilder"]
+__all__ = ["SchemaNode", "SchemaBuilder", "wire_mode"]
 
 _DEFAULT_SCHEMA_URI = "http://json-schema.org/schema#"
 _NULL_SCHEMA_URI = "NULL"
+
+# --- partial-schema wire mode -------------------------------------------
+#
+# The reference's emission rule drops an EMPTY required set (object.rs
+# emission + the include_empty_required quirk), which makes a round-trip
+# through JSON lossy: "required became empty by intersection" and "no
+# required constraint seen" serialize identically. Sequentially that is
+# harmless (state never round-trips), but the distributed reduce emits a
+# partial schema per batch and re-merges it — without the distinction the
+# merge is NOT a monoid and the result depends on batch boundaries
+# (observed: a 4-partial merge resurrecting `required` that the sequential
+# path had intersected away).
+#
+# Wire mode — entered ONLY around the internal partial serialize/merge in
+# stages/infer.py — fixes both ends: emission keeps `"required": []` when
+# the set is empty-after-intersection, and add_schema treats an empty list
+# as a true empty intersection instead of setting include_empty_required.
+# User-facing emission and user-supplied schemas (CLI, api) never run in
+# wire mode, so reference byte-parity is untouched.
+
+_WIRE = False
+
+
+class wire_mode:
+    """Context manager enabling the lossless partial-schema wire format."""
+
+    def __enter__(self):
+        global _WIRE
+        self._prev = _WIRE
+        _WIRE = True
+        return self
+
+    def __exit__(self, *exc):
+        global _WIRE
+        _WIRE = self._prev
+        return False
 
 
 def _deepcopy(v):
@@ -218,7 +254,7 @@ class _ObjectStrategy(_Strategy):
                 node.add_schema(sub_schema)
         if "required" in schema and isinstance(schema["required"], list):
             req = schema["required"]
-            if not req:
+            if not req and not _WIRE:
                 self.include_empty_required = True
             req_set = {r for r in req if isinstance(r, str)}
             if self.required is None:
@@ -253,7 +289,7 @@ class _ObjectStrategy(_Strategy):
                     g.append(sub)
             if "required" in schema and isinstance(schema["required"], list):
                 req = schema["required"]
-                if not req:
+                if not req and not _WIRE:
                     self.include_empty_required = True
                 req_set = {r for r in req if isinstance(r, str)}
                 if self.required is None:
@@ -292,7 +328,10 @@ class _ObjectStrategy(_Strategy):
             s["patternProperties"] = {
                 p: n.to_schema() for p, n in self.pattern_properties.items()
             }
-        if self.required is not None or self.include_empty_required:
+        if _WIRE and self.required is not None:
+            # lossless wire emission: empty-after-intersection stays []
+            s["required"] = sorted(self.required)
+        elif self.required is not None or self.include_empty_required:
             req = sorted(self.required) if self.required else []
             if req or self.include_empty_required:
                 s["required"] = req

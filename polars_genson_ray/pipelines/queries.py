@@ -48,6 +48,13 @@ def _table_rows(sf_dir: str, table: str) -> int | None:
         return None
 
 
+def _footer_schema(sf_dir: str, table: str, cols: list[str]) -> "pa.Schema":
+    """Projected Arrow schema straight from the parquet footer — lets join
+    operators skip the limit-1 schema probe Dataset.schema() would run."""
+    s = pq.read_schema(_t(sf_dir, table))
+    return pa.schema([s.field(c) for c in cols])
+
+
 def _read(sf_dir: str, table: str, columns=None):
     from ..functions.context import (
         maybe_reshard,
@@ -243,20 +250,25 @@ def q_nation_revenue(sf_dir: str):
 
 
 def q_customer_order_join(sf_dir: str):
-    """Large×large hash join via ``Dataset.join`` (both sides shuffle by
-    key; contrast with the broadcast path in q_nation_revenue, which is the
-    right choice when one side fits in memory)."""
-    import ray as _ray
+    """Large×large hash join via the engine's co-partitioned
+    ``stages.join.hash_join`` (one narrow exchange per side, per-bucket
+    vectorized merge; contrast with the broadcast path in q_nation_revenue,
+    which is the right choice when one side fits in memory). Ray's built-in
+    ``Dataset.join`` computes the same thing but rides the hash-shuffle
+    exchange that measures ~15× slower here (see stages/join.py)."""
+    from ..stages.join import hash_join
 
-    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    joined = orders.join(
+    joined = hash_join(
+        orders,
         cust,
-        join_type="inner",
-        num_partitions=max(4, cpus // 2),
-        on=("o_custkey",),
-        right_on=("c_custkey",),
+        on="o_custkey",
+        right_on="c_custkey",
+        right_values=["c_name"],
+        left_schema=_footer_schema(sf_dir, "orders",
+                                   ["o_orderkey", "o_custkey", "o_totalprice"]),
+        right_schema=_footer_schema(sf_dir, "customer", ["c_custkey", "c_name"]),
     )
     return joined.select_columns(["o_orderkey", "o_totalprice", "c_name"])
 
@@ -539,7 +551,10 @@ def q_shipping_priority(sf_dir: str, segment: str = "BUILDING",
     """TPC-H-Q3-shape composition: broadcast semi-filter (customer segment)
     → pre-aggregated lineitem revenue per order (partials BEFORE the join,
     so the shuffle join carries one row per orderkey, not per lineitem) →
-    hash join with the filtered orders → global top-k without a sort."""
+    co-partitioned hash join with the filtered orders (stages/join.py) →
+    global top-k without a sort."""
+    from ..stages.join import hash_join
+
     cutoff_ts = pd.Timestamp(cutoff)
     cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
     seg_keys = frozenset(
@@ -557,11 +572,10 @@ def q_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         df = df.assign(revenue=df.l_extendedprice * (1 - df.l_discount))
         return df.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum"))
 
-    # orderkey cardinality scales with the data → hash-partitioned combine
-    rev = combine_partials(
-        li.map_batches(li_partial, batch_format="pandas"),
-        ["l_orderkey"], {"revenue": "sum"}, small=False,
-    )
+    # orderkey cardinality scales with the data → the per-batch partials
+    # feed the JOIN directly (right_agg fuses the keyed sum into the join's
+    # own bucket exchange — no separate combine shuffle)
+    rev = li.map_batches(li_partial, batch_format="pandas")
 
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
@@ -572,15 +586,20 @@ def q_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         return df[["o_orderkey", "o_orderdate", "o_orderpriority"]]
 
     orders_f = orders.map_batches(ord_filter, batch_format="pandas")
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    # orders on the left: Dataset.join drops the RIGHT key column, keeping
-    # o_orderkey in the output
-    joined = orders_f.join(
+    ofs = _footer_schema(sf_dir, "orders",
+                         ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = hash_join(
+        orders_f,
         rev,
-        join_type="inner",
-        num_partitions=max(4, cpus // 2),
-        on=("o_orderkey",),
-        right_on=("l_orderkey",),
+        on="o_orderkey",
+        right_on="l_orderkey",
+        right_values=["revenue"],
+        right_agg={"revenue": "sum"},
+        left_schema=ofs,
+        right_schema=pa.schema(
+            [pa.field("l_orderkey", pa.int64()), pa.field("revenue", pa.float64())]
+        ),
+        approx_rows=_table_rows(sf_dir, "orders"),
     ).select_columns(["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"])
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
@@ -803,8 +822,7 @@ def q_events_asof_orders(sf_dir: str):
     orders = _read(sf_dir, "orders", od_cols)
 
     def _footer(table: str, cols: list[str]) -> "pa.Schema":
-        s = pq.read_schema(_t(sf_dir, table))
-        return pa.schema([s.field(c) for c in cols])
+        return _footer_schema(sf_dir, table, cols)
 
     return asof_join(
         events,

@@ -38,6 +38,7 @@ from ..core import (
     document_schema,
     finalize_schema,
     schema_dedup_key,
+    wire_mode,
 )
 
 PARTIAL_SCHEMA_COL = "partial_schema"
@@ -110,8 +111,14 @@ class SchemaPartialBatch:
                 continue
             seen[key] = None
             builder.add_schema(schema)
+        # wire emission keeps "required": [] when the in-batch intersection
+        # emptied it — without this the partial merge is not a monoid and
+        # the reduced schema would depend on batch boundaries (which Ray
+        # does not guarantee to be deterministic)
+        with wire_mode():
+            schema_json = json.dumps(builder.to_schema())
         return {
-            "schema_json": json.dumps(builder.to_schema()),
+            "schema_json": schema_json,
             "keys": list(seen),
             "rows": rows,
             "invalid": invalid,
@@ -123,17 +130,27 @@ def reduce_partials(
 ) -> SchemaInferenceResult:
     """Ordered merge of partial-schema rows (driver-side; input is tiny).
     Accepts take_all rows (PARTIAL_* columns) or the plain dicts that
-    ``SchemaPartialBatch.compute`` emits."""
+    ``SchemaPartialBatch.compute`` emits.
+
+    Partials are merged under :class:`wire_mode` (an explicit empty
+    ``required`` list means empty-after-intersection, not the reference's
+    include-empty-required quirk); the FINAL emission below runs outside
+    wire mode, so an empty intersection is dropped exactly like the
+    sequential path. Pre-wire checkpointed partials (no ``required`` key
+    where the set was empty) merge as "no constraint" — same as before."""
     builder = SchemaBuilder(schema_uri=config.schema_uri)
     all_keys: dict[str, None] = {}
     invalid = 0
-    for row in partial_rows:
-        schema_json = row.get("schema_json") or row[PARTIAL_SCHEMA_COL]
-        keys = row["keys"] if "keys" in row else row[PARTIAL_KEYS_COL]
-        invalid += int(row.get("invalid") or row.get(PARTIAL_INVALID_COL) or 0)
-        for key in keys:
-            all_keys[key] = None
-        builder.add_schema(json.loads(schema_json))
+    with wire_mode():
+        for row in partial_rows:
+            schema_json = row.get("schema_json") or row[PARTIAL_SCHEMA_COL]
+            keys = row["keys"] if "keys" in row else row[PARTIAL_KEYS_COL]
+            invalid += int(
+                row.get("invalid") or row.get(PARTIAL_INVALID_COL) or 0
+            )
+            for key in keys:
+                all_keys[key] = None
+            builder.add_schema(json.loads(schema_json))
     schema = finalize_schema(builder.to_schema(), config)
     return SchemaInferenceResult(
         schema=schema, processed_count=len(all_keys), invalid_count=invalid
@@ -205,7 +222,11 @@ def grouped_schema_infer(
         return parts.repartition(1).map_batches(
             combine, batch_format="pandas", batch_size=None
         )
-    return parts.groupby(key_column).map_groups(combine, batch_format="pandas")
+    from .aggregate import bucketed_groups
+
+    # one exchange on a key-hash bucket, one combine call per bucket (a
+    # bucket holds whole keys, so the per-key monoid reduce stays correct)
+    return bucketed_groups(parts, [key_column], combine)
 
 
 def infer_schema_distributed(

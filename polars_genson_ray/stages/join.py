@@ -1,0 +1,222 @@
+"""Distributed hash equi-join (co-partitioned, narrow-shuffle).
+
+Ray Data ships a ``Dataset.join`` (hash-shuffle based), but its exchange
+strategy is the hash-shuffle path that measures catastrophically slow in
+local mode (a two-table sf0.01 join: 13 s warm where this operator runs it
+in well under a second) and its partition count is fixed up front. This
+module keeps the engine's one exchange idiom for every co-location need
+(same as :mod:`.asof`): tag each side with a key-hash bucket, union the two
+narrow projections, ONE sort-based ``groupby`` on the bucket id, and a
+vectorized ``pandas.merge`` inside each bucket group.
+
+Scale shape:
+
+* only the join keys + requested value columns travel — callers project
+  before joining (and ``right_values`` forces the decision on the right);
+* bucket count scales with data / cluster size (``_derive_num_buckets``),
+  so per-bucket population stays ~constant as the dataset grows;
+* a bucket holds whole keys — skew is bounded by the hottest key; salt a
+  pathological key upstream (``stages.skew``) if one arises;
+* both ``inner`` and ``left`` joins; left rows with no match get typed
+  nulls (``from_pandas`` NaN→null on the cast back to the Arrow schema).
+
+The small-side case does not belong here: when one side fits in the object
+store, use :func:`broadcast_join` — no shuffle at all, the dimension table
+is ``ray.put`` once and every batch does a local merge against it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .dedup import _derive_num_buckets
+from .sketches import key_hashes as _key_hashes
+
+
+def hash_join(
+    left,
+    right,
+    *,
+    on: list[str] | str,
+    right_on: list[str] | str | None = None,
+    right_values: list[str],
+    how: str = "inner",
+    right_agg: dict[str, str] | None = None,
+    num_buckets: int | None = None,
+    approx_rows: int | None = None,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+):
+    """Join ``left`` to ``right`` on equality of ``on`` (left) =
+    ``right_on`` (right; defaults to ``on``). Output carries ALL of
+    ``left``'s columns plus ``right_values``; key columns keep the left
+    names. ``how`` is ``"inner"`` or ``"left"``.
+
+    Duplicate keys on either side produce the full cross product within
+    the key (SQL join semantics) — the in-bucket ``pandas.merge`` handles
+    it; callers wanting first-match-only pre-dedup the right side.
+
+    ``right_agg`` (column → ``sum``/``min``/``max``) fuses a keyed
+    aggregate into the join: the right side is reduced per key INSIDE the
+    bucket before the merge. Callers feed per-batch partial aggregates
+    straight in, and the aggregate rides the join's exchange instead of
+    paying its own — both operations need identical co-location by key,
+    so two shuffles would move the same rows twice (the classic
+    aggregate-join fusion; at 100 TB an entire all-to-all disappears).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on)
+    )
+    if len(on) != len(right_on):
+        raise ValueError("on / right_on length mismatch")
+    # Dataset.schema() runs a limit-1 probe when maps precede it; callers
+    # knowing their footer schemas pass them (same contract as asof_join)
+    if left_schema is None:
+        left_schema = pa.schema(list(zip(left.schema().names, left.schema().types)))
+    if right_schema is None:
+        right_schema = pa.schema(list(zip(right.schema().names, right.schema().types)))
+    lt = {f.name: f.type for f in left_schema}
+    rt = {f.name: f.type for f in right_schema}
+    left_cols = list(left_schema.names)
+    for c in on:
+        if c not in lt:
+            raise ValueError(f"left missing join key {c!r}")
+    for c in right_on:
+        if c not in rt:
+            raise ValueError(f"right missing join key {c!r}")
+    bad = [c for c in right_values if c in left_cols]
+    if bad:
+        raise ValueError(f"right_values collide with left columns: {bad}")
+
+    if num_buckets is None:
+        num_buckets = _derive_num_buckets(approx_rows)
+    mask = np.uint64(num_buckets - 1)
+
+    # unified narrow schema for the unioned exchange: left payload + right
+    # payload, each side nulling the other's columns (explicit schema —
+    # implicit unions trip Ray's block batcher / upcast ints, see asof.py)
+    unified = pa.schema(
+        [pa.field("__side", pa.int8()), pa.field("__b", pa.int32())]
+        + [pa.field(c, lt[c]) for c in left_cols]
+        + [pa.field(f"__r_{c}", rt[c]) for c in right_on]
+        + [pa.field(c, rt[c]) for c in right_values]
+    )
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        b = (_key_hashes(batch, on) & mask).astype(np.int32)
+        cols = {
+            "__side": pa.array(np.zeros(n, dtype=np.int8)),
+            "__b": pa.array(b),
+        }
+        for c in left_cols:
+            cols[c] = batch[c]
+        for c in right_on:
+            cols[f"__r_{c}"] = pa.nulls(n, rt[c])
+        for c in right_values:
+            cols[c] = pa.nulls(n, rt[c])
+        return pa.table(cols, schema=unified)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        b = (_key_hashes(batch, right_on) & mask).astype(np.int32)
+        cols = {
+            "__side": pa.array(np.ones(n, dtype=np.int8)),
+            "__b": pa.array(b),
+        }
+        for c in left_cols:
+            cols[c] = pa.nulls(n, lt[c])
+        for c in right_on:
+            cols[f"__r_{c}"] = batch[c]
+        for c in right_values:
+            cols[c] = batch[c]
+        return pa.table(cols, schema=unified)
+
+    # coarse batches: the AllToAll exchange is block-COUNT-bound at narrow
+    # row widths (measured on asof: 144 tiny blocks → 2.3 s; 16k-row
+    # batches halve it). At real scale blocks are >=128 MB either way.
+    tagged = left.select_columns(left_cols).map_batches(
+        tag_left, batch_format="pyarrow", batch_size=16384
+    ).union(
+        right.select_columns(list(right_on) + list(right_values)).map_batches(
+            tag_right, batch_format="pyarrow", batch_size=16384
+        )
+    )
+
+    out_schema = pa.schema(
+        [pa.field(c, lt[c]) for c in left_cols]
+        + [pa.field(c, rt[c]) for c in right_values]
+    )
+    out_cols = [f.name for f in out_schema]
+    r_keys = [f"__r_{c}" for c in right_on]
+
+    def bucket_join(df: pd.DataFrame) -> pa.Table:
+        l = df.loc[df["__side"] == 0, left_cols]
+        r = df.loc[df["__side"] == 1, r_keys + list(right_values)]
+        if l.empty or (r.empty and how == "inner"):
+            return out_schema.empty_table()
+        r = r.rename(columns=dict(zip(r_keys, on)))
+        if right_agg is not None and not r.empty:
+            r = r.groupby(on, as_index=False).agg(
+                **{c: (c, fn) for c, fn in right_agg.items()}
+            )
+        joined = l.merge(r, how=how, on=on)
+        # typed rebuild: undoes pandas' nullable-join upcasts and maps
+        # left-join NaNs to Arrow nulls (from_pandas=True)
+        return pa.table(
+            {
+                c: pa.array(joined[c], type=out_schema.field(c).type,
+                            from_pandas=True)
+                for c in out_cols
+            },
+            schema=out_schema,
+        )
+
+    return tagged.groupby("__b").map_groups(bucket_join, batch_format="pandas")
+
+
+def broadcast_join(
+    ds,
+    small,
+    *,
+    on: list[str] | str,
+    right_on: list[str] | str | None = None,
+    right_values: list[str] | None = None,
+    how: str = "inner",
+):
+    """Map-side join against a small table: ``small`` (pyarrow Table or
+    pandas DataFrame — a dimension table, a lookup, a filtered key list)
+    is put in the object store ONCE and every ``map_batches`` task merges
+    its batch against the shared-memory copy. No shuffle; the big side
+    streams through. This is the right half of the join family for any
+    side that fits comfortably in a worker's heap (the engine's rule of
+    thumb: dimension tables, pre-aggregated small results).
+    """
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on)
+    )
+    sdf = small.to_pandas() if isinstance(small, pa.Table) else small
+    if right_values is None:
+        right_values = [c for c in sdf.columns if c not in right_on]
+    sdf = sdf[list(right_on) + list(right_values)].rename(
+        columns=dict(zip(right_on, on))
+    )
+    small_ref = ray.put(sdf)
+
+    # the closure ships the ObjectRef, not the frame; ray.get inside the
+    # task reads the one object-store copy (worker-local deserialization
+    # cache makes repeated gets free). Light state → task pool, not actors.
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(ray.get(small_ref), how=how, on=on)
+
+    return ds.map_batches(probe, batch_format="pandas")

@@ -46,6 +46,26 @@ def hash_strings(values) -> np.ndarray:
     return hash64(out)
 
 
+def key_hashes(tbl, cols: list[str]) -> np.ndarray:
+    """Combined 64-bit hash of one or more key columns of an Arrow table
+    (vectorized; string keys via hash_strings, anything integral via the
+    splitmix64 mixer). The shared bucket function for every hash-partitioned
+    exchange (joins, large-cardinality combines)."""
+    import pyarrow as pa
+
+    h = None
+    for c in cols:
+        col = tbl[c]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            hc = hash_strings(col.to_pylist())
+        else:
+            hc = hash64(
+                col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            )
+        h = hc if h is None else hash64(h * np.uint64(0x9E3779B97F4A7C15) + hc)
+    return h
+
+
 class HyperLogLog:
     """Dense HLL with 2^p registers (default p=12 → ~1.6% error, 4 KiB)."""
 

@@ -98,3 +98,42 @@ def test_grouped_schema_infer_matches_per_group_sequential(ray_session, small):
             expected.schema, sort_keys=True
         )
         assert out.loc[k, "processed_docs"] == expected.processed_count
+
+
+def test_partial_merge_is_batch_boundary_invariant():
+    """The wire-mode regression guard: reducing partials must equal the
+    sequential result for EVERY batch split. The killer inputs are docs
+    whose required-intersection goes empty inside one batch (lossy to
+    serialize pre-wire-mode) and empty-object docs (absent ``required``)."""
+    import itertools
+
+    from polars_genson_ray.stages.infer import SchemaPartialBatch, reduce_partials
+
+    docs = [
+        '{"nums": [1], "strs": ["a"]}',
+        '{"other": 1}',
+        '{"nums": [2], "strs": ["b"], "extra": true}',
+        "{}",
+        '{"nested": {"x": 1}}',
+        '{"nested": {}}',
+    ]
+    config = SchemaInferenceConfig()
+    expected = infer_json_schema_from_strings(docs, config)
+    fn = SchemaPartialBatch("c", config)
+
+    def splits(n, parts):
+        for cuts in itertools.combinations(range(1, n), parts - 1):
+            bounds = (0, *cuts, n)
+            yield [docs[bounds[i] : bounds[i + 1]] for i in range(parts)]
+
+    for parts in (2, 3):
+        for chunks in splits(len(docs), parts):
+            rows = [fn.compute(c) for c in chunks]
+            for perm in itertools.permutations(range(parts)):
+                res = reduce_partials([rows[i] for i in perm], config)
+                # property order may differ across merge orders; values and
+                # required sets may not
+                assert json.dumps(res.schema, sort_keys=True) == json.dumps(
+                    expected.schema, sort_keys=True
+                ), (chunks, perm)
+                assert res.processed_count == expected.processed_count

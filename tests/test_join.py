@@ -1,0 +1,123 @@
+"""Unit tests for the co-partitioned hash join and the broadcast join
+(stages/join.py) — semantics pinned against pandas merge on hand-sized
+random inputs, including duplicate keys (cross product), string keys,
+multi-column keys, and left-join null handling."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(tbl: pa.Table, parts: int = 3):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl).repartition(parts)
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_hash_join_matches_pandas(ray_session, how):
+    from polars_genson_ray.stages.join import hash_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, size=300),
+            "lv": rng.normal(size=300),
+            "tag": rng.choice(["x", "y"], size=300),
+        }
+    )
+    # right misses some keys and duplicates others (cross-product check)
+    right = pd.DataFrame(
+        {
+            "rk": np.concatenate([np.arange(0, 30), np.arange(0, 10)]),
+            "rv": np.arange(40, dtype=np.int64) * 10,
+        }
+    )
+    out = hash_join(
+        _ds(pa.Table.from_pandas(left)),
+        _ds(pa.Table.from_pandas(right), parts=2),
+        on="k",
+        right_on="rk",
+        right_values=["rv"],
+        how=how,
+        num_buckets=8,
+    ).to_pandas()
+    expected = left.merge(right.rename(columns={"rk": "k"}), how=how, on="k")
+    pd.testing.assert_frame_equal(
+        _sorted(out), _sorted(expected), check_dtype=False
+    )
+    if how == "left":
+        # unmatched right values must surface as nulls, not NaN-float rows
+        assert out["rv"].isna().sum() == expected["rv"].isna().sum()
+
+
+def test_hash_join_string_and_multi_key(ray_session):
+    from polars_genson_ray.stages.join import hash_join
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame(
+        {
+            "a": rng.choice(["u", "v", "w", "z"], size=120),
+            "b": rng.integers(0, 5, size=120),
+            "lv": np.arange(120),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "a": ["u", "v", "w"] * 5,
+            "b": np.tile(np.arange(5), 3),
+            "rv": np.arange(15, dtype=np.float64),
+        }
+    )
+    out = hash_join(
+        _ds(pa.Table.from_pandas(left)),
+        _ds(pa.Table.from_pandas(right), parts=2),
+        on=["a", "b"],
+        right_values=["rv"],
+        num_buckets=4,
+    ).to_pandas()
+    expected = left.merge(right, how="inner", on=["a", "b"])
+    pd.testing.assert_frame_equal(
+        _sorted(out), _sorted(expected), check_dtype=False
+    )
+
+
+def test_hash_join_rejects_colliding_value_columns(ray_session):
+    from polars_genson_ray.stages.join import hash_join
+
+    t = pa.table({"k": pa.array([1], pa.int64()), "v": pa.array([1.0])})
+    with pytest.raises(ValueError, match="collide"):
+        hash_join(
+            _ds(t, 1), _ds(t, 1), on="k", right_values=["v"],
+            left_schema=t.schema, right_schema=t.schema,
+        )
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_broadcast_join_matches_pandas(ray_session, how):
+    from polars_genson_ray.stages.join import broadcast_join
+
+    rng = np.random.default_rng(3)
+    big = pd.DataFrame(
+        {"k": rng.integers(0, 20, size=200), "v": rng.normal(size=200)}
+    )
+    dim = pd.DataFrame({"dk": np.arange(15), "name": [f"n{i}" for i in range(15)]})
+    out = broadcast_join(
+        _ds(pa.Table.from_pandas(big)),
+        dim,
+        on="k",
+        right_on="dk",
+        how=how,
+    ).to_pandas()
+    expected = big.merge(dim.rename(columns={"dk": "k"}), how=how, on="k")
+    pd.testing.assert_frame_equal(
+        _sorted(out), _sorted(expected), check_dtype=False
+    )
