@@ -73,6 +73,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_neardup_docs": Q.q_jaccard_neardup_docs,
         "doc_repetition": Q.q_doc_repetition,
         "decontaminate_docs": Q.q_decontaminate_docs,
+        "boilerplate_ngrams": Q.q_boilerplate_ngrams,
+        "doc_logprob": Q.q_doc_logprob,
+        "pack_documents": Q.r_pack_documents,
         "doc_fingerprints": Q.r_doc_fingerprints,
         "langid_docs": Q.r_langid_docs,
         "minhash_neardup_docs": Q.r_minhash_neardup_docs,
@@ -395,7 +398,39 @@ def oracle_sql() -> dict[str, str]:
                    END AS fingerprint
             FROM norm
         """,
+        "boilerplate_ngrams": """
+            WITH words AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents WHERE trim(text) <> ''
+            ), grams AS (
+                SELECT doc_id,
+                       UNNEST(list_distinct(list_transform(range(1, len(w)),
+                           i -> w[i] || ' ' || w[i+1]))) AS gram
+                FROM words WHERE len(w) >= 2
+            )
+            SELECT gram, COUNT(*) AS df
+            FROM grams GROUP BY gram HAVING COUNT(*) >= 25
+        """,
+        "doc_logprob": """
+            WITH words AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents WHERE trim(text) <> ''
+            ), wexp AS (
+                SELECT doc_id, UNNEST(w) AS word FROM words
+            ), counts AS (
+                SELECT word, COUNT(*) AS c FROM wexp GROUP BY word
+            ), tot AS (
+                SELECT SUM(c)::DOUBLE AS t FROM counts
+            )
+            SELECT e.doc_id, COUNT(*) AS n_words,
+                   ROUND(AVG(LN(c.c / t.t)), 6) AS logprob
+            FROM wexp e JOIN counts c USING (word) CROSS JOIN tot t
+            GROUP BY e.doc_id
+        """,
         # schema_infer / avro / normalise / langid / minhash / simhash /
         # embedding_neardup / sample_events / drift / ivf / image stages /
+        # pack_documents (partition-order-dependent) /
         # validation_image_table: not SQL-expressible → rows-only checks.
     }

@@ -426,6 +426,42 @@ def q_token_counts(sf_dir: str):
     )
 
 
+def q_boilerplate_ngrams(sf_dir: str, min_df: int = 25):
+    """Corpus-wide boilerplate discovery: word bigrams appearing in ≥
+    ``min_df`` distinct documents (two-pass hashed heavy hitters +
+    broadcast string recovery — strings never cross an exchange)."""
+    from ..stages.corpus import boilerplate_ngrams
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return boilerplate_ngrams(ds, "text", ngram_words=2, min_df=min_df)
+
+
+def q_doc_logprob(sf_dir: str):
+    """Unigram-LM quality score per document (mean log-probability of its
+    words under the corpus unigram distribution — the cheap KenLM-filter
+    stand-in). Distributed word counts → broadcast vocabulary → vectorized
+    per-batch probe."""
+    from ..stages.corpus import unigram_logprob
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    probe = _read(sf_dir, "documents", ["doc_id", "text"])
+    return unigram_logprob(ds, probe)
+
+
+def r_pack_documents(sf_dir: str, max_tokens: int = 512):
+    """Token-budget sequence packing (rows-only: next-fit order is
+    partition-dependent, not SQL-expressible). Token counts come from the
+    TokenCounter stage; packs never exceed max_tokens unless a single
+    oversize document forms its own flagged pack."""
+    from ..stages.packing import pack_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    counted = ds.map_batches(TokenCounter(), batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens"]
+    )
+    return pack_documents(counted, max_tokens)
+
+
 def q_doc_quality(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(QualityScorer(), batch_format="pyarrow").select_columns(

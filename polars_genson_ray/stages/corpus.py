@@ -1,0 +1,223 @@
+"""Corpus-level statistics operators: global boilerplate n-gram discovery
+and unigram-distribution quality scoring.
+
+Both follow the same 100-TB shape — a DISTRIBUTED statistics pass whose
+result is small by construction (frequent grams / the vocabulary), then a
+broadcast probe pass over the streaming corpus:
+
+* pass 1 aggregates per-batch partial counts under the engine's bucketed
+  large-cardinality combine (``aggregate.bucketed_groups`` — distinct
+  grams/words scale with data, one task can't hold them);
+* the thresholded result (heavy hitters, vocabulary) is collected and
+  ``ray.put`` ONCE as sorted hash arrays;
+* pass 2 streams the corpus again with a vectorized ``searchsorted``
+  membership/lookup per batch — no further shuffle.
+
+Gram/word identity travels as 64-bit hashes between stages (strings never
+cross an exchange); the final heavy-hitter output recovers the gram STRING
+in the probe pass, so results remain SQL-oracle-comparable. Collision odds
+are ~n²/2⁶⁵ — negligible, and the sf0.01 oracle comparison would surface
+one immediately.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .aggregate import bucketed_groups
+from .setjoin import _gram_hashes_flat
+from .sketches import hash_strings
+
+
+def _doc_words(texts) -> list[list[str]]:
+    return [t.lower().split() if t else [] for t in texts]
+
+
+def boilerplate_ngrams(
+    ds,
+    column: str = "text",
+    *,
+    ngram_words: int = 2,
+    min_df: int = 25,
+):
+    """Corpus-wide boilerplate discovery: word ``ngram_words``-grams that
+    appear in at least ``min_df`` DISTINCT documents (document frequency,
+    not term frequency — a gram repeated inside one doc counts once).
+
+    Returns a Dataset of (gram, df) for the frequent grams — the list a
+    curation pipeline strips as boilerplate (nav bars, cookie banners,
+    license headers). The result is small by construction: bounded by
+    corpus_grams / min_df.
+
+    Two passes: hashed df counts (narrow exchange), then a broadcast
+    membership probe that recovers the gram strings of the survivors only.
+    """
+    import ray
+
+    n = ngram_words
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        word_lists = _doc_words(batch[column].to_pylist())
+        per_doc = []
+        for ws in word_lists:
+            if len(ws) >= n:
+                per_doc.append(np.unique(_gram_hashes_flat(hash_strings(ws), n)))
+        if per_doc:
+            h, c = np.unique(np.concatenate(per_doc), return_counts=True)
+        else:
+            h = np.zeros(0, dtype=np.uint64)
+            c = np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {"gh": pa.array(h.view(np.int64)), "df": pa.array(c.astype(np.int64))}
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("gh", as_index=False).agg(df=("df", "sum"))
+        return out[out["df"] >= min_df]
+
+    counts = bucketed_groups(
+        ds.map_batches(partial_counts, batch_format="pyarrow"), ["gh"], combine
+    )
+    # the frequent set is small by construction (≤ total grams / min_df):
+    # driver materialization here is the broadcast build, not a data scan
+    freq = counts.to_pandas()
+    order = np.argsort(freq["gh"].to_numpy().view(np.uint64))
+    freq_h = freq["gh"].to_numpy().view(np.uint64)[order]
+    freq_df = freq["df"].to_numpy()[order]
+    freq_ref = ray.put((freq_h, freq_df))
+
+    def recover(batch: pa.Table) -> pa.Table:
+        fh, fdf = ray.get(freq_ref)
+        grams_out, df_out = [], []
+        seen: set[str] = set()
+        for ws in _doc_words(batch[column].to_pylist()):
+            if len(ws) < n:
+                continue
+            gh = _gram_hashes_flat(hash_strings(ws), n)
+            pos = np.searchsorted(fh, gh)
+            pos[pos == len(fh)] = 0
+            hit = fh[pos] == gh if len(fh) else np.zeros(len(gh), bool)
+            for i in np.flatnonzero(hit):
+                g = " ".join(ws[i : i + n])
+                if g not in seen:
+                    seen.add(g)
+                    grams_out.append(g)
+                    df_out.append(int(fdf[pos[i]]))
+        return pa.table(
+            {"gram": pa.array(grams_out, pa.string()),
+             "df": pa.array(df_out, pa.int64())}
+        )
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates("gram")
+
+    # per-batch recovery emits each frequent gram once per batch; the final
+    # dedup coalesces a result already bounded by the frequent-set size
+    return (
+        ds.map_batches(recover, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(dedup, batch_format="pandas", batch_size=None)
+    )
+
+
+class _LogProbProbe:
+    """Broadcast-vocabulary scorer (pass 2 of :func:`unigram_logprob`)."""
+
+    def __init__(self, vocab_ref, column: str, id_column: str, round_to: int):
+        # ObjectRef, not the arrays: resolving at call time reads the one
+        # object-store copy instead of re-shipping per task
+        self.vocab_ref = vocab_ref
+        self.column = column
+        self.id_column = id_column
+        self.round_to = round_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        vh, vlp = ray.get(self.vocab_ref)
+        texts = batch[self.column].to_pylist()
+        word_lists = _doc_words(texts)
+        counts = np.fromiter(
+            (len(w) for w in word_lists), count=len(word_lists), dtype=np.int64
+        )
+        all_words = [w for ws in word_lists for w in ws]
+        wh = hash_strings(all_words)
+        pos = np.searchsorted(vh, wh)
+        if len(vh):
+            pos[pos == len(vh)] = 0
+            lp = np.where(vh[pos] == wh, vlp[pos], np.nan)
+        else:
+            lp = np.full(len(wh), np.nan)
+        starts = np.concatenate(([0], np.cumsum(counts)))
+        # segment sums via cumsum difference (reduceat mishandles empty
+        # segments: equal/end-of-array indices); exact for zero-word docs
+        csum = np.concatenate(([0.0], np.cumsum(np.nan_to_num(lp))))
+        sums = csum[starts[1:]] - csum[starts[:-1]]
+        keep = counts > 0
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)[keep]
+        mean = np.round(sums[keep] / counts[keep], self.round_to)
+        return pa.table(
+            {
+                self.id_column: pa.array(ids),
+                "n_words": pa.array(counts[keep]),
+                "logprob": pa.array(mean),
+            }
+        )
+
+
+def unigram_logprob(
+    ds,
+    probe_ds,
+    column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    min_count: int = 1,
+    round_to: int = 6,
+):
+    """Unigram-LM quality score: mean log-probability of a document's words
+    under the CORPUS unigram distribution (the cheap stand-in for the
+    KenLM-perplexity filter every web-scale curation pipeline runs —
+    low-probability word salad scores far below natural text).
+
+    ``ds`` supplies the corpus statistics; ``probe_ds`` is scored (pass the
+    same dataset twice for self-scoring). Words absent from the vocabulary
+    (possible when ``min_count`` > 1 prunes the tail) contribute 0 to the
+    sum — at 100 TB pass ``min_count`` high enough that the broadcast
+    vocabulary (8+8 B per word) fits the object store; the tail it prunes
+    is precisely the probability mass a quality filter doesn't need.
+
+    Returns (id, n_words, logprob) — empty documents are dropped.
+    """
+    import ray
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        word_lists = _doc_words(batch[column].to_pylist())
+        all_words = [w for ws in word_lists for w in ws]
+        if all_words:
+            h, c = np.unique(hash_strings(all_words), return_counts=True)
+        else:
+            h = np.zeros(0, dtype=np.uint64)
+            c = np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {"wh": pa.array(h.view(np.int64)), "c": pa.array(c.astype(np.int64))}
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("wh", as_index=False).agg(c=("c", "sum"))
+        return out[out["c"] >= min_count]
+
+    vocab = bucketed_groups(
+        ds.map_batches(partial_counts, batch_format="pyarrow"), ["wh"], combine
+    ).to_pandas()
+    total = float(vocab["c"].sum())
+    order = np.argsort(vocab["wh"].to_numpy().view(np.uint64))
+    vh = vocab["wh"].to_numpy().view(np.uint64)[order]
+    vlp = np.log(vocab["c"].to_numpy()[order] / total)
+    vocab_ref = ray.put((vh, vlp))
+
+    return probe_ds.map_batches(
+        _LogProbProbe(vocab_ref, column, id_column, round_to),
+        batch_format="pyarrow",
+    )

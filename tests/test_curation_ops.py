@@ -101,3 +101,78 @@ def test_grouped_quantiles_matches_numpy(ray_session):
             expected = np.quantile(g["v"].to_numpy(), q)  # linear interp
             got = out[(out.k == key) & (out.q == q)]["value"].iloc[0]
             assert got == pytest.approx(expected), (key, q)
+
+
+def test_boilerplate_ngrams_finds_planted_bigram(ray_session):
+    from polars_genson_ray.stages.corpus import boilerplate_ngrams
+
+    rows = [(i, f"cookie banner unique{i} filler words") for i in range(10)]
+    rows += [(100, "nothing shared here"), (101, "cookie banner")]
+    # "cookie banner" in 11 docs; every other bigram df <= 10
+    out = (
+        boilerplate_ngrams(_docs_ds(ray_session, rows), "text",
+                           ngram_words=2, min_df=11)
+        .to_pandas()
+    )
+    assert len(out) == 1
+    assert out.iloc[0]["gram"] == "cookie banner"
+    assert out.iloc[0]["df"] == 11
+
+
+def test_unigram_logprob_hand_computed(ray_session):
+    import numpy as np
+
+    from polars_genson_ray.stages.corpus import unigram_logprob
+
+    # corpus: 4 'a', 2 'b', 2 'c' -> p(a)=.5, p(b)=.25, p(c)=.25
+    rows = [(1, "a a b"), (2, "a a b c c"), (3, "")]
+    ds = _docs_ds(ray_session, rows)
+    out = (
+        unigram_logprob(ds, _docs_ds(ray_session, rows))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert sorted(out.index) == [1, 2]  # empty doc dropped
+    lp = {"a": np.log(0.5), "b": np.log(0.25), "c": np.log(0.25)}
+    exp1 = round((2 * lp["a"] + lp["b"]) / 3, 6)
+    exp2 = round((2 * lp["a"] + lp["b"] + 2 * lp["c"]) / 5, 6)
+    assert out.loc[1, "logprob"] == pytest.approx(exp1, abs=1e-9)
+    assert out.loc[2, "logprob"] == pytest.approx(exp2, abs=1e-9)
+    assert out.loc[1, "n_words"] == 3 and out.loc[2, "n_words"] == 5
+
+
+def test_pack_batch_next_fit_semantics():
+    from polars_genson_ray.stages.packing import pack_batch
+
+    counts = np.array([50, 40, 30, 100, 1, 2000, 5, 0, 0])
+    a = pack_batch(counts, 100)
+    # next-fit: [50,40] (90), [30], [100] (exactly full), [1],
+    # [2000] (oversize, alone), [5,0,0]
+    assert a.tolist() == [0, 0, 1, 2, 3, 4, 5, 5, 5]
+    # no pack except a single-doc oversize exceeds the budget
+    for p in set(a.tolist()):
+        tot = counts[a == p].sum()
+        assert tot <= 100 or (counts[a == p] > 100).any()
+
+
+def test_pack_documents_round_trip(ray_session):
+    import ray.data as rd
+
+    from polars_genson_ray.stages.packing import pack_documents
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame(
+        {"doc_id": np.arange(1000), "n_tokens": rng.integers(1, 300, 1000)}
+    )
+    ds = rd.from_pandas(df).repartition(4)
+    out = pack_documents(ds, 512, batch_size=256).to_pandas()
+    # every doc appears exactly once across packs
+    all_ids = sorted(i for ids in out.doc_ids for i in ids)
+    assert all_ids == list(range(1000))
+    assert out.pack_id.is_unique
+    assert (out.total_tokens == [sum(df.n_tokens[df.doc_id.isin(ids)])
+                                 for ids in out.doc_ids]).all()
+    ok = (out.total_tokens <= 512) | out.oversize
+    assert ok.all()
+    # fill should be healthy for random small docs
+    assert out.fill.mean() > 0.6

@@ -138,6 +138,8 @@ def test_oracle_keys_subset_of_queries(entry_module):
         "doc_repetition",
         "decontaminate_docs",
         "doc_fingerprints",
+        "boilerplate_ngrams",
+        "doc_logprob",
     ],
 )
 def test_query_matches_oracle(entry_module, duck, name):
@@ -156,6 +158,7 @@ def test_query_matches_oracle(entry_module, duck, name):
         "avro_schema_events_props",
         "normalise_events_props",
         "langid_docs",
+        "pack_documents",
         "minhash_neardup_docs",
         "simhash_docs",
         "embedding_neardup",
