@@ -37,7 +37,10 @@ BENCH_QUERIES = [
     "minhash_neardup_docs",
     "jaccard_neardup_docs",
     "events_asof_orders",
+    "shipping_priority",
     "token_counts",
+    "doc_logprob",
+    "decontaminate_docs",
     "ann_topk",
     "nation_revenue",
 ]
