@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": Q.q_doc_quality,
         "exact_dedup_docs": Q.q_exact_dedup_docs,
         "jaccard_neardup_docs": Q.q_jaccard_neardup_docs,
+        "neardup_clusters": Q.q_neardup_clusters,
         "doc_repetition": Q.q_doc_repetition,
         "decontaminate_docs": Q.q_decontaminate_docs,
         "boilerplate_ngrams": Q.q_boilerplate_ngrams,
@@ -253,6 +254,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh b ON c.id_b = b.doc_id
             WHERE len(list_intersect(a.s, b.s))::DOUBLE
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        """,
+        "neardup_clusters": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+                FROM toks WHERE len(w) >= 3
+            ), exploded AS (
+                SELECT doc_id, UNNEST(s) AS g FROM sh
+            ), cand AS (
+                SELECT DISTINCT e1.doc_id AS id_a, e2.doc_id AS id_b
+                FROM exploded e1
+                JOIN exploded e2 ON e1.g = e2.g AND e1.doc_id < e2.doc_id
+            ), pairs AS (
+                SELECT c.id_a, c.id_b
+                FROM cand c
+                JOIN sh a ON c.id_a = a.doc_id
+                JOIN sh b ON c.id_b = b.doc_id
+                WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+            ), reach(node, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, reach.r
+                FROM reach JOIN edges e ON e.src = reach.node
+            )
+            SELECT node AS doc_id, MIN(r) AS cluster_id
+            FROM reach GROUP BY node
         """,
         "ann_topk": """
             SELECT vec_id,

@@ -888,6 +888,28 @@ def q_jaccard_neardup_docs(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_neardup_clusters(sf_dir: str):
+    """Near-duplicate CLUSTERS: the transitive closure of the exact
+    set-similarity pairs (word-trigram Jaccard ≥ 0.8), one ``cluster_id``
+    (= min doc_id in the component) per document.  Keep-one-per-cluster
+    dedup is the downstream filter ``doc_id == cluster_id``.
+
+    Pairs (id-only rows) come from the prefix-filtered self-join; the
+    component labels resolve size-adaptively (driver pointer-jumping for
+    sparse pair graphs, distributed min-label propagation for dup-heavy
+    ones) and attach to the corpus as a broadcast probe — the documents
+    table itself never shuffles."""
+    from ..stages.components import connected_components
+    from ..stages.setjoin import set_similarity_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = set_similarity_join(
+        ds, "text", "doc_id", threshold=0.8, ngram_words=3
+    ).select_columns(["id_a", "id_b"])
+    nodes = _read(sf_dir, "documents", ["doc_id"])
+    return connected_components(pairs, nodes, node_column="doc_id")
+
+
 def q_event_windows_sliding(sf_dir: str):
     """1-hour windows hopping every 30 minutes (each event lands in 2)."""
     from ..stages.windows import sliding_window

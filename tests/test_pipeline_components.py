@@ -1037,3 +1037,96 @@ def test_minhash_bands_fused_matches_two_stage():
     assert two["band_hash"].to_pylist() == fused["band_hash"].to_pylist()
     assert two["doc_id"].to_pylist() == fused["doc_id"].to_pylist()
     assert two["minhash"].to_pylist() == fused["minhash"].to_pylist()
+
+
+# ---------------------------------------------------------------------------
+# connected components (near-dup clusters)
+# ---------------------------------------------------------------------------
+
+def _bfs_components(edges, nodes):
+    """Independent brute-force reference: per-node BFS min label."""
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label = {}
+    for start in adj:
+        if start in label:
+            continue
+        comp, stack = [], [start]
+        seen = {start}
+        while stack:
+            v = stack.pop()
+            comp.append(v)
+            for w in adj[v]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        root = min(comp)
+        for v in comp:
+            label[v] = root
+    return label
+
+
+def test_label_components_numpy_matches_bfs():
+    from polars_genson_ray.stages.components import label_components_numpy
+
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        n_nodes = int(rng.integers(5, 200))
+        n_edges = int(rng.integers(0, 300))
+        ids = rng.choice(np.arange(1000, dtype=np.int64), size=n_nodes,
+                         replace=False)
+        src = rng.choice(ids, size=n_edges)
+        dst = rng.choice(ids, size=n_edges)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        node_ids, roots = label_components_numpy(src, dst)
+        ref = _bfs_components(list(zip(src.tolist(), dst.tolist())), [])
+        assert len(node_ids) == len(ref)
+        for nid, r in zip(node_ids.tolist(), roots.tolist()):
+            assert ref[nid] == r, (trial, nid)
+
+
+def test_connected_components_distributed_matches_driver(ray_session):
+    """Force the distributed min-label-propagation path (threshold 0) and
+    compare against the driver pointer-jumping path on a graph with long
+    chains (exercises multi-iteration convergence)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from polars_genson_ray.stages.components import connected_components
+
+    rng = np.random.default_rng(23)
+    # chain components force > 1 propagation iteration
+    chains = []
+    base = 0
+    for length in (17, 5, 2, 9, 1):
+        ids = np.arange(base, base + length, dtype=np.int64)
+        rng.shuffle(ids)
+        chains.extend(zip(ids[:-1].tolist(), ids[1:].tolist()))
+        base += length + 3  # gaps → singleton nodes in between
+    src = np.array([a for a, _ in chains], dtype=np.int64)
+    dst = np.array([b for _, b in chains], dtype=np.int64)
+    all_nodes = np.arange(base, dtype=np.int64)
+
+    pairs = rd.from_arrow(pa.table({"id_a": src, "id_b": dst}))
+    nodes = rd.from_arrow(pa.table({"doc_id": all_nodes}))
+    small = (
+        connected_components(pairs, nodes, node_column="doc_id")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pairs2 = rd.from_arrow(pa.table({"id_a": src, "id_b": dst}))
+    nodes2 = rd.from_arrow(pa.table({"doc_id": all_nodes}))
+    dist = (
+        connected_components(
+            pairs2, nodes2, node_column="doc_id", driver_threshold=0
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert (small["doc_id"] == dist["doc_id"]).all()
+    assert (small["cluster_id"] == dist["cluster_id"]).all()
+    # independent reference
+    ref = _bfs_components(list(zip(src.tolist(), dst.tolist())), all_nodes.tolist())
+    got = dict(zip(small["doc_id"].tolist(), small["cluster_id"].tolist()))
+    assert got == {n: ref.get(n, n) for n in all_nodes.tolist()}
