@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": Q.q_exact_dedup_docs,
         "jaccard_neardup_docs": Q.q_jaccard_neardup_docs,
         "neardup_clusters": Q.q_neardup_clusters,
+        "pii_redact": Q.q_pii_redact,
         "doc_repetition": Q.q_doc_repetition,
         "decontaminate_docs": Q.q_decontaminate_docs,
         "boilerplate_ngrams": Q.q_boilerplate_ngrams,
@@ -254,6 +255,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh b ON c.id_b = b.doc_id
             WHERE len(list_intersect(a.s, b.s))::DOUBLE
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        """,
+        "pii_redact": """
+            WITH planted AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 7 = 0
+                          THEN ' contact user' || doc_id || '@example.com'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                          THEN ' call 555-010-'
+                               || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                          ELSE '' END
+                       || CASE WHEN doc_id % 13 = 0
+                          THEN ' host 10.0.' || (doc_id % 256) || '.'
+                               || ((doc_id * 7) % 256)
+                          ELSE '' END AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))
+                       AS n_emails,
+                   len(regexp_extract_all(t,
+                       '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS n_phones,
+                   len(regexp_extract_all(t,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                       AS n_ips,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '<IP>', 'g'),
+                       '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b',
+                       '<PHONE>', 'g') AS text_redacted
+            FROM planted
         """,
         "neardup_clusters": """
             WITH RECURSIVE toks AS (

@@ -888,6 +888,38 @@ def q_jaccard_neardup_docs(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_pii_redact(sf_dir: str):
+    """PII scrub pass: count + redact emails / phone numbers / IPv4
+    addresses (Arrow RE2 kernels, streaming, no shuffle).  The synthetic
+    corpus has no natural PII, so deterministic PII is planted first
+    (doc_id-keyed suffixes — the oracle plants identically in SQL), making
+    the query a true-positive demonstration, not a no-op."""
+    from ..stages.text import PIIRedactor
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"]
+        s = df["text"].copy()
+        m = d % 7 == 0
+        s[m] += " contact user" + d[m].astype(str) + "@example.com"
+        m = d % 11 == 0
+        s[m] += " call 555-010-" + (d[m] % 10000).astype(str).str.zfill(4)
+        m = d % 13 == 0
+        s[m] += (
+            " host 10.0." + (d[m] % 256).astype(str)
+            + "." + ((d[m] * 7) % 256).astype(str)
+        )
+        return pd.DataFrame({"doc_id": d, "text": s})
+
+    return (
+        ds.map_batches(plant, batch_format="pandas")
+        .map_batches(PIIRedactor(), batch_format="pyarrow")
+        .select_columns(["doc_id", "n_emails", "n_phones", "n_ips",
+                         "text_redacted"])
+    )
+
+
 def q_neardup_clusters(sf_dir: str):
     """Near-duplicate CLUSTERS: the transitive closure of the exact
     set-similarity pairs (word-trigram Jaccard ≥ 0.8), one ``cluster_id``

@@ -206,3 +206,42 @@ class Fingerprinter:
         with np.errstate(over="ignore"):
             fps = [self.fingerprint(t) for t in batch[self.column].to_pylist()]
         return batch.append_column(self.out_column, pa.array(fps, pa.int64()))
+
+
+class PIIRedactor:
+    """PII scrubbing: count + redact emails, phone numbers and IPv4
+    addresses in one streaming pass (no shuffle, no payload copy beyond
+    the rewritten column).
+
+    The kernels are Arrow's RE2-backed ``count_substring_regex`` /
+    ``replace_substring_regex`` — vectorized C++ over the whole batch, and
+    the SAME regex engine DuckDB uses, so an oracle written with identical
+    patterns is dialect-exact.  Patterns are compiled (RE2 programs cached
+    inside Arrow) once per actor via the instance, applied per batch.
+    """
+
+    EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+    PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+    IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+    def __init__(self, column: str = "text", out_column: str = "text_redacted"):
+        self.column = column
+        self.out_column = out_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.column(self.column)
+        n_emails = pc.count_substring_regex(t, self.EMAIL)
+        n_ips = pc.count_substring_regex(t, self.IPV4)
+        n_phones = pc.count_substring_regex(t, self.PHONE)
+        # redaction order is part of the contract (emails first — their
+        # local part may contain digit runs — then IPs, then phones); the
+        # oracle applies the same order
+        red = pc.replace_substring_regex(t, self.EMAIL, "<EMAIL>")
+        red = pc.replace_substring_regex(red, self.IPV4, "<IP>")
+        red = pc.replace_substring_regex(red, self.PHONE, "<PHONE>")
+        out = batch.append_column("n_emails", n_emails.cast(pa.int64()))
+        out = out.append_column("n_phones", n_phones.cast(pa.int64()))
+        out = out.append_column("n_ips", n_ips.cast(pa.int64()))
+        return out.append_column(self.out_column, red)

@@ -1130,3 +1130,26 @@ def test_connected_components_distributed_matches_driver(ray_session):
     ref = _bfs_components(list(zip(src.tolist(), dst.tolist())), all_nodes.tolist())
     got = dict(zip(small["doc_id"].tolist(), small["cluster_id"].tolist()))
     assert got == {n: ref.get(n, n) for n in all_nodes.tolist()}
+
+
+def test_pii_redactor_kernels():
+    import pyarrow as pa
+
+    from polars_genson_ray.stages.text import PIIRedactor
+
+    batch = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "mail a.b-c_d@foo-bar.org and x@y.io now",
+            "call 555-010-1234 from 10.0.3.77 twice 555.010.9999",
+            "nothing sensitive here",
+        ],
+    })
+    out = PIIRedactor()(batch)
+    assert out.column("n_emails").to_pylist() == [2, 0, 0]
+    assert out.column("n_phones").to_pylist() == [0, 2, 0]
+    assert out.column("n_ips").to_pylist() == [0, 1, 0]
+    red = out.column("text_redacted").to_pylist()
+    assert red[0] == "mail <EMAIL> and <EMAIL> now"
+    assert red[1] == "call <PHONE> from <IP> twice <PHONE>"
+    assert red[2] == "nothing sensitive here"

@@ -129,6 +129,7 @@ def test_oracle_keys_subset_of_queries(entry_module):
         "event_windows_sliding",
         "jaccard_neardup_docs",
         "neardup_clusters",
+        "pii_redact",
         "events_asof_orders",
         "top_events_per_type",
         "quantity_tier_revenue",
