@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": Q.q_ann_topk,
         "ann_topk_ivf": Q.r_ann_topk_ivf,
         "embedding_neardup": Q.r_embedding_neardup,
+        "embedding_kmeans": Q.r_embedding_kmeans,
         # windows / sessions
         "event_windows_hourly": Q.q_event_windows_hourly,
         "event_windows_sliding": Q.q_event_windows_sliding,

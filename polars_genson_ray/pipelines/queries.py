@@ -727,6 +727,24 @@ def r_embedding_neardup(sf_dir: str):
 # Windows / sessions over events
 # ---------------------------------------------------------------------------
 
+def r_embedding_kmeans(sf_dir: str, k: int = 10):
+    """Distributed spherical k-means over the embeddings table (SemDeDup-
+    style corpus organization: embed → cluster → prune/balance).  Fit is
+    Lloyd's as streaming partial reduces (≤k tiny rows per batch cross to
+    the driver per pass); assignment is a broadcast map — no shuffle
+    anywhere.  Returns (vec_id, cluster, cosine); rows-only check
+    (iterative — not SQL-expressible)."""
+    from ..stages.cluster import kmeans_assign, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    centroids = kmeans_fit(
+        ds, k=k, approx_rows=_table_rows(sf_dir, "embeddings")
+    )
+    out = kmeans_assign(ds, centroids).to_pandas()
+    out["cosine"] = out["cosine"].round(4)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_event_windows_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
     out = tumbling_window(ds, "ts", "event_type", "value", window="1h").to_pandas()

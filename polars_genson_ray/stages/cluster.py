@@ -1,0 +1,172 @@
+"""Distributed spherical k-means over an embedding column.
+
+The corpus-organization primitive behind semantic dedup, topic balancing
+and curriculum bucketing in training-data pipelines (SemDeDup-style: embed
+→ cluster → prune/balance within clusters).
+
+Scale shape (Lloyd's iterations as streaming partial reduces):
+
+* init: coarse centroids from a seeded Bernoulli *sample* (same policy as
+  ``similarity.ivf_topk`` — sample-trained warm start, unbiased when
+  ``approx_rows`` is passed);
+* each iteration is ONE streaming pass: per-batch vectorized assignment
+  (normalized matmul) reduced to at most ``k`` partial rows
+  (count + vector sum) per batch — the driver merge handles
+  O(k × num_blocks) tiny rows, independent of dataset row count.  At
+  extreme block counts, feed the partials through
+  ``aggregate.combine_partials`` first (same monoid) — the merge is
+  associative;
+* the embedding projection is ``materialize()``d once so the iteration
+  loop re-reads object-store blocks (spilling if needed) instead of
+  re-scanning parquet every pass;
+* final assignment is a broadcast map (centroids ``ray.put`` once) — no
+  shuffle anywhere in fit or assign.
+
+Determinism: seeded init; partial sums are float64, so cross-run block
+ordering can flip a point sitting exactly on a Voronoi boundary —
+irrelevant for separated clusters, noted for exact-replay consumers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from .similarity import _embedding_matrix, _kmeans, _normalize
+
+
+class _AssignPartial:
+    """Per-batch partial: (cluster, n, vsum) — ≤ k rows per batch."""
+
+    def __init__(self, centroids_ref, column: str):
+        self.centroids_ref = centroids_ref
+        self.column = column
+        self._c = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._c is None:
+            c = self.centroids_ref
+            self._c = ray.get(c) if isinstance(c, ray.ObjectRef) else c
+        emb = _embedding_matrix(batch[self.column])
+        if emb.size == 0:
+            return pa.table({
+                "cluster": pa.array([], type=pa.int32()),
+                "n": pa.array([], type=pa.int64()),
+                "vsum": pa.array([], type=pa.list_(pa.float64())),
+            })
+        x = _normalize(emb)
+        assign = np.argmax(x @ self._c.T, axis=1)
+        order = np.argsort(assign, kind="stable")
+        sorted_assign = assign[order]
+        uniq, starts = np.unique(sorted_assign, return_index=True)
+        sums = np.add.reduceat(x[order], starts, axis=0)
+        counts = np.diff(np.append(starts, len(assign)))
+        return pa.table({
+            "cluster": pa.array(uniq.astype(np.int32)),
+            "n": pa.array(counts.astype(np.int64)),
+            "vsum": pa.array(list(sums)),
+        })
+
+
+def kmeans_fit(
+    ds,
+    *,
+    column: str = "embedding",
+    k: int = 8,
+    iters: int = 10,
+    tol: float = 1e-6,
+    seed: int = 5,
+    init_sample: int = 2048,
+    approx_rows: int | None = None,
+    batch_size: int = 4096,
+) -> np.ndarray:
+    """Fit k spherical centroids (unit-norm, cosine assignment).
+
+    Returns the (k, dim) float64 centroid matrix.  ``iters`` bounds the
+    Lloyd passes; the loop stops early when the max centroid shift
+    (1 - cos(old, new)) drops below ``tol``.
+    """
+    proj = ds.select_columns([column]).materialize()
+    sample_ds = proj
+    if approx_rows and approx_rows > init_sample:
+        frac = min(1.0, (init_sample * 4) / approx_rows)
+        sample_ds = proj.random_sample(frac, seed=seed)
+    rows = sample_ds.limit(init_sample).take_all()
+    sample = np.asarray(
+        [np.asarray(r[column], dtype=np.float64) for r in rows]
+    )
+    centroids = _kmeans(sample, k, seed=seed)
+
+    for _ in range(iters):
+        ref = ray.put(centroids)
+        partials = proj.map_batches(
+            _AssignPartial(ref, column),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        ).take_all()
+        dim = centroids.shape[1]
+        sums = np.zeros((len(centroids), dim))
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for r in partials:
+            c = int(r["cluster"])
+            sums[c] += np.asarray(r["vsum"], dtype=np.float64)
+            counts[c] += int(r["n"])
+        new = centroids.copy()
+        nonzero = counts > 0
+        new[nonzero] = _normalize(sums[nonzero] / counts[nonzero, None])
+        shift = 1.0 - np.einsum("ij,ij->i", new, centroids)
+        centroids = new
+        if float(shift.max()) < tol:
+            break
+    return centroids
+
+
+class _AssignFinal:
+    def __init__(self, centroids_ref, id_column: str, column: str):
+        self.centroids_ref = centroids_ref
+        self.id_column = id_column
+        self.column = column
+        self._c = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._c is None:
+            c = self.centroids_ref
+            self._c = ray.get(c) if isinstance(c, ray.ObjectRef) else c
+        emb = _embedding_matrix(batch[self.column])
+        if emb.size == 0:
+            return pa.table({
+                self.id_column: batch.column(self.id_column),
+                "cluster": pa.array([], type=pa.int32()),
+                "cosine": pa.array([], type=pa.float64()),
+            })
+        sims = _normalize(emb) @ self._c.T
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(assign)), assign]
+        return pa.table({
+            self.id_column: batch.column(self.id_column),
+            "cluster": pa.array(assign.astype(np.int32)),
+            "cosine": pa.array(best),
+        })
+
+
+def kmeans_assign(
+    ds,
+    centroids: np.ndarray,
+    *,
+    id_column: str = "vec_id",
+    column: str = "embedding",
+    batch_size: int = 4096,
+):
+    """Broadcast-assign every row to its nearest centroid.
+
+    Returns a Dataset of (id, cluster, cosine) — the id→cluster map a
+    downstream per-cluster prune/balance stage groups on.
+    """
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+    return ds.select_columns([id_column, column]).map_batches(
+        _AssignFinal(ref, id_column, column),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )

@@ -1153,3 +1153,48 @@ def test_pii_redactor_kernels():
     assert red[0] == "mail <EMAIL> and <EMAIL> now"
     assert red[1] == "call <PHONE> from <IP> twice <PHONE>"
     assert red[2] == "nothing sensitive here"
+
+
+def test_kmeans_recovers_separated_clusters(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from polars_genson_ray.stages.cluster import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(3)
+    dim, per = 16, 120
+    centers = rng.normal(size=(4, dim)) * 6
+    vecs, truth = [], []
+    for ci, c in enumerate(centers):
+        vecs.append(c + rng.normal(scale=0.05, size=(per, dim)))
+        truth.extend([ci] * per)
+    mat = np.concatenate(vecs).astype(np.float32)
+    ids = np.arange(len(mat), dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": ids,
+        "embedding": pa.array(list(mat), type=pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl).repartition(6)
+    centroids = kmeans_fit(ds, k=4, approx_rows=len(mat), seed=9)
+    assert centroids.shape == (4, dim)
+    # unit-norm centroids
+    assert np.allclose(np.linalg.norm(centroids, axis=1), 1.0)
+    out = kmeans_assign(ds, centroids).to_pandas().sort_values("vec_id")
+    truth = np.asarray(truth)
+    got = out["cluster"].to_numpy()
+    # purity: each fitted cluster maps to exactly one ground-truth blob
+    purity = 0
+    for c in np.unique(got):
+        vals, counts = np.unique(truth[got == c], return_counts=True)
+        purity += counts.max()
+    assert purity == len(mat)
+    assert (out["cosine"] > 0.9).all()
+
+
+def test_embedding_kmeans_query_shape(ray_session):
+    from polars_genson_ray.pipelines.queries import r_embedding_kmeans
+
+    out = r_embedding_kmeans("/root/testdata/sf0.001")
+    assert list(out.columns) == ["vec_id", "cluster", "cosine"]
+    assert len(out) == 500
+    assert out["cluster"].nunique() <= 10
