@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_neardup_docs": Q.q_jaccard_neardup_docs,
         "neardup_clusters": Q.q_neardup_clusters,
         "pii_redact": Q.q_pii_redact,
+        "shuffle_shards": Q.q_shuffle_shards,
         "doc_repetition": Q.q_doc_repetition,
         "decontaminate_docs": Q.q_decontaminate_docs,
         "boilerplate_ngrams": Q.q_boilerplate_ngrams,
@@ -256,6 +257,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh b ON c.id_b = b.doc_id
             WHERE len(list_intersect(a.s, b.s))::DOUBLE
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        """,
+        "shuffle_shards": """
+            SELECT doc_id,
+                   (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        ::BIGINT % 8) AS shard,
+                   row_number() OVER (
+                       PARTITION BY ('0x' || substr(
+                           md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) - 1 AS pos
+            FROM documents
         """,
         "pii_redact": """
             WITH planted AS (

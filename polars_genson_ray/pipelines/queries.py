@@ -906,6 +906,18 @@ def q_jaccard_neardup_docs(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_shuffle_shards(sf_dir: str, num_shards: int = 8):
+    """Deterministic global shuffle of the corpus into training shards:
+    md5(doc_id) is the permutation key, so the assignment is identical
+    run-to-run and across cluster sizes (resumable), unlike seeded
+    ``random_shuffle``.  Only (id, priority) rows cross the exchange."""
+    from ..stages.shards import deterministic_shards
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return deterministic_shards(ds, id_column="doc_id",
+                                num_shards=num_shards)
+
+
 def q_pii_redact(sf_dir: str):
     """PII scrub pass: count + redact emails / phone numbers / IPv4
     addresses (Arrow RE2 kernels, streaming, no shuffle).  The synthetic

@@ -1,0 +1,58 @@
+"""Deterministic global shuffle → training shard assignment.
+
+Training pipelines need the corpus globally shuffled into S shard files,
+and they need the SAME shuffle when a run resumes or the cluster size
+changes — seeded RNG shuffles give neither (Ray's ``random_shuffle`` order
+depends on block layout).  The standard fix is a *hash shuffle*: every
+row's position is a pure function of its id — ``md5(id)`` is the sort key,
+``int(md5[:8], 16) % S`` the shard — so the permutation is reproducible
+run-to-run, across cluster sizes, and SQL-verifiable (same contract as
+``aggregate.stratified_sample``'s md5 priority).
+
+Scale shape:
+
+* only (id, 16-byte priority) rows cross the exchange — never payload;
+  the payload is re-attached by shard at write time (or the shard/pos
+  map is joined back, both narrow);
+* shards are the exchange partitions themselves (one groupby on the
+  shard id);
+* ``pos`` (rank within shard) here sorts each shard in its group task —
+  fine while a shard fits a worker (pick S so corpus/S ~ a few GB).  For
+  shards bigger than a worker, drop ``pos`` and let consumers order by
+  the priority key at read time, or compute rank hierarchically
+  (range-partition the priority space per shard and prefix-sum the
+  range counts — same monoid as ``grouped_topk``'s partials).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+
+def deterministic_shards(ds, *, id_column: str, num_shards: int):
+    """Assign (shard, pos) to every row of ``ds`` from md5 of its id.
+
+    Returns a Dataset of ``(id_column, shard, pos)`` — shard in
+    ``[0, num_shards)``, pos the 0-based rank of md5(id) (ties broken by
+    id) within the shard.
+    """
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        pri = [
+            hashlib.md5(str(v).encode()).hexdigest() for v in df[id_column]
+        ]
+        shard = [int(p[:8], 16) % num_shards for p in pri]
+        return pd.DataFrame(
+            {id_column: df[id_column], "shard": shard, "__pri": pri}
+        )
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__pri", id_column]).reset_index(drop=True)
+        out = df[[id_column, "shard"]].copy()
+        out["pos"] = range(len(df))
+        return out
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    return tagged.groupby("shard").map_groups(rank, batch_format="pandas")

@@ -130,6 +130,7 @@ def test_oracle_keys_subset_of_queries(entry_module):
         "jaccard_neardup_docs",
         "neardup_clusters",
         "pii_redact",
+        "shuffle_shards",
         "events_asof_orders",
         "top_events_per_type",
         "quantity_tier_revenue",
