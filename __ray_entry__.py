@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_shards": Q.q_shuffle_shards,
         "doc_repetition": Q.q_doc_repetition,
         "decontaminate_docs": Q.q_decontaminate_docs,
+        "curation_filter": Q.q_curation_filter,
         "boilerplate_ngrams": Q.q_boilerplate_ngrams,
         "doc_logprob": Q.q_doc_logprob,
         "pack_documents": Q.r_pack_documents,
@@ -463,6 +464,57 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 50 <> 0
+        """,
+        "curation_filter": """
+            WITH words AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents
+            ), wexp AS (
+                SELECT doc_id, UNNEST(w) AS word FROM words
+            ), wtop AS (
+                SELECT doc_id, MAX(c) AS top_w FROM (
+                    SELECT doc_id, word, COUNT(*) AS c
+                    FROM wexp GROUP BY doc_id, word
+                ) GROUP BY doc_id
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(w) - 3),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] ||
+                                ' ' || w[i+3] || ' ' || w[i+4])) AS g
+                FROM words WHERE len(w) >= 5
+            ), bench AS (
+                SELECT DISTINCT UNNEST(g) AS gram FROM grams
+                WHERE doc_id % 50 = 0
+            ), hits AS (
+                SELECT e.doc_id, COUNT(*) AS n
+                FROM (SELECT doc_id, UNNEST(g) AS gram FROM grams
+                      WHERE doc_id % 50 <> 0) e
+                JOIN bench b ON e.gram = b.gram
+                GROUP BY e.doc_id
+            ), feat AS (
+                SELECT d.doc_id,
+                       LENGTH(d.text) AS q_len,
+                       COALESCE(1.0 - len(list_distinct(s.w))::DOUBLE
+                                / len(s.w), 0.0) AS dup_word_frac,
+                       COALESCE(w.top_w::DOUBLE / len(s.w), 0.0)
+                           AS top_word_frac,
+                       COALESCE(h.n, 0) AS n_contam
+                FROM documents d
+                LEFT JOIN words s USING (doc_id)
+                LEFT JOIN wtop w USING (doc_id)
+                LEFT JOIN hits h USING (doc_id)
+                WHERE d.doc_id % 50 <> 0
+            )
+            SELECT doc_id, q_len, dup_word_frac, top_word_frac, n_contam,
+                   q_len < 200 AS r_short,
+                   (dup_word_frac > 0.6 OR top_word_frac > 0.15)
+                       AS r_repetitive,
+                   n_contam > 0 AS r_contaminated,
+                   NOT (q_len < 200
+                        OR dup_word_frac > 0.6 OR top_word_frac > 0.15
+                        OR n_contam > 0) AS keep
+            FROM feat
         """,
         "doc_fingerprints": """
             WITH norm AS (

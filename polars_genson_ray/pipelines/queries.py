@@ -540,6 +540,30 @@ def q_decontaminate_docs(sf_dir: str):
     )
 
 
+def q_curation_filter(sf_dir: str):
+    """Fused keep/drop curation pass: quality + Gopher repetition +
+    benchmark decontamination evaluated in ONE streaming scan of the
+    corpus (no shuffle), emitting the keep flag and per-reason
+    attribution.  Benchmark set = every 50th doc (as in
+    ``decontaminate_docs``); those docs are excluded from the output."""
+    from ..stages.curation import CurationFilter
+    from ..stages.decontam import benchmark_ngram_hashes
+
+    bench_tbl = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    mask = np.asarray(bench_tbl["doc_id"]) % 50 == 0
+    bench_texts = [t for t, m in zip(bench_tbl["text"].to_pylist(), mask) if m]
+    bench_ref = ray.put(benchmark_ngram_hashes(bench_texts, 5))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def drop_benchmark(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df.doc_id % 50 != 0]
+
+    return ds.map_batches(drop_benchmark, batch_format="pandas").map_batches(
+        CurationFilter(bench_ref), batch_format="pyarrow"
+    )
+
+
 def q_quantity_stats_by_flag(sf_dir: str):
     """Exact per-group quantiles (quantile_cont semantics) over lineitem
     quantity by return flag — distributed value-count partials, one tiny

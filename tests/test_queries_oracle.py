@@ -131,6 +131,7 @@ def test_oracle_keys_subset_of_queries(entry_module):
         "neardup_clusters",
         "pii_redact",
         "shuffle_shards",
+        "curation_filter",
         "events_asof_orders",
         "top_events_per_type",
         "quantity_tier_revenue",
