@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": Q.r_ann_topk_ivf,
         "embedding_neardup": Q.r_embedding_neardup,
         "embedding_kmeans": Q.r_embedding_kmeans,
+        "semantic_dedup": Q.r_semantic_dedup,
         # windows / sessions
         "event_windows_hourly": Q.q_event_windows_hourly,
         "event_windows_sliding": Q.q_event_windows_sliding,

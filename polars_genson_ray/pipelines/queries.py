@@ -769,6 +769,38 @@ def r_embedding_kmeans(sf_dir: str, k: int = 10):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def r_semantic_dedup(sf_dir: str):
+    """SemDeDup composition: k-means the embedding space, then greedily
+    prune within-cluster near-duplicates (cosine ≥ 0.9 to a kept point).
+    Plants perturbed copies of the first 8 vectors (ids +10^7) — those,
+    and only those, must be dropped (the natural embeddings are
+    near-orthogonal), so this is a true-positive demonstration."""
+    from ..stages.cluster import semantic_dedup
+
+    first = pq.ParquetFile(_t(sf_dir, "embeddings")).read_row_group(0).slice(0, 8)
+    ids = first["vec_id"].to_pylist()
+    vecs = np.array(first["embedding"].to_pylist(), dtype=np.float64)
+    rng = np.random.default_rng(99)
+    planted = vecs + 0.02 * rng.standard_normal(vecs.shape)
+    planted_tbl = pa.table(
+        {
+            "vec_id": pa.array([i + 10_000_000 for i in ids],
+                               first["vec_id"].type),
+            "embedding": pa.array([v.tolist() for v in planted],
+                                  first["embedding"].type),
+        }
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).union(
+        rd.from_arrow(planted_tbl)
+    )
+    out = semantic_dedup(
+        ds, k=10, threshold=0.9,
+        approx_rows=_table_rows(sf_dir, "embeddings"),
+    ).to_pandas()
+    out["max_kept_cosine"] = out["max_kept_cosine"].round(4)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_event_windows_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
     out = tumbling_window(ds, "ts", "event_type", "value", window="1h").to_pandas()

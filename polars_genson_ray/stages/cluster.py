@@ -170,3 +170,95 @@ def kmeans_assign(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+
+
+def semantic_dedup(
+    ds,
+    *,
+    id_column: str = "vec_id",
+    column: str = "embedding",
+    k: int = 10,
+    threshold: float = 0.95,
+    approx_rows: int | None = None,
+    iters: int = 10,
+    seed: int = 5,
+):
+    """SemDeDup (Abbas et al. 2023 shape): k-means the embedding space,
+    then inside each cluster greedily drop every point whose cosine to an
+    already-kept point exceeds ``threshold``.
+
+    Keep order is deterministic: members sorted by (cosine-to-centroid
+    DESC, id ASC), so the most central member of a duplicate group
+    survives and reruns reproduce the same survivor set.
+
+    Scale shape: the only payload-bearing exchange is the groupby on
+    ``cluster`` — exactly the shuffle SemDeDup requires (pairwise sim is
+    only computed within a cluster).  Choose ``k`` so corpus/k fits a
+    worker (the same knob the paper scales).  The greedy verify inside a
+    cluster is O(n_members × n_kept) vectorized rows — bounded by
+    cluster size, not corpus size.
+
+    Returns a Dataset of (id, cluster, keep, max_kept_cosine).
+    """
+    import pandas as pd
+
+    centroids = kmeans_fit(
+        ds, column=column, k=k, iters=iters, seed=seed,
+        approx_rows=approx_rows,
+    )
+    ref = ray.put(centroids)
+
+    class AssignCarry:
+        """Tag (id, embedding) rows with cluster + centroid cosine."""
+
+        def __init__(self):
+            self._c = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._c is None:
+                self._c = ray.get(ref)
+            emb = _embedding_matrix(batch[column])
+            if emb.size == 0:
+                t = batch.select([id_column, column])
+                t = t.append_column("cluster", pa.array([], type=pa.int32()))
+                return t.append_column("ccos", pa.array([], type=pa.float64()))
+            sims = _normalize(emb) @ self._c.T
+            assign = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(assign)), assign]
+            t = batch.select([id_column, column])
+            t = t.append_column("cluster", pa.array(assign.astype(np.int32)))
+            return t.append_column("ccos", pa.array(best))
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ccos", id_column],
+                            ascending=[False, True]).reset_index(drop=True)
+        emb = _normalize(np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in df[column]]
+        ))
+        n = len(df)
+        keep = np.zeros(n, dtype=bool)
+        max_cos = np.zeros(n)
+        kept_idx: list[int] = []
+        for i in range(n):
+            if kept_idx:
+                sims = emb[kept_idx] @ emb[i]
+                m = float(sims.max())
+            else:
+                m = 0.0
+            max_cos[i] = m
+            if m < threshold:
+                keep[i] = True
+                kept_idx.append(i)
+        return pd.DataFrame({
+            id_column: df[id_column],
+            "cluster": df["cluster"],
+            "keep": keep,
+            "max_kept_cosine": max_cos,
+        })
+
+    assigned = ds.select_columns([id_column, column]).map_batches(
+        AssignCarry(), batch_format="pyarrow"
+    )
+    return assigned.groupby("cluster").map_groups(
+        prune, batch_format="pandas"
+    )

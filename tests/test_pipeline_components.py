@@ -1198,3 +1198,27 @@ def test_embedding_kmeans_query_shape(ray_session):
     assert list(out.columns) == ["vec_id", "cluster", "cosine"]
     assert len(out) == 500
     assert out["cluster"].nunique() <= 10
+
+
+def test_semantic_dedup_drops_planted_copies(ray_session):
+    from polars_genson_ray.pipelines.queries import r_semantic_dedup
+
+    out = r_semantic_dedup("/root/testdata/sf0.001")
+    assert len(out) == 508  # 500 + 8 planted
+    planted = out[out.vec_id >= 10_000_000]
+    originals = out[out.vec_id < 10_000_000]
+    # every planted copy is within-cluster near-dup of its original:
+    # exactly one of each (original, copy) pair survives
+    assert len(planted) == 8
+    dropped = out[~out.keep]
+    assert len(dropped) == 8
+    # each dropped row is one member of a planted pair
+    pair_ids = set(planted.vec_id) | set(planted.vec_id - 10_000_000)
+    assert set(dropped.vec_id).issubset(pair_ids)
+    # and per pair exactly one member was dropped
+    for pid in planted.vec_id:
+        pair = out[out.vec_id.isin([pid, pid - 10_000_000])]
+        assert pair.keep.sum() == 1
+    # all untouched originals survive
+    untouched = originals[~originals.vec_id.isin(pair_ids)]
+    assert untouched.keep.all()
