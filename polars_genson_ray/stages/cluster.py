@@ -34,7 +34,33 @@ import pyarrow as pa
 
 import ray
 
-from .similarity import _embedding_matrix, _kmeans, _normalize
+from .similarity import _embedding_matrix, _normalize
+
+
+def _kmeanspp_init(sample: np.ndarray, k: int, seed: int) -> np.ndarray:
+    """k-means++ seeding on the (normalized, canonically ordered) sample.
+
+    The sample is lexsorted first: ``take_all()`` block order is not
+    deterministic across runs, and the init must not depend on it.
+    kmeans++ (farthest-point-biased) seeding also avoids the
+    two-seeds-in-one-blob local optimum plain random init falls into.
+    """
+    x = _normalize(sample)
+    x = x[np.lexsort(x.T)]
+    rng = np.random.default_rng(seed)
+    k = min(k, len(x))
+    centroids = [x[int(rng.integers(len(x)))]]
+    d = np.maximum(1.0 - x @ centroids[0], 0.0)
+    for _ in range(k - 1):
+        total = d.sum()
+        if total <= 0:
+            idx = int(rng.integers(len(x)))
+        else:
+            idx = int(rng.choice(len(x), p=d / total))
+        c = x[idx]
+        centroids.append(c)
+        d = np.minimum(d, np.maximum(1.0 - x @ c, 0.0))
+    return np.asarray(centroids)
 
 
 class _AssignPartial:
@@ -97,7 +123,7 @@ def kmeans_fit(
     sample = np.asarray(
         [np.asarray(r[column], dtype=np.float64) for r in rows]
     )
-    centroids = _kmeans(sample, k, seed=seed)
+    centroids = _kmeanspp_init(sample, k, seed=seed)
 
     for _ in range(iters):
         ref = ray.put(centroids)
