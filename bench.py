@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "exact_dedup_docs",
     "minhash_neardup_docs",
     "jaccard_neardup_docs",
+    "neardup_clusters",
+    "curation_filter",
     "events_asof_orders",
     "shipping_priority",
     "token_counts",
