@@ -74,9 +74,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": Q.q_neardup_clusters,
         "pii_redact": Q.q_pii_redact,
         "shuffle_shards": Q.q_shuffle_shards,
+        "source_mix": Q.q_source_mix,
         "doc_repetition": Q.q_doc_repetition,
         "decontaminate_docs": Q.q_decontaminate_docs,
         "curation_filter": Q.q_curation_filter,
+        "training_data_prep": Q.r_training_data_prep,
         "boilerplate_ngrams": Q.q_boilerplate_ngrams,
         "doc_logprob": Q.q_doc_logprob,
         "pack_documents": Q.r_pack_documents,
@@ -270,6 +272,14 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                    ) - 1 AS pos
             FROM documents
+        """,
+        "source_mix": """
+            SELECT doc_id, source FROM documents
+            WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT / 4294967296.0)
+                  < CASE (CAST(substr(source, 4) AS INT) % 4)
+                        WHEN 0 THEN 0.1 WHEN 1 THEN 0.3
+                        WHEN 2 THEN 0.6 ELSE 1.0 END
         """,
         "pii_redact": """
             WITH planted AS (

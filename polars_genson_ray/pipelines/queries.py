@@ -564,6 +564,89 @@ def q_curation_filter(sf_dir: str):
     )
 
 
+def r_training_data_prep(sf_dir: str, num_shards: int = 8,
+                         max_tokens: int = 512):
+    """End-to-end training-data preparation — the composition a real
+    100 TB pipeline runs, as ONE lazy Ray plan:
+
+      1. fused per-doc pass (single scan of the text, dropped in-stage):
+         curation keep/drop + fingerprint + token count;
+      2. exact dedup on the fingerprint (narrow (fp, id, n_tokens) rows
+         through a data-scaled bucket exchange; min-id survivor);
+      3. deterministic md5 shard assignment + within-shard hash-order
+         next-fit packing (one groupby exchange, int rows only).
+
+    Output: one summary row per shard (n_docs, n_packs, total_tokens,
+    fill).  Deterministic end-to-end — the same summary at any
+    partitioning/cluster size (unit-tested) — but next-fit packing is
+    iterative, so rows-only for the SQL oracle."""
+    import hashlib
+
+    from ..stages.curation import CurationFilter
+    from ..stages.decontam import benchmark_ngram_hashes
+    from ..stages.packing import pack_batch
+    from ..stages.aggregate import bucketed_groups
+
+    bench_tbl = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    mask = np.asarray(bench_tbl["doc_id"]) % 50 == 0
+    bench_texts = [t for t, m in zip(bench_tbl["text"].to_pylist(), mask) if m]
+    bench_ref = ray.put(benchmark_ngram_hashes(bench_texts, 5))
+
+    cf = CurationFilter(bench_ref)
+    fper = Fingerprinter()
+    tcount = TokenCounter()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep0 = (batch["doc_id"].to_numpy() % 50) != 0
+        batch = batch.filter(pa.array(keep0))
+        flags = cf(batch)
+        kept = batch.filter(flags.column("keep"))
+        return pa.table({
+            "doc_id": kept["doc_id"],
+            "fingerprint": fper(kept)["fingerprint"],
+            "n_tokens": tcount(kept)["n_tokens"],
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    per_doc = ds.map_batches(prep, batch_format="pyarrow")
+
+    def dedup_fn(df: pd.DataFrame) -> pd.DataFrame:
+        i = df.groupby("fingerprint")["doc_id"].idxmin()
+        return df.loc[i, ["doc_id", "n_tokens"]]
+
+    survivors = bucketed_groups(
+        per_doc, ["fingerprint"], dedup_fn,
+        approx_rows=_table_rows(sf_dir, "documents"),
+    )
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        pri = [hashlib.md5(str(v).encode()).hexdigest()
+               for v in df["doc_id"]]
+        shard = [int(p[:8], 16) % num_shards for p in pri]
+        return df.assign(__pri=pri, shard=shard)
+
+    def pack_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__pri", "doc_id"])
+        assign = pack_batch(df["n_tokens"].to_numpy(np.int64), max_tokens)
+        n_packs = int(assign[-1]) + 1 if len(df) else 0
+        tot = int(df["n_tokens"].sum())
+        return pd.DataFrame({
+            "shard": [int(df["shard"].iloc[0])],
+            "n_docs": [len(df)],
+            "n_packs": [n_packs],
+            "total_tokens": [tot],
+            "fill": [tot / (n_packs * max_tokens) if n_packs else 0.0],
+        })
+
+    out = (
+        survivors.map_batches(tag, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(pack_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("shard").reset_index(drop=True)
+
+
 def q_quantity_stats_by_flag(sf_dir: str):
     """Exact per-group quantiles (quantile_cont semantics) over lineitem
     quantity by return flag — distributed value-count partials, one tiny
@@ -972,6 +1055,23 @@ def q_shuffle_shards(sf_dir: str, num_shards: int = 8):
     ds = _read(sf_dir, "documents", ["doc_id"])
     return deterministic_shards(ds, id_column="doc_id",
                                 num_shards=num_shards)
+
+
+def q_source_mix(sf_dir: str):
+    """Data-mixture sampling: deterministic per-source keep fractions via
+    md5 hash sampling (pure per-row predicate — no shuffle, identical
+    subset on rerun and at any cluster size).  Fractions here derive from
+    the source's numeric suffix (srcN % 4 → 0.1/0.3/0.6/1.0), standing in
+    for real mixture weights."""
+    from ..stages.mix import hash_mix_sample
+
+    fractions = {
+        f"src{i}": (0.1, 0.3, 0.6, 1.0)[i % 4] for i in range(64)
+    }
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return hash_mix_sample(
+        ds, fractions, id_column="doc_id", source_column="source"
+    )
 
 
 def q_pii_redact(sf_dir: str):

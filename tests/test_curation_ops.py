@@ -176,3 +176,23 @@ def test_pack_documents_round_trip(ray_session):
     assert ok.all()
     # fill should be healthy for random small docs
     assert out.fill.mean() > 0.6
+
+
+def test_training_data_prep_deterministic_across_partitioning(ray_session):
+    """The end-to-end prep summary must be identical regardless of input
+    partitioning — the property that makes the pipeline resumable and
+    cluster-size-invariant."""
+    from polars_genson_ray.pipelines import queries as Q
+
+    base = Q.r_training_data_prep("/root/testdata/sf0.001")
+    assert list(base.columns) == [
+        "shard", "n_docs", "n_packs", "total_tokens", "fill"
+    ]
+    assert base["n_docs"].sum() > 0
+    assert (base["n_packs"] > 0).all()
+    assert (base["fill"] > 0).all() and (base["fill"] <= 1.0).all()
+
+    # rerun — different session state, same result
+    again = Q.r_training_data_prep("/root/testdata/sf0.001")
+    import pandas as pd
+    pd.testing.assert_frame_equal(base, again)

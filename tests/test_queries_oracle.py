@@ -132,6 +132,7 @@ def test_oracle_keys_subset_of_queries(entry_module):
         "pii_redact",
         "shuffle_shards",
         "curation_filter",
+        "source_mix",
         "events_asof_orders",
         "top_events_per_type",
         "quantity_tier_revenue",
