@@ -50,7 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hour_pivot": Q.q_events_hour_pivot,
         "shipping_priority": Q.q_shipping_priority,
         "union_ids": Q.q_union_ids,
-        "sample_events": Q.r_sample_events,
+        "sample_events": Q.q_sample_events,
         "stratified_sample_events": Q.q_stratified_sample_events,
         # constraint checks
         "duplicate_user_events": Q.q_duplicate_user_events,
@@ -133,6 +133,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type, value FROM events
             QUALIFY row_number() OVER (
                 PARTITION BY event_type ORDER BY value DESC, event_id) <= 3
+        """,
+        "sample_events": """
+            SELECT event_id, value FROM events
+            WHERE (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                       ::BIGINT / 4294967296.0) < 0.1
         """,
         "stratified_sample_events": """
             SELECT event_id, event_type, value FROM events

@@ -304,11 +304,17 @@ def q_union_ids(sf_dir: str):
     return ev.union(cu)
 
 
-def r_sample_events(sf_dir: str, fraction: float = 0.1):
-    """Per-block Bernoulli sampling (seeded). Rows-only check: the sample
-    itself is seed-dependent, not SQL-reproducible."""
+def q_sample_events(sf_dir: str, fraction: float = 0.1):
+    """Deterministic Bernoulli sampling via the md5 hash predicate
+    (``mix.hash_mix_sample`` with one global fraction): the SAME sample on
+    rerun, resume and any cluster size, and SQL-verifiable — strictly
+    stronger than seeded ``random_sample`` (whose membership depends on
+    block layout)."""
+    from ..stages.mix import hash_mix_sample
+
     ds = _read(sf_dir, "events", ["event_id", "value"])
-    return ds.random_sample(fraction, seed=42)
+    return hash_mix_sample(ds, id_column="event_id",
+                           default_fraction=fraction)
 
 
 def q_top_events(sf_dir: str, k: int = 10):

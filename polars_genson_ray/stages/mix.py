@@ -27,19 +27,22 @@ import pandas as pd
 
 def hash_mix_sample(
     ds,
-    fractions: dict[str, float],
+    fractions: dict[str, float] | None = None,
     *,
     id_column: str,
-    source_column: str,
+    source_column: str | None = None,
     default_fraction: float = 1.0,
 ):
     """Filter ``ds`` to the deterministic per-source sample.
 
     ``fractions`` maps source value → keep fraction in [0, 1]; sources
-    not listed keep ``default_fraction``.  The dict is captured in the
-    task closure (it is small — one entry per source/domain); a
-    million-entry map would instead be ``ray.put`` and resolved per task.
+    not listed keep ``default_fraction``.  With ``source_column=None``
+    the filter is a uniform deterministic Bernoulli sample at
+    ``default_fraction``.  The dict is captured in the task closure (it
+    is small — one entry per source/domain); a million-entry map would
+    instead be ``ray.put`` and resolved per task.
     """
+    fractions = fractions or {}
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         u = np.fromiter(
@@ -50,6 +53,8 @@ def hash_mix_sample(
             dtype=np.float64,
             count=len(df),
         ) / 2**32
+        if source_column is None:
+            return df[u < default_fraction]
         frac = df[source_column].map(
             lambda s: fractions.get(s, default_fraction)
         ).to_numpy(dtype=np.float64)

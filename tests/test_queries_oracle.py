@@ -133,6 +133,7 @@ def test_oracle_keys_subset_of_queries(entry_module):
         "shuffle_shards",
         "curation_filter",
         "source_mix",
+        "sample_events",
         "events_asof_orders",
         "top_events_per_type",
         "quantity_tier_revenue",
@@ -167,7 +168,6 @@ def test_query_matches_oracle(entry_module, duck, name):
         "minhash_neardup_docs",
         "simhash_docs",
         "embedding_neardup",
-        "sample_events",
         "events_value_drift",
         "ann_topk_ivf",
         "image_features",
