@@ -34,7 +34,7 @@ import pyarrow as pa
 
 import ray
 
-from .similarity import _embedding_matrix, _normalize
+from .similarity import _embedding_matrix, _normalize, sample_embedding_rows
 
 
 def _kmeanspp_init(sample: np.ndarray, k: int, seed: int) -> np.ndarray:
@@ -115,14 +115,8 @@ def kmeans_fit(
     (1 - cos(old, new)) drops below ``tol``.
     """
     proj = ds.select_columns([column]).materialize()
-    sample_ds = proj
-    if approx_rows and approx_rows > init_sample:
-        frac = min(1.0, (init_sample * 4) / approx_rows)
-        sample_ds = proj.random_sample(frac, seed=seed)
-    rows = sample_ds.limit(init_sample).take_all()
-    sample = np.asarray(
-        [np.asarray(r[column], dtype=np.float64) for r in rows]
-    )
+    sample = sample_embedding_rows(proj, column=column, n=init_sample,
+                                   approx_rows=approx_rows, seed=seed)
     centroids = _kmeanspp_init(sample, k, seed=seed)
 
     for _ in range(iters):

@@ -111,6 +111,37 @@ def brute_force_topk(ds, queries: np.ndarray, *, id_column="vec_id",
     return df.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
 
 
+def sample_embedding_rows(ds, *, column: str, n: int,
+                          approx_rows: int | None, seed: int) -> np.ndarray:
+    """Draw ~``n`` embedding rows for driver-side quantizer training,
+    positionally unbiased.
+
+    ``random_sample`` is order-preserving per-block Bernoulli, so
+    ``.limit(n)`` on its output keeps only the EARLIEST blocks — a badly
+    biased sample when the input is sorted/clustered by position (e.g.
+    class-contiguous corpora).  Instead we take *every* Bernoulli-sampled
+    row (expected 4×n — tiny on the driver), canonically order, and
+    seeded-downsample to ``n``.  Without ``approx_rows`` the frac is
+    unknown; we fall back to the first ``n`` rows (documented bias).
+    """
+    proj = ds.select_columns([column])
+    if approx_rows and approx_rows > n:
+        frac = min(1.0, (n * 4) / approx_rows)
+        rows = proj.random_sample(frac, seed=seed).take_all()
+    else:
+        rows = proj.limit(n).take_all()
+    sample = np.asarray([np.asarray(r[column], dtype=np.float64)
+                         for r in rows])
+    if len(sample) > n:
+        # canonical order first: take_all() block arrival order is not
+        # deterministic, and the downsample must not depend on it
+        sample = sample[np.lexsort(sample.T)]
+        idx = np.random.default_rng(seed).choice(len(sample), n,
+                                                 replace=False)
+        sample = sample[np.sort(idx)]
+    return sample
+
+
 def _kmeans(sample: np.ndarray, n_cells: int, *, iters: int = 8,
             seed: int = 5) -> np.ndarray:
     """Small deterministic Lloyd's k-means on a driver-side sample (the
@@ -168,13 +199,8 @@ def ivf_topk(ds, queries: np.ndarray, *, id_column="vec_id",
     With ``approx_rows`` the quantizer trains on a seeded Bernoulli sample
     across the whole dataset; without it, on the first ``train_sample``
     rows (biased when the input is sorted/clustered by position)."""
-    sample_ds = ds.select_columns([column])
-    if approx_rows and approx_rows > train_sample:
-        frac = min(1.0, (train_sample * 4) / approx_rows)
-        sample_ds = sample_ds.random_sample(frac, seed=5)
-    sample_rows = sample_ds.limit(train_sample).take_all()
-    sample = np.asarray([np.asarray(r[column], dtype=np.float64)
-                         for r in sample_rows])
+    sample = sample_embedding_rows(ds, column=column, n=train_sample,
+                                   approx_rows=approx_rows, seed=5)
     centroids = _kmeans(sample, n_cells)
     q = _normalize(np.asarray(queries, dtype=np.float64))
     probed = np.unique(

@@ -139,6 +139,65 @@ def main() -> None:
         4,
     )
 
+    # connected components over the verified pair set: each planted triple
+    # {base, exact copy, near copy} is one component → survivors
+    # (node == cluster_id) must be exactly n_docs - 2*n_planted
+    import pyarrow as pa
+
+    from polars_genson_ray.stages.components import connected_components
+
+    pair_tbl = pa.table({
+        "id_a": pa.array([a for a, _ in got], pa.int64()),
+        "id_b": pa.array([b for _, b in got], pa.int64()),
+    })
+    for label, thr in (("components_driver", 5_000_000),
+                       ("components_distributed", 0)):
+        pairs_ds = rd.from_arrow(pair_tbl)
+        nodes = rd.read_parquet(out_dir, columns=["doc_id"])
+        t0 = time.perf_counter()
+        clusters = connected_components(
+            pairs_ds, nodes, node_column="doc_id", driver_threshold=thr
+        )
+        surv = clusters.map_batches(
+            lambda b: pa.table({"s": pa.array(
+                [int((b.column("doc_id").to_numpy()
+                      == b.column("cluster_id").to_numpy()).sum())])}),
+            batch_format="pyarrow",
+        ).sum("s")
+        report[f"{label}_s"] = round(time.perf_counter() - t0, 2)
+        assert surv == n_docs - 2 * n_planted, (label, surv)
+        report[f"{label}_survivors"] = int(surv)
+
+    # distributed k-means at 2× the doc volume: 16 planted blobs must be
+    # recovered with full purity (init is kmeans++ on a canonicalized
+    # seeded sample; Lloyd passes are streaming partial reduces)
+    from polars_genson_ray.stages.cluster import kmeans_assign, kmeans_fit
+
+    n_vec, dim, blobs = 2 * n_docs, 64, 16
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(blobs, dim)) * 5
+    truth = np.repeat(np.arange(blobs), n_vec // blobs)
+    vecs = (centers[truth]
+            + rng.normal(scale=0.05, size=(len(truth), dim))).astype(np.float32)
+    vec_tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(truth), dtype=np.int64)),
+        "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+    })
+    vds = rd.from_arrow(vec_tbl).repartition(32).materialize()
+    t0 = time.perf_counter()
+    centroids = kmeans_fit(vds, k=blobs, approx_rows=len(truth), seed=3)
+    report["kmeans_fit_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    out = kmeans_assign(vds, centroids).to_pandas().sort_values("vec_id")
+    report["kmeans_assign_s"] = round(time.perf_counter() - t0, 2)
+    gotc = out["cluster"].to_numpy()
+    purity = sum(
+        np.unique(truth[gotc == c], return_counts=True)[1].max()
+        for c in np.unique(gotc)
+    )
+    report["kmeans_purity"] = round(purity / len(truth), 4)
+    assert purity == len(truth), purity
+
     print(json.dumps(report))
     ray.shutdown()
 
