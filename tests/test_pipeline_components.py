@@ -1191,6 +1191,40 @@ def test_kmeans_recovers_separated_clusters(ray_session):
     assert (out["cosine"] > 0.9).all()
 
 
+def test_kmeans_init_sample_unbiased_on_contiguous_blobs(ray_session):
+    """Regression: with blobs laid out contiguously by position and more
+    rows than ``init_sample``, the init sample must still span every blob.
+    The old ``random_sample().limit(n)`` draw kept only the earliest blocks
+    (Bernoulli sampling preserves row order), so k-means saw only the first
+    few blobs and purity collapsed (~0.69 at 16 blobs / 200k rows)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from polars_genson_ray.stages.cluster import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(11)
+    dim, blobs, per = 16, 8, 500
+    centers = rng.normal(size=(blobs, dim)) * 6
+    truth = np.repeat(np.arange(blobs), per)
+    mat = (centers[truth]
+           + rng.normal(scale=0.05, size=(len(truth), dim))).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(truth), dtype=np.int64)),
+        "embedding": pa.array(list(mat), type=pa.list_(pa.float32())),
+    })
+    # repartition splits by row range → block i holds one blob's rows only
+    ds = rd.from_arrow(tbl).repartition(16)
+    centroids = kmeans_fit(ds, k=blobs, approx_rows=len(truth), seed=7,
+                           init_sample=128)
+    out = kmeans_assign(ds, centroids).to_pandas().sort_values("vec_id")
+    got = out["cluster"].to_numpy()
+    purity = sum(
+        np.unique(truth[got == c], return_counts=True)[1].max()
+        for c in np.unique(got)
+    )
+    assert purity == len(truth)
+
+
 def test_embedding_kmeans_query_shape(ray_session):
     from polars_genson_ray.pipelines.queries import r_embedding_kmeans
 
