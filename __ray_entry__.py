@@ -59,6 +59,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": Q.q_nation_revenue,
         "customer_order_join": Q.q_customer_order_join,
         "events_asof_orders": Q.q_events_asof_orders,
+        "order_priority_check": Q.q_order_priority_check,
+        "parts_never_bulk_ordered": Q.q_parts_never_bulk_ordered,
+        "customer_order_counts": Q.q_customer_order_counts,
         # JSON / schema-inference ops
         "json_extract_props": Q.q_json_extract_props,
         "schema_infer_events_props": Q.r_schema_infer_events_props,
@@ -97,6 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_windows_sliding": Q.q_event_windows_sliding,
         "events_value_drift": Q.r_events_value_drift,
         "sessions": Q.r_sessions,
+        "user_event_gaps": Q.q_user_event_gaps,
+        "user_running_value": Q.q_user_running_value,
+        "users_per_event_type": Q.q_users_per_event_type,
         # multimodal stages (synthetic codec; rows-only)
         "image_features": Q.r_image_features,
         "image_resize": Q.r_image_resize,
@@ -181,6 +187,54 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_join": """
             SELECT o.o_orderkey, o.o_totalprice, c.c_name
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "order_priority_check": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "parts_never_bulk_ordered": """
+            SELECT p_partkey, p_name FROM part
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                              WHERE l_partkey = p_partkey
+                                AND l_quantity >= 48)
+        """,
+        "customer_order_counts": """
+            SELECT c_count, COUNT(*) AS custdist FROM (
+                SELECT c.c_custkey, COUNT(o.o_custkey) AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey
+            ) GROUP BY c_count
+        """,
+        "users_per_event_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "user_event_gaps": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       date_diff('microsecond',
+                                 LAG(ts) OVER (
+                                     PARTITION BY user_id ORDER BY ts),
+                                 ts) AS gap_us
+                FROM events
+            )
+            SELECT user_id, COUNT(gap_us) AS n_gaps,
+                   (date_diff('microsecond', MIN(ts), MAX(ts)) / 1000000.0)
+                       / COUNT(gap_us) AS avg_gap_s,
+                   MAX(gap_us) / 1000000.0 AS max_gap_s
+            FROM g GROUP BY user_id HAVING COUNT(gap_us) > 0
+        """,
+        "user_running_value": """
+            SELECT event_id, user_id,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS running_cents
+            FROM events
         """,
         "events_asof_orders": """
             WITH r AS (

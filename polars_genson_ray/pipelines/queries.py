@@ -273,6 +273,179 @@ def q_customer_order_join(sf_dir: str):
     return joined.select_columns(["o_orderkey", "o_totalprice", "c_name"])
 
 
+def q_order_priority_check(sf_dir: str):
+    """TPC-H-Q4-shaped EXISTS: orders per priority having ≥1 returned
+    lineitem. Distributed semi join (``stages/join.hash_join`` with
+    ``how="semi"``): the lineitem side ships ONLY distinct l_orderkey
+    values (per-batch pre-dedup before the exchange), never its payload,
+    and the per-priority rollup is a per-batch partial + tiny combine."""
+    from ..stages.join import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    returned = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
+        lambda t: t.filter(
+            pa.compute.equal(t["l_returnflag"], "R")
+        ).select(["l_orderkey"]),
+        batch_format="pyarrow",
+    )
+    hit = hash_join(
+        orders,
+        returned,
+        on="o_orderkey",
+        right_on="l_orderkey",
+        how="semi",
+        approx_rows=_table_rows(sf_dir, "orders"),
+        left_schema=_footer_schema(
+            sf_dir, "orders", ["o_orderkey", "o_orderpriority"]
+        ),
+        right_schema=_footer_schema(sf_dir, "lineitem", ["l_orderkey"]),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("o_orderkey", "size")
+        )
+
+    return combine_partials(
+        hit.map_batches(partial, batch_format="pandas"),
+        ["o_orderpriority"],
+        {"n_orders": "sum"},
+    )
+
+
+def q_parts_never_bulk_ordered(sf_dir: str):
+    """NOT EXISTS via the distributed anti join: parts with no bulk
+    (quantity ≥ 48) lineitem. Same exchange as the semi join — only
+    distinct l_partkey values of the filtered right side travel."""
+    from ..stages.join import hash_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    bulk = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]).map_batches(
+        lambda t: t.filter(
+            pa.compute.greater_equal(t["l_quantity"], 48)
+        ).select(["l_partkey"]),
+        batch_format="pyarrow",
+    )
+    out = hash_join(
+        part,
+        bulk,
+        on="p_partkey",
+        right_on="l_partkey",
+        how="anti",
+        approx_rows=_table_rows(sf_dir, "part"),
+        left_schema=_footer_schema(sf_dir, "part", ["p_partkey", "p_name"]),
+        right_schema=_footer_schema(sf_dir, "lineitem", ["l_partkey"]),
+    )
+    return out
+
+
+def q_customer_order_counts(sf_dir: str):
+    """TPC-H-Q13-shaped distribution of per-customer order counts,
+    INCLUDING zero-order customers (left join). The orders side enters the
+    join as per-batch partial counts and ``right_agg`` finishes the
+    per-customer sum inside the join's bucket — the keyed aggregate rides
+    the join exchange instead of paying its own (aggregate-join fusion)."""
+    from ..stages.join import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def order_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False).agg(
+            c_count=("o_custkey", "size")
+        )
+
+    counts = orders.map_batches(order_partial, batch_format="pandas")
+    joined = hash_join(
+        cust,
+        counts,
+        on="c_custkey",
+        right_on="o_custkey",
+        right_values=["c_count"],
+        how="left",
+        right_agg={"c_count": "sum"},
+        approx_rows=_table_rows(sf_dir, "customer"),
+        left_schema=_footer_schema(sf_dir, "customer", ["c_custkey"]),
+        right_schema=pa.schema(
+            [pa.field("o_custkey", pa.int64()), pa.field("c_count", pa.int64())]
+        ),
+    )
+
+    def dist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(c_count=df.c_count.fillna(0).astype("int64"))
+        return df.groupby("c_count", as_index=False).agg(
+            custdist=("c_custkey", "size")
+        )
+
+    return combine_partials(
+        joined.map_batches(dist_partial, batch_format="pandas"),
+        ["c_count"],
+        {"custdist": "sum"},
+    )
+
+
+def q_users_per_event_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type: per-batch pair dedup
+    → bucketed distinct (a bucket holds whole (type, user) keys) →
+    per-type partial counts → tiny combine. Only DISTINCT pairs cross the
+    exchange — the approximate companion is the HLL sketch path
+    (stages/sketches.py), which needs no exchange at all."""
+    from ..stages.aggregate import bucketed_groups
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    pairs = ds.map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"
+    )
+
+    def bucket_count(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.drop_duplicates()
+            .groupby("event_type", as_index=False)
+            .agg(n_users=("user_id", "size"))
+        )
+
+    partials = bucketed_groups(
+        pairs,
+        ["event_type", "user_id"],
+        bucket_count,
+        approx_rows=_table_rows(sf_dir, "events"),
+    )
+    return combine_partials(partials, ["event_type"], {"n_users": "sum"})
+
+
+def q_user_event_gaps(sf_dir: str):
+    """Per-user inter-arrival stats (the LAG window, reduced): bucketed
+    exact decomposition in ``stages/windows.keyed_gap_stats``."""
+    from ..stages.windows import keyed_gap_stats
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return keyed_gap_stats(ds, "ts", "user_id")
+
+
+def q_user_running_value(sf_dir: str):
+    """Per-user ordered running total (the window SCAN) in integer cents —
+    two-pass distributed prefix sum (``stages/windows.keyed_running_total``);
+    integer values make the cumulative sums association-order exact."""
+    from ..stages.windows import keyed_running_total
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    cents = ds.map_batches(
+        lambda df: df.assign(
+            value_cents=np.rint(df.value * 100).astype("int64")
+        ).drop(columns="value"),
+        batch_format="pandas",
+    )
+    out = keyed_running_total(
+        cents,
+        "user_id",
+        "ts",
+        "event_id",
+        "value_cents",
+        out_column="running_cents",
+    )
+    return out.select_columns(["event_id", "user_id", "running_cents"])
+
+
 # ---------------------------------------------------------------------------
 # Scans / filters / top-k
 # ---------------------------------------------------------------------------

@@ -17,8 +17,11 @@ Scale shape:
   so per-bucket population stays ~constant as the dataset grows;
 * a bucket holds whole keys — skew is bounded by the hottest key; salt a
   pathological key upstream (``stages.skew``) if one arises;
-* both ``inner`` and ``left`` joins; left rows with no match get typed
-  nulls (``from_pandas`` NaN→null on the cast back to the Arrow schema).
+* ``inner`` and ``left`` joins; left rows with no match get typed
+  nulls (``from_pandas`` NaN→null on the cast back to the Arrow schema);
+* ``semi`` and ``anti`` joins (EXISTS / NOT EXISTS): the right side ships
+  ONLY its key columns, deduplicated per batch before the exchange — the
+  probe payload is bounded by distinct keys, not right-side rows.
 
 The small-side case does not belong here: when one side fits in the object
 store, use :func:`broadcast_join` — no shuffle at all, the dimension table
@@ -41,7 +44,7 @@ def hash_join(
     *,
     on: list[str] | str,
     right_on: list[str] | str | None = None,
-    right_values: list[str],
+    right_values: list[str] | None = None,
     how: str = "inner",
     right_agg: dict[str, str] | None = None,
     num_buckets: int | None = None,
@@ -52,7 +55,11 @@ def hash_join(
     """Join ``left`` to ``right`` on equality of ``on`` (left) =
     ``right_on`` (right; defaults to ``on``). Output carries ALL of
     ``left``'s columns plus ``right_values``; key columns keep the left
-    names. ``how`` is ``"inner"`` or ``"left"``.
+    names. ``how`` is ``"inner"``, ``"left"``, ``"semi"`` (keep left rows
+    with ≥1 right match — SQL ``EXISTS``) or ``"anti"`` (keep left rows
+    with none — ``NOT EXISTS``). Semi/anti output only the left columns;
+    ``right_values`` must be empty, and the right side is pre-deduplicated
+    per batch so only distinct keys cross the exchange.
 
     Duplicate keys on either side produce the full cross product within
     the key (SQL join semantics) — the in-bucket ``pandas.merge`` handles
@@ -66,8 +73,17 @@ def hash_join(
     so two shuffles would move the same rows twice (the classic
     aggregate-join fusion; at 100 TB an entire all-to-all disappears).
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be inner|left, got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
+    existence = how in ("semi", "anti")
+    if right_values is None:
+        right_values = []
+    if existence and right_values:
+        raise ValueError("semi/anti joins carry no right_values")
+    if existence and right_agg is not None:
+        raise ValueError("right_agg is meaningless for semi/anti joins")
+    if not existence and not right_values:
+        raise ValueError("inner/left joins require right_values")
     on = [on] if isinstance(on, str) else list(on)
     right_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on)
@@ -123,6 +139,10 @@ def hash_join(
         return pa.table(cols, schema=unified)
 
     def tag_right(batch: pa.Table) -> pa.Table:
+        if existence:
+            # existence probe: only DISTINCT keys matter — pre-reduce the
+            # batch before it pays the exchange
+            batch = batch.group_by(right_on).aggregate([])
         n = batch.num_rows
         b = (_key_hashes(batch, right_on) & mask).astype(np.int32)
         cols = {
@@ -158,14 +178,27 @@ def hash_join(
     def bucket_join(df: pd.DataFrame) -> pa.Table:
         l = df.loc[df["__side"] == 0, left_cols]
         r = df.loc[df["__side"] == 1, r_keys + list(right_values)]
-        if l.empty or (r.empty and how == "inner"):
+        if l.empty or (r.empty and how in ("inner", "semi")):
             return out_schema.empty_table()
         r = r.rename(columns=dict(zip(r_keys, on)))
-        if right_agg is not None and not r.empty:
-            r = r.groupby(on, as_index=False).agg(
-                **{c: (c, fn) for c, fn in right_agg.items()}
-            )
-        joined = l.merge(r, how=how, on=on)
+        if existence:
+            # per-batch pre-dedup leaves ≤1 copy per (key, right batch);
+            # finish the dedup here, then EXISTS = inner merge on distinct
+            # keys, NOT EXISTS = left merge keeping the unmatched rows
+            keys = r[on].drop_duplicates()
+            if how == "semi":
+                joined = l.merge(keys, how="inner", on=on)
+            else:
+                probe = l.merge(
+                    keys.assign(__hit=np.int8(1)), how="left", on=on
+                )
+                joined = probe.loc[probe["__hit"].isna(), left_cols]
+        else:
+            if right_agg is not None and not r.empty:
+                r = r.groupby(on, as_index=False).agg(
+                    **{c: (c, fn) for c, fn in right_agg.items()}
+                )
+            joined = l.merge(r, how=how, on=on)
         # typed rebuild: undoes pandas' nullable-join upcasts and maps
         # left-join NaNs to Arrow nulls (from_pandas=True)
         return pa.table(
@@ -196,16 +229,38 @@ def broadcast_join(
     streams through. This is the right half of the join family for any
     side that fits comfortably in a worker's heap (the engine's rule of
     thumb: dimension tables, pre-aggregated small results).
+
+    ``how="semi"`` / ``"anti"`` turn it into a broadcast existence filter
+    (``EXISTS`` / ``NOT EXISTS`` against the small side's key set) — the
+    map-side counterpart of :func:`hash_join`'s semi/anti modes, and the
+    scale idiom behind every "drop rows seen in this reference list" step
+    (decontamination, blocklists, already-processed ids).
     """
     import ray
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be inner|left, got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
     on = [on] if isinstance(on, str) else list(on)
     right_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on)
     )
     sdf = small.to_pandas() if isinstance(small, pa.Table) else small
+    if how in ("semi", "anti"):
+        keys = (
+            sdf[list(right_on)]
+            .rename(columns=dict(zip(right_on, on)))
+            .drop_duplicates()
+        )
+        keys_ref = ray.put(keys.assign(__hit=np.int8(1)))
+
+        def exists_probe(df: pd.DataFrame) -> pd.DataFrame:
+            probe = df.merge(ray.get(keys_ref), how="left", on=on)
+            hit = probe["__hit"].notna()
+            mask = hit if how == "semi" else ~hit
+            return probe.loc[mask, list(df.columns)]
+
+        return ds.map_batches(exists_probe, batch_format="pandas")
+
     if right_values is None:
         right_values = [c for c in sdf.columns if c not in right_on]
     sdf = sdf[list(right_on) + list(right_values)].rename(

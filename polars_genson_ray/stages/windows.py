@@ -95,6 +95,198 @@ def sliding_window(
     )
 
 
+def keyed_gap_stats(
+    ds,
+    ts_column: str,
+    key_column: str,
+    *,
+    time_bucket: str | None = "7d",
+    round_to: int | None = None,
+):
+    """Per-key inter-arrival statistics — the ``LAG(ts) OVER (PARTITION BY
+    key ORDER BY ts)`` window reduced to (n_gaps, avg_gap_s, max_gap_s) per
+    key, without ever materializing a key's full ordered history in one
+    task.
+
+    Values are bit-reproducible against SQL without rounding: every gap is
+    carried as EXACT integer microseconds (the storage resolution), the
+    gap sum telescopes to ``last − first`` (integer subtraction, no float
+    accumulation), and the float conversions are single divisions applied
+    in a fixed order — ``max_gap_s = max_gap_us / 1e6``, ``avg_gap_s =
+    (span_us / 1e6) / n_gaps`` — that the SQL mirror
+    (``date_diff('microsecond', …)`` then the same divisions) reproduces
+    bit-for-bit. (``epoch(interval)`` is NOT safe here: its double
+    conversion differs from a correctly-rounded ``us / 1e6`` by an ulp.)
+
+    Decomposition (same spill shape as :func:`session_windows`): events
+    group by (key, ``time_bucket``); each group sorts ITS slice and emits
+    one partial row (first/last ts, event count, max in-bucket gap). The
+    per-key stitch then only sees one row per bucket: boundary gaps are
+    ``first_ts[i] − last_ts[i−1]`` between time-adjacent buckets, the gap
+    SUM telescopes to ``last − first`` globally, and max is associative —
+    so the bucketed reduction is exact, not approximate. Keys with a
+    single event (no gaps) are dropped, matching the SQL ``WHERE gap IS
+    NOT NULL``. ``time_bucket=None`` keeps one group per key.
+    """
+
+    import numpy as np
+
+    def bucket_partial(group: pd.DataFrame) -> pd.DataFrame:
+        # exact integer microsecond ticks (storage resolution); -1 marks
+        # "no in-bucket gap" (real gaps are >= 0)
+        ticks = np.sort(
+            group[ts_column].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        )
+        max_gap = int(np.diff(ticks).max()) if len(ticks) > 1 else -1
+        return pd.DataFrame(
+            {
+                key_column: [group[key_column].iloc[0]],
+                "__first": [int(ticks[0])],
+                "__last": [int(ticks[-1])],
+                "__n": [len(ticks)],
+                "__max_gap": [max_gap],
+            }
+        )
+
+    pruned = ds.select_columns([key_column, ts_column])
+    if time_bucket is None:
+        partials = pruned.groupby(key_column).map_groups(
+            bucket_partial, batch_format="pandas"
+        )
+    else:
+        def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(__tb=df[ts_column].dt.floor(time_bucket))
+
+        partials = (
+            pruned.map_batches(add_bucket, batch_format="pandas")
+            .groupby([key_column, "__tb"])
+            .map_groups(
+                lambda g: bucket_partial(g.drop(columns="__tb")),
+                batch_format="pandas",
+            )
+        )
+
+    def stitch(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values("__first")
+        n = int(group["__n"].sum())
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    key_column: pd.Series([], dtype=group[key_column].dtype),
+                    "n_gaps": pd.Series([], dtype="int64"),
+                    "avg_gap_s": pd.Series([], dtype="float64"),
+                    "max_gap_s": pd.Series([], dtype="float64"),
+                }
+            )
+        first = group["__first"].to_numpy(dtype=np.int64)
+        last = group["__last"].to_numpy(dtype=np.int64)
+        # boundary gaps between time-adjacent buckets (buckets partition
+        # time, so sorting by __first orders them); single-event buckets
+        # carry the -1 sentinel — n≥2 guarantees a real candidate remains
+        cand = np.concatenate(
+            [group["__max_gap"].to_numpy(dtype=np.int64), first[1:] - last[:-1]]
+        )
+        max_gap_us = int(cand[cand >= 0].max())
+        span_us = int(last.max() - first.min())
+        n_gaps = n - 1
+        # fixed-order single divisions — mirrored exactly by the SQL oracle
+        avg_gap = (span_us / 1e6) / n_gaps
+        max_gap = max_gap_us / 1e6
+        if round_to is not None:
+            avg_gap = round(avg_gap, round_to)
+            max_gap = round(max_gap, round_to)
+        return pd.DataFrame(
+            {
+                key_column: [group[key_column].iloc[0]],
+                "n_gaps": [n_gaps],
+                "avg_gap_s": [avg_gap],
+                "max_gap_s": [max_gap],
+            }
+        )
+
+    return partials.groupby(key_column).map_groups(
+        stitch, batch_format="pandas"
+    )
+
+
+def keyed_running_total(
+    ds,
+    key_column: str,
+    ts_column: str,
+    tie_column: str,
+    value_column: str,
+    *,
+    out_column: str = "running_total",
+    time_bucket: str = "7d",
+):
+    """Per-key ordered cumulative sum — ``SUM(value) OVER (PARTITION BY key
+    ORDER BY ts, tie ROWS UNBOUNDED PRECEDING)`` — as a two-pass prefix
+    sum, the classic distributed scan:
+
+    1. a partial-aggregate pass computes per-(key, time-bucket) value
+       totals (per-batch partials → small combine — only `keys × buckets`
+       rows, never the data, reach the offset table), from which each
+       bucket's EXCLUSIVE prefix offset within its key is derived;
+    2. the row pass groups by (key, bucket), sorts each slice by
+       (ts, tie), local-cumsums, and adds the broadcast offset.
+
+    No task ever holds a key's full history — a hot key's rows split
+    across time buckets exactly as in :func:`session_windows`. The offset
+    table is broadcast via ``ray.put`` (shared-memory read per task); it
+    holds one row per (key, bucket) so it outgrows a broadcast only when
+    distinct keys × horizon does — route through ``stages.join.hash_join``
+    at that point. ``value_column`` should be integer (e.g. cents) when
+    exact run-to-run / engine-to-oracle equality matters: integer prefix
+    sums are order-of-association exact, float ones are not.
+
+    The input is read TWICE (offset pass + row pass) — two cheap column-
+    pruned scans beat shipping every row through an extra exchange.
+    """
+    import ray
+
+    from .aggregate import combine_partials
+
+    cols = [key_column, ts_column, tie_column, value_column]
+    pruned = ds.select_columns(cols)
+
+    def bucket_sums(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(__tb=df[ts_column].dt.floor(time_bucket))
+        return df.groupby([key_column, "__tb"], as_index=False).agg(
+            __tot=(value_column, "sum")
+        )
+
+    totals = combine_partials(
+        pruned.map_batches(bucket_sums, batch_format="pandas"),
+        [key_column, "__tb"],
+        {"__tot": "sum"},
+    ).to_pandas()
+    totals = totals.sort_values([key_column, "__tb"])
+    totals["__off"] = totals.groupby(key_column)["__tot"].cumsum() - totals[
+        "__tot"
+    ]
+    offsets_ref = ray.put(
+        totals.set_index([key_column, "__tb"])["__off"]
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__tb=df[ts_column].dt.floor(time_bucket))
+
+    def scan_slice(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values([ts_column, tie_column])
+        off = ray.get(offsets_ref).at[
+            (group[key_column].iloc[0], group["__tb"].iloc[0])
+        ]
+        out = group.drop(columns="__tb")
+        out[out_column] = group[value_column].cumsum() + off
+        return out
+
+    return (
+        pruned.map_batches(add_bucket, batch_format="pandas")
+        .groupby([key_column, "__tb"])
+        .map_groups(scan_slice, batch_format="pandas")
+    )
+
+
 def session_windows(
     ds,
     ts_column: str,

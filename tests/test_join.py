@@ -121,3 +121,71 @@ def test_broadcast_join_matches_pandas(ray_session, how):
     pd.testing.assert_frame_equal(
         _sorted(out), _sorted(expected), check_dtype=False
     )
+
+
+@pytest.mark.parametrize("how", ["semi", "anti"])
+def test_hash_join_semi_anti_matches_pandas(ray_session, how):
+    from polars_genson_ray.stages.join import hash_join
+
+    rng = np.random.default_rng(23)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, size=400),
+            "lv": rng.normal(size=400),
+        }
+    )
+    # right with heavy key duplication (existence must not multiply rows)
+    right = pd.DataFrame(
+        {"rk": rng.integers(0, 25, size=600), "junk": rng.normal(size=600)}
+    )
+    out = hash_join(
+        _ds(pa.Table.from_pandas(left)),
+        _ds(pa.Table.from_pandas(right), parts=4),
+        on="k",
+        right_on="rk",
+        how=how,
+        num_buckets=8,
+    ).to_pandas()
+    hit = left.k.isin(set(right.rk))
+    expected = left[hit] if how == "semi" else left[~hit]
+    pd.testing.assert_frame_equal(
+        _sorted(out), _sorted(expected), check_dtype=False
+    )
+    # existence joins never duplicate left rows
+    assert len(out) == len(expected)
+
+
+def test_hash_join_semi_rejects_right_values(ray_session):
+    from polars_genson_ray.stages.join import hash_join
+
+    t = pa.table({"k": pa.array([1], pa.int64()), "v": pa.array([1.0])})
+    with pytest.raises(ValueError, match="no right_values"):
+        hash_join(
+            _ds(t, 1), _ds(t, 1), on="k", right_values=["v"], how="semi",
+            left_schema=t.schema, right_schema=t.schema,
+        )
+    with pytest.raises(ValueError, match="require right_values"):
+        hash_join(
+            _ds(t, 1), _ds(t, 1), on="k", how="inner",
+            left_schema=t.schema, right_schema=t.schema,
+        )
+
+
+@pytest.mark.parametrize("how", ["semi", "anti"])
+def test_broadcast_join_semi_anti(ray_session, how):
+    from polars_genson_ray.stages.join import broadcast_join
+
+    rng = np.random.default_rng(7)
+    big = pd.DataFrame(
+        {"k": rng.integers(0, 30, size=300), "v": rng.normal(size=300)}
+    )
+    dim = pd.DataFrame({"dk": np.concatenate([np.arange(12), np.arange(6)])})
+    out = broadcast_join(
+        _ds(pa.Table.from_pandas(big)), dim, on="k", right_on="dk", how=how
+    ).to_pandas()
+    hit = big.k.isin(set(dim.dk))
+    expected = big[hit] if how == "semi" else big[~hit]
+    pd.testing.assert_frame_equal(
+        _sorted(out), _sorted(expected), check_dtype=False
+    )
+    assert list(out.columns) == list(big.columns)

@@ -1256,3 +1256,82 @@ def test_semantic_dedup_drops_planted_copies(ray_session):
     # all untouched originals survive
     untouched = originals[~originals.vec_id.isin(pair_ids)]
     assert untouched.keep.all()
+
+
+def test_keyed_gap_stats_bucketed_matches_single_phase(ray_session):
+    """The time-bucketed gap-stat decomposition (per-bucket partials +
+    boundary-gap stitch) must equal the one-group-per-key answer exactly,
+    including max gaps that straddle bucket edges."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.windows import keyed_gap_stats
+
+    rng = np.random.default_rng(29)
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    t = base
+    for i in range(3000):
+        t = t + pd.Timedelta(seconds=float(rng.integers(10, 90000)))
+        rows.append({"user": "hot", "ts": t})
+    # gap spanning an entire 7d bucket (boundary gap IS the max)
+    rows.append({"user": "hot", "ts": t + pd.Timedelta(days=16)})
+    for i in range(40):
+        rows.append({"user": f"u{i}", "ts": base + pd.Timedelta(hours=i)})
+        rows.append(
+            {"user": f"u{i}", "ts": base + pd.Timedelta(hours=i, minutes=i + 1)}
+        )
+    # single-event key must be dropped (no gaps)
+    rows.append({"user": "lonely", "ts": base})
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df).repartition(6)
+
+    def norm(res):
+        return (
+            res.to_pandas().sort_values("user").reset_index(drop=True)
+        )
+
+    bucketed = norm(keyed_gap_stats(ds, "ts", "user", time_bucket="7d"))
+    single = norm(keyed_gap_stats(ds, "ts", "user", time_bucket=None))
+    pd.testing.assert_frame_equal(bucketed, single)
+    assert "lonely" not in set(bucketed["user"])
+    hot = bucketed[bucketed.user == "hot"].iloc[0]
+    assert hot.max_gap_s == pd.Timedelta(days=16).total_seconds()
+
+
+def test_keyed_running_total_matches_global_scan(ray_session):
+    """Two-pass distributed prefix sum == a single global pandas cumsum,
+    across bucket edges and with duplicate timestamps (tie column)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.windows import keyed_running_total
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "user": rng.integers(0, 25, size=n),
+            # coarse second grid forces (user, ts) ties → tie column decides
+            "ts": base
+            + pd.to_timedelta(rng.integers(0, 30 * 86400, size=n) // 7 * 7, unit="s"),
+            "cents": rng.integers(-500, 5000, size=n).astype(np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    out = (
+        keyed_running_total(
+            ds, "user", "ts", "id", "cents", out_column="run", time_bucket="7d"
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["user", "ts", "id"]).copy()
+    exp["run"] = exp.groupby("user")["cents"].cumsum()
+    exp = exp.sort_values("id").reset_index(drop=True)
+    assert np.array_equal(out["run"].to_numpy(), exp["run"].to_numpy())

@@ -146,6 +146,12 @@ def test_oracle_keys_subset_of_queries(entry_module):
         "doc_fingerprints",
         "boilerplate_ngrams",
         "doc_logprob",
+        "order_priority_check",
+        "parts_never_bulk_ordered",
+        "customer_order_counts",
+        "users_per_event_type",
+        "user_event_gaps",
+        "user_running_value",
     ],
 )
 def test_query_matches_oracle(entry_module, duck, name):
