@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": Q.r_sessions,
         "user_event_gaps": Q.q_user_event_gaps,
         "user_running_value": Q.q_user_running_value,
+        "user_rolling_hour": Q.q_user_rolling_hour,
         "users_per_event_type": Q.q_users_per_event_type,
         # multimodal stages (synthetic codec; rows-only)
         "image_features": Q.r_image_features,
@@ -231,10 +232,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "user_running_value": """
             SELECT event_id, user_id,
-                   SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS running_cents
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
             FROM events
+        """,
+        "user_rolling_hour": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                        OVER w AS BIGINT) AS roll_sum,
+                   COUNT(*) OVER w AS roll_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                   AND CURRENT ROW)
         """,
         "events_asof_orders": """
             WITH r AS (

@@ -446,6 +446,25 @@ def q_user_running_value(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "running_cents"])
 
 
+def q_user_rolling_hour(sf_dir: str):
+    """Per-user 1-hour rolling sum/count (the RANGE-frame window) —
+    bucket-edge context replication keeps it exact without any task
+    holding a user's history (``stages/windows.keyed_time_rolling``)."""
+    from ..stages.windows import keyed_time_rolling
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    cents = ds.map_batches(
+        lambda df: df.assign(
+            value_cents=np.rint(df.value * 100).astype("int64")
+        ).drop(columns="value"),
+        batch_format="pandas",
+    )
+    out = keyed_time_rolling(
+        cents, "user_id", "ts", "value_cents", window="1h", out_prefix="roll"
+    )
+    return out.select_columns(["event_id", "user_id", "roll_sum", "roll_n"])
+
+
 # ---------------------------------------------------------------------------
 # Scans / filters / top-k
 # ---------------------------------------------------------------------------

@@ -287,6 +287,79 @@ def keyed_running_total(
     )
 
 
+def keyed_time_rolling(
+    ds,
+    key_column: str,
+    ts_column: str,
+    value_column: str,
+    *,
+    window: str = "1h",
+    out_prefix: str = "rolling",
+    time_bucket: str = "7d",
+):
+    """Per-key time-range rolling aggregate — ``SUM(value) / COUNT(*) OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN <window> PRECEDING AND
+    CURRENT ROW)`` — with SQL RANGE-frame semantics (ties on ``ts`` are
+    peers: every row with the same timestamp sees the same frame, so the
+    result is deterministic without a tie-break column).
+
+    Scale shape: rows group by (key, ``time_bucket``) like the other
+    keyed-window operators; a row whose lookback crosses its bucket's
+    start edge needs the previous bucket's tail, so each row within
+    ``window`` of its bucket's END is replicated once into the NEXT
+    bucket as a context row (computes, never emitted). Replication factor
+    is ``window/time_bucket`` of the data (~0.6% at the defaults) — the
+    exchange stays linear and no task holds a key's history.
+
+    ``window`` must not exceed ``time_bucket`` (one-bucket lookback).
+    Integer value columns (cents) make the prefix sums exact; the output
+    appends ``{out_prefix}_sum`` and ``{out_prefix}_n`` to the input
+    columns.
+    """
+    import numpy as np
+
+    w = pd.Timedelta(window)
+    tb = pd.Timedelta(time_bucket)
+    if w > tb:
+        raise ValueError(f"window {window} exceeds time_bucket {time_bucket}")
+    w_us = np.int64(w.value // 1000)
+
+    def add_bucket_and_context(df: pd.DataFrame) -> pd.DataFrame:
+        own = df.assign(
+            __tb=df[ts_column].dt.floor(time_bucket), __ctx=False
+        )
+        # tail rows also feed the next bucket's lookback window
+        tail = own[own[ts_column] >= own["__tb"] + (tb - w)]
+        if len(tail):
+            ctx = tail.assign(__tb=tail["__tb"] + tb, __ctx=True)
+            own = pd.concat([own, ctx], ignore_index=True)
+        return own
+
+    sum_col, n_col = f"{out_prefix}_sum", f"{out_prefix}_n"
+
+    def rolling_slice(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(ts_column, kind="mergesort")
+        ticks = group[ts_column].to_numpy(dtype="datetime64[us]").astype(
+            np.int64
+        )
+        vals = group[value_column].to_numpy()
+        prefix = np.concatenate([[0], np.cumsum(vals)])
+        # RANGE frame: [ts - w, ts] inclusive, ts-ties are peers
+        lo = np.searchsorted(ticks, ticks - w_us, side="left")
+        hi = np.searchsorted(ticks, ticks, side="right")
+        out = group.assign(
+            **{sum_col: prefix[hi] - prefix[lo], n_col: hi - lo}
+        )
+        out = out[~out["__ctx"]]
+        return out.drop(columns=["__tb", "__ctx"])
+
+    return (
+        ds.map_batches(add_bucket_and_context, batch_format="pandas")
+        .groupby([key_column, "__tb"])
+        .map_groups(rolling_slice, batch_format="pandas")
+    )
+
+
 def session_windows(
     ds,
     ts_column: str,

@@ -1335,3 +1335,76 @@ def test_keyed_running_total_matches_global_scan(ray_session):
     exp["run"] = exp.groupby("user")["cents"].cumsum()
     exp = exp.sort_values("id").reset_index(drop=True)
     assert np.array_equal(out["run"].to_numpy(), exp["run"].to_numpy())
+
+
+def test_keyed_time_rolling_matches_global_window(ray_session):
+    """Bucketed rolling (edge-context replication) == a global per-key
+    RANGE-frame computation, including ts ties (peers see the same frame)
+    and windows reaching across bucket edges."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.windows import keyed_time_rolling
+
+    rng = np.random.default_rng(41)
+    n = 3000
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "user": rng.integers(0, 15, size=n),
+            # coarse grid → (user, ts) ties exist; spread over ~5 buckets
+            "ts": base
+            + pd.to_timedelta(
+                rng.integers(0, 10 * 86400, size=n) // 600 * 600, unit="s"
+            ),
+            "v": rng.integers(-100, 1000, size=n).astype(np.int64),
+        }
+    )
+    # rows hugging a 2d bucket edge so lookback crosses it
+    edge = base + pd.Timedelta(days=2)
+    extra = pd.DataFrame(
+        {
+            "id": np.arange(n, n + 4, dtype=np.int64),
+            "user": [3, 3, 3, 3],
+            "ts": [
+                edge - pd.Timedelta(minutes=50),
+                edge - pd.Timedelta(minutes=5),
+                edge + pd.Timedelta(minutes=5),
+                edge + pd.Timedelta(minutes=50),
+            ],
+            "v": [10, 20, 40, 80],
+        }
+    )
+    df = pd.concat([df, extra], ignore_index=True)
+    ds = rd.from_pandas(df).repartition(7)
+    out = (
+        keyed_time_rolling(
+            ds, "user", "ts", "v", window="1h", out_prefix="r",
+            time_bucket="2d",
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+
+    # global reference with RANGE semantics (peers included)
+    def ref_key(g):
+        g = g.sort_values("ts", kind="mergesort")
+        ticks = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        vals = g["v"].to_numpy()
+        pref = np.concatenate([[0], np.cumsum(vals)])
+        lo = np.searchsorted(ticks, ticks - 3_600_000_000, side="left")
+        hi = np.searchsorted(ticks, ticks, side="right")
+        return g.assign(r_sum=pref[hi] - pref[lo], r_n=hi - lo)
+
+    exp = (
+        df.groupby("user", group_keys=False)[df.columns]
+        .apply(ref_key)
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(out["r_sum"].to_numpy(), exp["r_sum"].to_numpy())
+    assert np.array_equal(out["r_n"].to_numpy(), exp["r_n"].to_numpy())
+    assert len(out) == len(df)

@@ -152,6 +152,7 @@ def test_oracle_keys_subset_of_queries(entry_module):
         "users_per_event_type",
         "user_event_gaps",
         "user_running_value",
+        "user_rolling_hour",
     ],
 )
 def test_query_matches_oracle(entry_module, duck, name):
