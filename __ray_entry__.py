@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_check": Q.q_order_priority_check,
         "parts_never_bulk_ordered": Q.q_parts_never_bulk_ordered,
         "customer_order_counts": Q.q_customer_order_counts,
+        "user_customer_presence": Q.q_user_customer_presence,
         # JSON / schema-inference ops
         "json_extract_props": Q.q_json_extract_props,
         "schema_infer_events_props": Q.r_schema_infer_events_props,
@@ -78,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": Q.q_pii_redact,
         "shuffle_shards": Q.q_shuffle_shards,
         "source_mix": Q.q_source_mix,
+        "upsample_sources": Q.q_upsample_sources,
         "doc_repetition": Q.q_doc_repetition,
         "decontaminate_docs": Q.q_decontaminate_docs,
         "curation_filter": Q.q_curation_filter,
@@ -210,6 +212,33 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN orders o ON c.c_custkey = o.o_custkey
                 GROUP BY c.c_custkey
             ) GROUP BY c_count
+        """,
+        "user_customer_presence": """
+            SELECT COALESCE(e.user_id, c.c_custkey) AS user_id,
+                   COALESCE(e.n_events, 0) AS n_events,
+                   COALESCE(c.c_acctbal, -1.0) AS c_acctbal
+            FROM (SELECT user_id, COUNT(*) AS n_events
+                  FROM events GROUP BY user_id) e
+            FULL OUTER JOIN customer c ON e.user_id = c.c_custkey
+        """,
+        "upsample_sources": """
+            WITH w AS (
+                SELECT doc_id, source,
+                       CASE (CAST(substr(source, 4) AS INT) % 4)
+                           WHEN 0 THEN 2.5 WHEN 1 THEN 0.5
+                           WHEN 2 THEN 1.0 ELSE 3.25 END AS wt,
+                       (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            ::BIGINT / 4294967296.0) AS u
+                FROM documents
+            ), n AS (
+                SELECT doc_id, source,
+                       CAST(FLOOR(wt) AS BIGINT)
+                       + CASE WHEN u < wt - FLOOR(wt) THEN 1 ELSE 0 END
+                           AS n_rep
+                FROM w
+            )
+            SELECT doc_id, source, UNNEST(range(n_rep)) AS rep
+            FROM n WHERE n_rep > 0
         """,
         "users_per_event_type": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users

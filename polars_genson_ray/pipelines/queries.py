@@ -384,6 +384,69 @@ def q_customer_order_counts(sf_dir: str):
     )
 
 
+def q_user_customer_presence(sf_dir: str):
+    """FULL OUTER join (``hash_join(how="outer")``): reconcile two keyed
+    sets — per-user event counts vs the customer table — keeping unmatched
+    rows from BOTH sides with coalesced keys. Nulls are filled with
+    sentinels (0 events / −1 balance) so downstream consumers and the SQL
+    oracle see a null-free, hashable frame."""
+    from ..stages.join import hash_join
+
+    events = _read(sf_dir, "events", ["user_id"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).agg(
+            n_events=("user_id", "size")
+        )
+
+    counts = combine_partials(
+        events.map_batches(count_partial, batch_format="pandas"),
+        ["user_id"],
+        {"n_events": "sum"},
+        small=False,
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    joined = hash_join(
+        counts,
+        cust,
+        on="user_id",
+        right_on="c_custkey",
+        right_values=["c_acctbal"],
+        how="outer",
+        approx_rows=_table_rows(sf_dir, "customer"),
+        left_schema=pa.schema(
+            [pa.field("user_id", pa.int64()), pa.field("n_events", pa.int64())]
+        ),
+        right_schema=_footer_schema(
+            sf_dir, "customer", ["c_custkey", "c_acctbal"]
+        ),
+    )
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            n_events=df.n_events.fillna(0).astype("int64"),
+            c_acctbal=df.c_acctbal.fillna(-1.0),
+        )
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
+def q_upsample_sources(sf_dir: str):
+    """Weighted replication side of data mixing: sources with weight > 1
+    are deterministically upsampled (``stages/mix.hash_mix_upsample``) —
+    floor(w) copies plus one more iff the row's md5 unit < frac(w); the
+    0-based ``rep`` index keeps copies distinct for downstream shuffles."""
+    from ..stages.mix import hash_mix_upsample
+
+    weights = {
+        f"src{i}": (2.5, 0.5, 1.0, 3.25)[i % 4] for i in range(20)
+    }
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return hash_mix_upsample(
+        ds, weights, id_column="doc_id", source_column="source"
+    )
+
+
 def q_users_per_event_type(sf_dir: str):
     """Exact COUNT(DISTINCT user_id) per event_type: per-batch pair dedup
     → bucketed distinct (a bucket holds whole (type, user) keys) →

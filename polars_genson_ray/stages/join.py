@@ -55,9 +55,11 @@ def hash_join(
     """Join ``left`` to ``right`` on equality of ``on`` (left) =
     ``right_on`` (right; defaults to ``on``). Output carries ALL of
     ``left``'s columns plus ``right_values``; key columns keep the left
-    names. ``how`` is ``"inner"``, ``"left"``, ``"semi"`` (keep left rows
-    with ≥1 right match — SQL ``EXISTS``) or ``"anti"`` (keep left rows
-    with none — ``NOT EXISTS``). Semi/anti output only the left columns;
+    names. ``how`` is ``"inner"``, ``"left"``, ``"outer"`` (FULL OUTER —
+    unmatched rows from either side survive, key columns coalesced,
+    missing payload typed-null), ``"semi"`` (keep left rows with ≥1 right
+    match — SQL ``EXISTS``) or ``"anti"`` (keep left rows with none —
+    ``NOT EXISTS``). Semi/anti output only the left columns;
     ``right_values`` must be empty, and the right side is pre-deduplicated
     per batch so only distinct keys cross the exchange.
 
@@ -73,8 +75,10 @@ def hash_join(
     so two shuffles would move the same rows twice (the classic
     aggregate-join fusion; at 100 TB an entire all-to-all disappears).
     """
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
+    if how not in ("inner", "left", "outer", "semi", "anti"):
+        raise ValueError(
+            f"how must be inner|left|outer|semi|anti, got {how!r}"
+        )
     existence = how in ("semi", "anti")
     if right_values is None:
         right_values = []
@@ -178,7 +182,10 @@ def hash_join(
     def bucket_join(df: pd.DataFrame) -> pa.Table:
         l = df.loc[df["__side"] == 0, left_cols]
         r = df.loc[df["__side"] == 1, r_keys + list(right_values)]
-        if l.empty or (r.empty and how in ("inner", "semi")):
+        # full outer is the only mode where right-only rows survive
+        if l.empty and not (how == "outer" and not r.empty):
+            return out_schema.empty_table()
+        if r.empty and how in ("inner", "semi"):
             return out_schema.empty_table()
         r = r.rename(columns=dict(zip(r_keys, on)))
         if existence:

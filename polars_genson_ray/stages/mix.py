@@ -45,14 +45,7 @@ def hash_mix_sample(
     fractions = fractions or {}
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
-        u = np.fromiter(
-            (
-                int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
-                for v in df[id_column]
-            ),
-            dtype=np.float64,
-            count=len(df),
-        ) / 2**32
+        u = _hash_units(df[id_column])
         if source_column is None:
             return df[u < default_fraction]
         frac = df[source_column].map(
@@ -61,3 +54,60 @@ def hash_mix_sample(
         return df[u < frac]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def _hash_units(ids) -> np.ndarray:
+    """md5-derived uniform u ∈ [0,1) per id — the engine-wide deterministic
+    sampling contract (same bytes as DuckDB ``('0x' || substr(md5(id),1,8))
+    ::BIGINT / 2^32``)."""
+    return np.fromiter(
+        (
+            int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+            for v in ids
+        ),
+        dtype=np.float64,
+        count=len(ids),
+    ) / 2**32
+
+
+def hash_mix_upsample(
+    ds,
+    weights: dict[str, float] | None = None,
+    *,
+    id_column: str,
+    source_column: str | None = None,
+    default_weight: float = 1.0,
+    rep_column: str = "rep",
+):
+    """Deterministic weighted REPLICATION — the ``w > 1`` half of data
+    mixing (:func:`hash_mix_sample` is the ``w ≤ 1`` half). Each row is
+    emitted ``floor(w) + (u < w − floor(w))`` times, so expected emitted
+    mass per source is exactly ``w`` and membership/copy-count is a pure
+    function of (id, source) — stable under rerun, resume and any
+    partitioning. Pure per-row expansion inside ``map_batches``
+    (vectorized ``np.repeat``), no shuffle.
+
+    ``rep_column`` gets the 0-based copy index, so downstream shuffle /
+    packing stages see distinct rows rather than indistinguishable
+    duplicates (and dedup-by-id stages know to key on (id, rep)).
+    """
+    weights = weights or {}
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        u = _hash_units(df[id_column])
+        if source_column is None:
+            w = np.full(len(df), float(default_weight))
+        else:
+            w = df[source_column].map(
+                lambda s: weights.get(s, default_weight)
+            ).to_numpy(dtype=np.float64)
+        base = np.floor(w)
+        n = base.astype(np.int64) + (u < (w - base))
+        idx = np.repeat(np.arange(len(df)), n)
+        out = df.iloc[idx].reset_index(drop=True)
+        # per-source-row 0..n-1 copy index
+        starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+        out[rep_column] = np.arange(len(idx)) - np.repeat(starts, n)
+        return out
+
+    return ds.map_batches(replicate, batch_format="pandas")

@@ -196,3 +196,50 @@ def test_training_data_prep_deterministic_across_partitioning(ray_session):
     again = Q.r_training_data_prep("/root/testdata/sf0.001")
     import pandas as pd
     pd.testing.assert_frame_equal(base, again)
+
+
+def test_hash_mix_upsample_exact_replication(ray_session):
+    """Copy counts are a pure function of (id, weight): floor(w) + the md5
+    Bernoulli, rep index 0..n-1 per surviving row, stable under
+    repartitioning."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.mix import hash_mix_upsample
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(200, dtype=np.int64),
+            "source": [f"s{i % 3}" for i in range(200)],
+        }
+    )
+    weights = {"s0": 2.0, "s1": 0.25, "s2": 1.75}
+    for parts in (1, 5):
+        ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(parts)
+        out = (
+            hash_mix_upsample(
+                ds, weights, id_column="doc_id", source_column="source"
+            )
+            .to_pandas()
+            .sort_values(["doc_id", "rep"])
+            .reset_index(drop=True)
+        )
+        exp_rows = []
+        for _, row in df.iterrows():
+            w = weights[row.source]
+            u = int(
+                hashlib.md5(str(row.doc_id).encode()).hexdigest()[:8], 16
+            ) / 2**32
+            n = int(np.floor(w)) + (1 if u < w - np.floor(w) else 0)
+            for rep in range(n):
+                exp_rows.append((row.doc_id, row.source, rep))
+        exp = pd.DataFrame(exp_rows, columns=["doc_id", "source", "rep"])
+        pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    # expected mass ≈ sum of weights (law of the construction, not chance:
+    # every integer-weight row contributes exactly w)
+    s0 = out[out.source == "s0"]
+    assert len(s0) == 2 * (len(df) // 3 + (1 if len(df) % 3 else 0))

@@ -189,3 +189,35 @@ def test_broadcast_join_semi_anti(ray_session, how):
         _sorted(out), _sorted(expected), check_dtype=False
     )
     assert list(out.columns) == list(big.columns)
+
+
+def test_hash_join_outer_matches_pandas(ray_session):
+    from polars_genson_ray.stages.join import hash_join
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 40, size=150), "lv": rng.normal(size=150)}
+    )
+    # right covers a shifted key range → unmatched rows on BOTH sides
+    right = pd.DataFrame(
+        {"rk": rng.integers(20, 60, size=120), "rv": rng.normal(size=120)}
+    )
+    out = hash_join(
+        _ds(pa.Table.from_pandas(left)),
+        _ds(pa.Table.from_pandas(right), parts=2),
+        on="k",
+        right_on="rk",
+        right_values=["rv"],
+        how="outer",
+        num_buckets=8,
+    ).to_pandas()
+    expected = left.merge(
+        right.rename(columns={"rk": "k"}), how="outer", on="k"
+    )
+    pd.testing.assert_frame_equal(
+        _sorted(out), _sorted(expected), check_dtype=False
+    )
+    # right-only rows must surface with coalesced keys and null left payload
+    right_only = set(right.rk) - set(left.k)
+    assert right_only <= set(out.k)
+    assert out.loc[out.k.isin(right_only), "lv"].isna().all()

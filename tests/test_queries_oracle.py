@@ -153,6 +153,8 @@ def test_oracle_keys_subset_of_queries(entry_module):
         "user_event_gaps",
         "user_running_value",
         "user_rolling_hour",
+        "user_customer_presence",
+        "upsample_sources",
     ],
 )
 def test_query_matches_oracle(entry_module, duck, name):
