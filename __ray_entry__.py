@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_value": Q.q_user_running_value,
         "user_rolling_hour": Q.q_user_rolling_hour,
         "users_per_event_type": Q.q_users_per_event_type,
+        "event_value_percentiles": Q.q_event_value_percentiles,
         # multimodal stages (synthetic codec; rows-only)
         "image_features": Q.r_image_features,
         "image_resize": Q.r_image_resize,
@@ -264,6 +265,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+            FROM events
+        """,
+        "event_value_percentiles": """
+            SELECT event_id, value,
+                   PERCENT_RANK() OVER (ORDER BY value) AS pct_rank
             FROM events
         """,
         "user_rolling_hour": """

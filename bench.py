@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "curation_filter",
     "events_asof_orders",
     "shipping_priority",
+    "customer_order_counts",
+    "user_rolling_hour",
     "token_counts",
     "doc_logprob",
     "decontaminate_docs",

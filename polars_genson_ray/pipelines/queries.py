@@ -384,6 +384,45 @@ def q_customer_order_counts(sf_dir: str):
     )
 
 
+def q_event_value_percentiles(sf_dir: str, max_distinct: int = 1_000_000):
+    """Global PERCENT_RANK per row WITHOUT a global sort: distributed
+    distinct-value counts (bounded — the 2-dp currency grid; guarded like
+    ``q_quantity_quantiles``) → one tiny task builds the exclusive-rank
+    CDF → the CDF is broadcast and every batch does a searchsorted lookup.
+    Rank arithmetic is integer, the final ``rank_below / (n−1)`` is a
+    single double division — bit-identical to SQL PERCENT_RANK. Continuous
+    columns belong on the t-digest sketch (approximate) path."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("value", as_index=False).agg(n=("value", "size"))
+
+    counts = combine_partials(
+        ds.map_batches(count_partial, batch_format="pandas"),
+        ["value"],
+        {"n": "sum"},
+    ).to_pandas()
+    if len(counts) > max_distinct:
+        raise ValueError(
+            f"q_event_value_percentiles: > {max_distinct} distinct values "
+            "— use the t-digest path for continuous columns"
+        )
+    counts = counts.sort_values("value")
+    vals = counts["value"].to_numpy(dtype=np.float64)
+    n = int(counts["n"].sum())
+    rank_below = np.concatenate(
+        [[0], np.cumsum(counts["n"].to_numpy(dtype=np.int64))[:-1]]
+    )
+    cdf_ref = ray.put((vals, rank_below, n))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        v, rb, total = ray.get(cdf_ref)
+        idx = np.searchsorted(v, df["value"].to_numpy(dtype=np.float64))
+        return df.assign(pct_rank=rb[idx] / (total - 1))
+
+    return ds.map_batches(attach, batch_format="pandas")
+
+
 def q_user_customer_presence(sf_dir: str):
     """FULL OUTER join (``hash_join(how="outer")``): reconcile two keyed
     sets — per-user event counts vs the customer table — keeping unmatched
