@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_ngrams": Q.q_boilerplate_ngrams,
         "doc_logprob": Q.q_doc_logprob,
         "pack_documents": Q.r_pack_documents,
+        "chunk_documents": Q.q_chunk_documents,
         "doc_fingerprints": Q.r_doc_fingerprints,
         "langid_docs": Q.r_langid_docs,
         "minhash_neardup_docs": Q.r_minhash_neardup_docs,
@@ -665,6 +666,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT gram, COUNT(*) AS df
             FROM grams GROUP BY gram HAVING COUNT(*) >= 25
+        """,
+        "chunk_documents": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS w
+                FROM documents WHERE trim(text) <> ''
+            ), starts AS (
+                SELECT doc_id, w, UNNEST(range(0, len(w), 48)) AS s
+                FROM toks
+            )
+            SELECT doc_id,
+                   (s // 48)::BIGINT AS chunk_id,
+                   array_to_string(w[s + 1 : s + 64], ' ') AS chunk,
+                   LEAST(64, len(w) - s)::BIGINT AS n_tokens
+            FROM starts
         """,
         "doc_logprob": """
             WITH words AS (

@@ -762,6 +762,16 @@ def r_pack_documents(sf_dir: str, max_tokens: int = 512):
     return pack_documents(counted, max_tokens)
 
 
+def q_chunk_documents(sf_dir: str):
+    """Overlapping token-window chunking (64-token windows, stride 48) —
+    ``stages/packing.chunk_documents``; the flat-expansion dual of
+    sequence packing."""
+    from ..stages.packing import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(ds, chunk_tokens=64, stride=48)
+
+
 def q_doc_quality(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(QualityScorer(), batch_format="pyarrow").select_columns(

@@ -124,3 +124,51 @@ def pack_documents(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+
+
+def chunk_documents(
+    ds,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+):
+    """Fixed-size token-window chunking with overlap — the standard
+    long-document → training-sample expansion (stride < chunk_tokens
+    gives ``chunk_tokens − stride`` tokens of overlap between
+    consecutive chunks, preserving cross-boundary context).
+
+    Chunk starts are ``0, stride, 2·stride, …`` while < the document's
+    token count; ``chunk_id = start // stride``; tokens are
+    ``str.split()`` whitespace runs (the engine's token-count
+    convention, reproducible as ``string_split_regex(trim(text),
+    '\\s+')`` in SQL). Pure per-batch flat expansion inside
+    ``map_batches`` — no shuffle; empty/whitespace-only documents emit
+    no chunks. Output: (id, chunk_id, chunk, n_tokens).
+    """
+    if chunk_tokens <= 0 or stride <= 0 or stride > chunk_tokens:
+        raise ValueError(
+            f"need 0 < stride <= chunk_tokens, got {stride}/{chunk_tokens}"
+        )
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        ids, cids, chunks, lens = [], [], [], []
+        for did, t in zip(df[id_column], df[text_column]):
+            toks = t.split() if isinstance(t, str) else []
+            for ci, s in enumerate(range(0, len(toks), stride)):
+                w = toks[s : s + chunk_tokens]
+                ids.append(did)
+                cids.append(ci)
+                chunks.append(" ".join(w))
+                lens.append(len(w))
+        return pd.DataFrame(
+            {
+                id_column: pd.Series(ids, dtype=df[id_column].dtype),
+                "chunk_id": pd.Series(cids, dtype="int64"),
+                "chunk": pd.Series(chunks, dtype="object"),
+                "n_tokens": pd.Series(lens, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(expand, batch_format="pandas")

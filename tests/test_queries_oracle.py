@@ -156,6 +156,7 @@ def test_oracle_keys_subset_of_queries(entry_module):
         "user_customer_presence",
         "upsample_sources",
         "event_value_percentiles",
+        "chunk_documents",
     ],
 )
 def test_query_matches_oracle(entry_module, duck, name):
