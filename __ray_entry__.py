@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_per_event_type": Q.q_users_per_event_type,
         "event_value_percentiles": Q.q_event_value_percentiles,
         # multimodal stages (synthetic codec; rows-only)
+        "phash_neardup_images": Q.r_phash_neardup_images,
         "image_features": Q.r_image_features,
         "image_resize": Q.r_image_resize,
         # flagship validation pipeline

@@ -1460,6 +1460,53 @@ def r_sessions(sf_dir: str):
 # Multimodal stages over the synthetic image table (rows-only checks)
 # ---------------------------------------------------------------------------
 
+def r_phash_neardup_images(sf_dir: str):
+    """Perceptual-hash (Hamming ≤ 3) near-duplicate pairs over the image
+    table — ``stages/dedup.phash_hamming_pairs``. Random 62-bit phashes
+    have no natural near-dups, so the query PLANTS 8 perturbed copies
+    (1–3 bit flips of real phashes) as a true-positive demo; the hot
+    phash shared by ~10% of rows collapses to one representative in
+    phase 0 instead of expanding pairwise."""
+    from ..functions.context import strip_schema_metadata
+    from ..stages.dedup import phash_hamming_pairs
+
+    rows = _rows_for_sf(sf_dir)
+    img_dir = _image_table_dir(rows)
+    ds = rd.read_parquet(img_dir, columns=["image_id", "phash"]).map_batches(
+        strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # plant near copies of 8 real (non-hot, distinct) phashes
+    frag0 = sorted(
+        f for f in os.listdir(img_dir) if f.endswith(".parquet")
+    )[0]
+    sample = pq.read_table(
+        os.path.join(img_dir, frag0), columns=["phash"]
+    )["phash"].to_numpy()
+    hot = 0x5A5A5A5A
+    base = []
+    for v in sample:
+        if v != hot and v not in base:
+            base.append(int(v))
+        if len(base) == 8:
+            break
+    planted = pa.table(
+        {
+            "image_id": pa.array(
+                [f"plant_{i:03d}" for i in range(len(base))], pa.string()
+            ),
+            "phash": pa.array(
+                [v ^ (0b111 >> (i % 3)) for i, v in enumerate(base)],
+                pa.int64(),
+            ),
+        }
+    )
+    ds = ds.union(rd.from_arrow(planted))
+    out = phash_hamming_pairs(
+        ds, approx_rows=rows + len(base)
+    ).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def r_image_features(sf_dir: str):
     """Actor-pool feature extraction over the image table (model-stage
     shape: state in __init__, batched work in __call__)."""

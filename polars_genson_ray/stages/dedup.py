@@ -560,3 +560,166 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / max(1, len(sa | sb))
+
+
+# --- perceptual-hash (Hamming) near-duplicates ------------------------------
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy <2 has no bitwise_count): byte-view
+    table lookup + row sum."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    return _POP8[x.view(np.uint8)].reshape(len(x), 8).sum(axis=1, dtype=np.int64)
+
+
+def phash_hamming_pairs(
+    ds,
+    *,
+    phash_column: str = "phash",
+    id_column: str = "image_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    num_buckets: int | None = None,
+    approx_rows: int | None = None,
+    bucket_cap: int = 2048,
+):
+    """Near-duplicate detection over perceptual hashes (images): pairs of
+    DISTINCT phash values within ``max_hamming`` bits of each other.
+
+    Three phases, each chosen for the 10^12-row shape:
+
+    * **Collapse** — identical phashes reduce to one representative
+      (min id) + member count under a bucketed exchange. This is what
+      defuses the hot-phash bucket the north-star names (10% of a crawl
+      sharing one hash): an exact group NEVER expands pairwise here —
+      exact duplicates are ``exact_dedup``'s output, keyed by the group
+      row this phase emits. Only (phash, min_id, n) rows continue.
+    * **Band LSH** — the 64-bit hash splits into ``bands`` disjoint
+      ``64/bands``-bit bands; by pigeonhole any pair with hamming <
+      ``bands`` collides exactly on ≥1 band (``max_hamming`` must be <
+      ``bands``). Each distinct phash emits ``bands`` narrow rows into a
+      (band, band-value)-hashed bucket exchange.
+    * **Verify** — per exact band-match group, vectorized XOR+popcount
+      over the pair triangle (groups capped at ``bucket_cap`` — a random
+      16-bit band value collides ~n/2^16 times, so real groups are tiny);
+      cross-band duplicate pairs dedup via ``dedup_pair_dataset``.
+
+    Returns (id_a, id_b, hamming, n_a, n_b): representative ids ordered
+    ascending, with each side's exact-group member count.
+    """
+    import pandas as pd
+
+    band_bits = 64 // bands
+    if bands * band_bits != 64:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < bands "
+            f"({max_hamming} >= {bands})"
+        )
+    if num_buckets is None:
+        num_buckets = _derive_num_buckets(approx_rows)
+    mask = np.uint64(num_buckets - 1)
+    band_mask = np.uint64((1 << band_bits) - 1)
+
+    # phase 1: per-batch pre-reduce to distinct (phash, min id, count)
+    def collapse_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(phash_column, as_index=False).agg(
+            __id=(id_column, "min"), __n=(id_column, "size")
+        )
+        return g
+
+    def collapse_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(phash_column, as_index=False).agg(
+            __id=("__id", "min"), __n=("__n", "sum")
+        )
+
+    from .aggregate import bucketed_groups
+
+    distinct = bucketed_groups(
+        ds.select_columns([id_column, phash_column]).map_batches(
+            collapse_partial, batch_format="pandas"
+        ),
+        [phash_column],
+        collapse_bucket,
+        num_buckets=num_buckets,
+    )
+
+    # phase 2: band rows → (band, value)-hashed bucket exchange
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ph = df[phash_column].to_numpy().astype(np.uint64)
+        n = len(ph)
+        frames = []
+        for b in range(bands):
+            bv = (ph >> np.uint64(b * band_bits)) & band_mask
+            key = bv * np.uint64(0x9E3779B97F4A7C15) + np.uint64(
+                (b * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "__b": ((key >> np.uint64(32)) & mask).astype(
+                            np.int32
+                        ),
+                        "__band": np.full(n, b, dtype=np.int8),
+                        "__bv": bv.astype(np.int64),
+                        "__ph": ph.astype(np.int64),
+                        "__id": df["__id"].to_numpy(),
+                        "__n": df["__n"].to_numpy(),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby(["__band", "__bv"], sort=False):
+            m = len(g)
+            if m < 2:
+                continue
+            if m > bucket_cap:
+                g = g.nsmallest(bucket_cap, "__id")
+                m = bucket_cap
+            ph = g["__ph"].to_numpy().astype(np.uint64)
+            ids = g["__id"].to_numpy()
+            ns = g["__n"].to_numpy()
+            ia, ib = np.triu_indices(m, 1)
+            hd = _popcount64(ph[ia] ^ ph[ib])
+            sel = hd <= max_hamming
+            if not sel.any():
+                continue
+            ia, ib, hd = ia[sel], ib[sel], hd[sel]
+            swap = ids[ia] > ids[ib]
+            a = np.where(swap, ib, ia)
+            b = np.where(swap, ia, ib)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[a],
+                        "id_b": ids[b],
+                        "hamming": hd,
+                        "n_a": ns[a],
+                        "n_b": ns[b],
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=df["__id"].dtype),
+                    "id_b": pd.Series([], dtype=df["__id"].dtype),
+                    "hamming": pd.Series([], dtype="int64"),
+                    "n_a": pd.Series([], dtype="int64"),
+                    "n_b": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    pairs = (
+        distinct.map_batches(band_rows, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(verify_bucket, batch_format="pandas")
+    )
+    return dedup_pair_dataset(pairs, value_columns=["hamming", "n_a", "n_b"])

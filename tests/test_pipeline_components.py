@@ -1408,3 +1408,65 @@ def test_keyed_time_rolling_matches_global_window(ray_session):
     assert np.array_equal(out["r_sum"].to_numpy(), exp["r_sum"].to_numpy())
     assert np.array_equal(out["r_n"].to_numpy(), exp["r_n"].to_numpy())
     assert len(out) == len(df)
+
+
+def test_phash_hamming_pairs_matches_brute_force(ray_session):
+    """Banded Hamming LSH + popcount verify == brute force over distinct
+    phashes (pigeonhole guarantee for hamming < bands), with the hot
+    exact-group collapsed instead of pairwise-expanded."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.dedup import (
+        _popcount64,
+        phash_hamming_pairs,
+    )
+
+    rng = np.random.default_rng(47)
+    ph = rng.integers(0, 2**62, size=400, dtype=np.int64)
+    # planted near pairs at hamming 1..3
+    for i, bits in ((0, 0b1), (1, 0b11), (2, 0b111), (3, 0b101)):
+        ph[200 + i] = ph[i] ^ bits
+    # hot exact group: 60 rows share one phash
+    ph[300:360] = 0x5A5A5A5A
+    df = pd.DataFrame(
+        {"image_id": [f"img_{i:04d}" for i in range(400)], "phash": ph}
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    out = (
+        phash_hamming_pairs(ds, max_hamming=3, bands=4, num_buckets=16)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+    # brute force over DISTINCT phashes (reps = min id per phash)
+    reps = (
+        df.groupby("phash", as_index=False)
+        .agg(rid=("image_id", "min"), n=("image_id", "size"))
+    )
+    vals = reps["phash"].to_numpy().astype(np.uint64)
+    ids = reps["rid"].to_numpy()
+    ns = reps["n"].to_numpy()
+    exp = []
+    for i in range(len(vals) - 1):
+        hd = _popcount64(vals[i] ^ vals[i + 1:])
+        for j in np.where(hd <= 3)[0]:
+            a, b = ids[i], ids[i + 1 + j]
+            na, nb = ns[i], ns[i + 1 + j]
+            if a > b:
+                a, b, na, nb = b, a, nb, na
+            exp.append((a, b, int(hd[j]), int(na), int(nb)))
+    exp_df = (
+        pd.DataFrame(exp, columns=["id_a", "id_b", "hamming", "n_a", "n_b"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(exp_df) >= 4  # the planted pairs exist
+    pd.testing.assert_frame_equal(out, exp_df, check_dtype=False)
+    # the hot group produced member counts, not 60·59/2 pairs
+    hot_rep = df.loc[df.phash == 0x5A5A5A5A, "image_id"].min()
+    hot_rows = out[(out.id_a == hot_rep) | (out.id_b == hot_rep)]
+    assert (hot_rows[["n_a", "n_b"]].max(axis=1) == 60).all() or hot_rows.empty

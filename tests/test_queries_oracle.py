@@ -179,6 +179,7 @@ def test_query_matches_oracle(entry_module, duck, name):
         "minhash_neardup_docs",
         "simhash_docs",
         "embedding_neardup",
+        "phash_neardup_images",
         "events_value_drift",
         "ann_topk_ivf",
         "image_features",
