@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_filter": Q.q_curation_filter,
         "training_data_prep": Q.r_training_data_prep,
         "boilerplate_ngrams": Q.q_boilerplate_ngrams,
+        "heavy_hitter_tokens": Q.r_heavy_hitter_tokens,
         "doc_logprob": Q.q_doc_logprob,
         "pack_documents": Q.r_pack_documents,
         "chunk_documents": Q.q_chunk_documents,

@@ -772,6 +772,42 @@ def q_chunk_documents(sf_dir: str):
     return chunk_documents(ds, chunk_tokens=64, stride=48)
 
 
+def r_heavy_hitter_tokens(sf_dir: str, k: int = 20):
+    """Approximate corpus top-k tokens with ZERO key exchange: one
+    SpaceSaving sketch per batch (bounded dict, O(distinct) per batch),
+    KB-sized pickled partials merged on the driver. The exact counterpart
+    is ``boilerplate_ngrams``' bucketed-combine df counts — this is the
+    path when even the distinct-key partials are too wide to shuffle.
+    count − error ≤ true ≤ count per returned row."""
+    import pickle
+
+    from ..stages.sketches import SpaceSaving
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
+        sk = SpaceSaving(4096)
+        for t in df["text"]:
+            if isinstance(t, str) and t:
+                sk.add_many(t.lower().split())
+        return pd.DataFrame({"blob": [pickle.dumps(sk)]})
+
+    merged = None
+    for row in ds.map_batches(
+        sketch_batch, batch_format="pandas"
+    ).iter_rows():
+        sk = pickle.loads(row["blob"])
+        merged = sk if merged is None else merged.merge(sk)
+    top = merged.topk(k) if merged is not None else []
+    return pd.DataFrame(
+        {
+            "token": [t for t, _, _ in top],
+            "count": pd.Series([c for _, c, _ in top], dtype="int64"),
+            "error": pd.Series([e for _, _, e in top], dtype="int64"),
+        }
+    )
+
+
 def q_doc_quality(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(QualityScorer(), batch_format="pyarrow").select_columns(

@@ -250,3 +250,84 @@ class Histogram:
         h = cls(edges[0], edges[-1], len(edges) - 1, counts)
         h.edges = edges
         return h
+
+
+class SpaceSaving:
+    """Mergeable heavy-hitters sketch (SpaceSaving / Metwally et al.):
+    tracks ~``capacity`` items with count over-estimates bounded by the
+    evicted minimum. The approximate, shuffle-free counterpart of the
+    exact df path in ``stages/corpus.boilerplate_ngrams``: one sketch per
+    batch → driver (or tree) merge of KB-sized dicts, no key exchange at
+    all. Guarantee: any item with true count > N/capacity survives, and
+    ``count - error ≤ true ≤ count`` per surviving item.
+    """
+
+    __slots__ = ("capacity", "counts", "errors")
+
+    def __init__(self, capacity: int = 1024):
+        self.capacity = capacity
+        self.counts: dict = {}
+        self.errors: dict = {}
+
+    def add_many(self, items, weights=None) -> None:
+        """Bulk insert: pre-aggregate the batch (vectorized) then do one
+        dict pass per DISTINCT item — O(distinct), not O(rows)."""
+        import collections
+
+        if weights is None:
+            agg = collections.Counter(items)
+        else:
+            agg = collections.defaultdict(int)
+            for it, w in zip(items, weights):
+                agg[it] += int(w)
+        for item, w in agg.items():
+            self._add(item, w)
+
+    def _add(self, item, w: int) -> None:
+        counts = self.counts
+        if item in counts:
+            counts[item] += w
+            return
+        if len(counts) < self.capacity:
+            counts[item] = w
+            self.errors[item] = 0
+            return
+        # evict the current minimum; the newcomer inherits its count as
+        # the over-estimate bound
+        victim = min(counts, key=counts.__getitem__)
+        floor = counts.pop(victim)
+        self.errors.pop(victim)
+        counts[item] = floor + w
+        self.errors[item] = floor
+
+    def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        """Standard SpaceSaving merge: sum counts/errors for shared items,
+        union the rest, keep the top ``capacity`` by count."""
+        counts, errors = self.counts, self.errors
+        for item, c in other.counts.items():
+            if item in counts:
+                counts[item] += c
+                errors[item] += other.errors[item]
+            else:
+                counts[item] = c
+                errors[item] = other.errors[item]
+        if len(counts) > self.capacity:
+            keep = sorted(counts, key=counts.__getitem__, reverse=True)[
+                : self.capacity
+            ]
+            kept = set(keep)
+            self.counts = {k: counts[k] for k in keep}
+            self.errors = {k: errors[k] for k in keep}
+            # dropped mass bounds future over-estimates; fold the largest
+            # dropped count into the error floor of nothing — SpaceSaving's
+            # merge guarantee only needs the per-item (count, error) sums
+            del counts, errors
+        return self
+
+    def topk(self, k: int) -> list[tuple]:
+        """(item, count, error) for the k largest counts; an item is a
+        GUARANTEED heavy hitter iff count − error exceeds the next count."""
+        items = sorted(
+            self.counts, key=self.counts.__getitem__, reverse=True
+        )[:k]
+        return [(it, self.counts[it], self.errors[it]) for it in items]

@@ -1470,3 +1470,44 @@ def test_phash_hamming_pairs_matches_brute_force(ray_session):
     hot_rep = df.loc[df.phash == 0x5A5A5A5A, "image_id"].min()
     hot_rows = out[(out.id_a == hot_rep) | (out.id_b == hot_rep)]
     assert (hot_rows[["n_a", "n_b"]].max(axis=1) == 60).all() or hot_rows.empty
+
+
+def test_spacesaving_heavy_hitters_vs_exact():
+    """SpaceSaving guarantees: every item with true count > N/capacity is
+    tracked, counts bound truth from above by ≤ error, and a partitioned
+    sketch-merge finds the same heavy hitters as a global count on a
+    zipf-skewed stream."""
+    from collections import Counter
+
+    from polars_genson_ray.stages.sketches import SpaceSaving
+
+    rng = np.random.default_rng(53)
+    stream = rng.zipf(1.5, size=200_000)
+    stream = stream[stream < 10_000]
+    exact = Counter(stream.tolist())
+    n = len(stream)
+    cap = 256
+
+    # partitioned: 8 shards, one sketch each, tree-merged
+    sketches = []
+    for part in np.array_split(stream, 8):
+        sk = SpaceSaving(cap)
+        sk.add_many(part.tolist())
+        sketches.append(sk)
+    merged = sketches[0]
+    for sk in sketches[1:]:
+        merged.merge(sk)
+
+    thresh = n // cap
+    for item, true_c in exact.items():
+        if true_c > thresh:
+            assert item in merged.counts, f"guaranteed HH {item} missing"
+            est = merged.counts[item]
+            err = merged.errors[item]
+            assert est >= true_c, "SpaceSaving must over-estimate"
+            assert est - err <= true_c, "error bound violated"
+    # top-10 by sketch == top-10 by exact count (zipf head is far above
+    # the error floor)
+    top_sketch = [it for it, _, _ in merged.topk(10)]
+    top_exact = [it for it, _ in exact.most_common(10)]
+    assert set(top_sketch) == set(top_exact)

@@ -176,6 +176,7 @@ def test_query_matches_oracle(entry_module, duck, name):
         "normalise_events_props",
         "langid_docs",
         "pack_documents",
+        "heavy_hitter_tokens",
         "minhash_neardup_docs",
         "simhash_docs",
         "embedding_neardup",
