@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hour_pivot": Q.q_events_hour_pivot,
         "shipping_priority": Q.q_shipping_priority,
         "union_ids": Q.q_union_ids,
+        "common_user_ids": Q.q_common_user_ids,
         "sample_events": Q.q_sample_events,
         "stratified_sample_events": Q.q_stratified_sample_events,
         # constraint checks
@@ -190,6 +191,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id AS id FROM events
             UNION ALL
             SELECT c_custkey AS id FROM customer
+        """,
+        "common_user_ids": """
+            SELECT user_id FROM events
+            INTERSECT
+            SELECT c_custkey FROM customer
         """,
         "customer_order_join": """
             SELECT o.o_orderkey, o.o_totalprice, c.c_name

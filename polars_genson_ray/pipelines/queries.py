@@ -598,6 +598,35 @@ def q_union_ids(sf_dir: str):
     return ev.union(cu)
 
 
+def q_common_user_ids(sf_dir: str):
+    """Set op INTERSECT as a composition: distinct event user_ids SEMI-
+    joined against customer keys. The distinct pass is a per-batch
+    pre-reduce + bucketed dedup (only distinct ids cross the exchange);
+    the membership probe rides the semi join."""
+    from ..stages.aggregate import bucketed_groups
+    from ..stages.join import hash_join
+
+    ids = _read(sf_dir, "events", ["user_id"]).map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"
+    )
+    distinct = bucketed_groups(
+        ids,
+        ["user_id"],
+        lambda df: df.drop_duplicates(),
+        approx_rows=_table_rows(sf_dir, "events"),
+    )
+    return hash_join(
+        distinct,
+        _read(sf_dir, "customer", ["c_custkey"]),
+        on="user_id",
+        right_on="c_custkey",
+        how="semi",
+        approx_rows=_table_rows(sf_dir, "customer"),
+        left_schema=pa.schema([pa.field("user_id", pa.int64())]),
+        right_schema=_footer_schema(sf_dir, "customer", ["c_custkey"]),
+    )
+
+
 def q_sample_events(sf_dir: str, fraction: float = 0.1):
     """Deterministic Bernoulli sampling via the md5 hash predicate
     (``mix.hash_mix_sample`` with one global fraction): the SAME sample on

@@ -157,6 +157,7 @@ def test_oracle_keys_subset_of_queries(entry_module):
         "upsample_sources",
         "event_value_percentiles",
         "chunk_documents",
+        "common_user_ids",
     ],
 )
 def test_query_matches_oracle(entry_module, duck, name):
