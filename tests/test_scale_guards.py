@@ -74,3 +74,13 @@ def test_top_events_per_type_has_no_global_sort(ray_session):
     ds = Q.q_top_events_per_type(SF_DIR)
     assert "Sort" not in _plan(ds)
     assert len(ds.take_all()) == 15  # 5 event types × 3
+
+
+def test_event_value_percentiles_has_no_global_sort(ray_session):
+    """PERCENT_RANK must come from the broadcast CDF, never from sorting
+    the events table."""
+    from polars_genson_ray.pipelines import queries as Q
+
+    ds = Q.q_event_value_percentiles(SF_DIR)
+    assert "Sort" not in _plan(ds)
+    assert ds.count() == 1000
