@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": Q.q_shipping_priority,
         "union_ids": Q.q_union_ids,
         "common_user_ids": Q.q_common_user_ids,
+        "salted_user_counts": Q.q_salted_user_counts,
+        "events_value_range_partition": Q.q_events_value_range_partition,
         "sample_events": Q.q_sample_events,
         "stratified_sample_events": Q.q_stratified_sample_events,
         # constraint checks
@@ -196,6 +198,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events
             INTERSECT
             SELECT c_custkey FROM customer
+        """,
+        "salted_user_counts": """
+            SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+        """,
+        "events_value_range_partition": """
+            WITH b AS (
+                SELECT UNNEST(quantile_disc(value, [0.25, 0.5, 0.75])) AS q
+                FROM events
+            )
+            SELECT e.event_id, e.value,
+                   SUM((e.value > b.q)::INT)::BIGINT AS pid
+            FROM events e CROSS JOIN b
+            GROUP BY e.event_id, e.value
         """,
         "customer_order_join": """
             SELECT o.o_orderkey, o.o_totalprice, c.c_name

@@ -598,6 +598,28 @@ def q_union_ids(sf_dir: str):
     return ev.union(cu)
 
 
+def q_salted_user_counts(sf_dir: str):
+    """Per-key counts under SALTED two-level aggregation
+    (``stages/skew.salted_group_count``): hot keys spread over 16
+    sub-reducers before the per-key combine — the explicit skew-handling
+    path the north-rule names, verified against the plain GROUP BY."""
+    from ..stages.skew import salted_group_count
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return salted_group_count(ds, "user_id", salt=16)
+
+
+def q_events_value_range_partition(sf_dir: str):
+    """Range partitioning (the scale-sort primitive): exact quartile
+    boundaries from distributed value counts, broadcast once, one
+    searchsorted tag per batch — ordered partitions without an
+    all-to-all Sort (``stages/shards.range_partition_ids``)."""
+    from ..stages.shards import range_partition_ids
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return range_partition_ids(ds, "value", num_partitions=4)
+
+
 def q_common_user_ids(sf_dir: str):
     """Set op INTERSECT as a composition: distinct event user_ids SEMI-
     joined against customer keys. The distinct pass is a per-batch

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 
 
@@ -56,3 +57,65 @@ def deterministic_shards(ds, *, id_column: str, num_shards: int):
 
     tagged = ds.map_batches(tag, batch_format="pandas")
     return tagged.groupby("shard").map_groups(rank, batch_format="pandas")
+
+
+def range_partition_ids(
+    ds,
+    column: str,
+    *,
+    num_partitions: int = 4,
+    max_distinct: int = 1_000_000,
+    out_column: str = "pid",
+):
+    """Range partitioning — the scale-sort primitive: assign each row the
+    index of its value range, so writing partition-by-``pid`` yields
+    globally range-ordered output (ordered partitions, sort-within-
+    partition at read time) WITHOUT an all-to-all Sort of the input.
+
+    Boundaries are EXACT ``quantile_disc`` values (first value whose
+    cumulative count reaches ``i/p``) computed from distributed
+    distinct-value counts — the same bounded-cardinality contract as
+    ``grouped_quantiles`` (guarded by ``max_distinct``; continuous
+    columns should instead take boundaries from the t-digest sketch —
+    approximate split SIZES, identical correctness). The boundary array
+    is broadcast once; each batch tags itself with one ``searchsorted``
+    (``pid = #{boundaries < value}``, so boundary-valued rows land in
+    the lower partition — mirrored by ``value > boundary`` sums in SQL).
+    """
+    import ray
+
+    from .aggregate import combine_partials
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(column, as_index=False).agg(__n=(column, "size"))
+
+    counts = combine_partials(
+        ds.select_columns([column]).map_batches(
+            count_partial, batch_format="pandas"
+        ),
+        [column],
+        {"__n": "sum"},
+    ).to_pandas()
+    if len(counts) > max_distinct:
+        raise ValueError(
+            f"range_partition_ids: > {max_distinct} distinct values — "
+            "take boundaries from the t-digest sketch for continuous columns"
+        )
+    counts = counts.sort_values(column)
+    vals = counts[column].to_numpy()
+    cum = counts["__n"].to_numpy(dtype=np.int64).cumsum()
+    total = int(cum[-1])
+    boundaries = np.array(
+        [
+            vals[np.searchsorted(cum, total * i / num_partitions, side="left")]
+            for i in range(1, num_partitions)
+        ]
+    )
+    bref = ray.put(boundaries)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bref)
+        pid = np.searchsorted(b, df[column].to_numpy(), side="left")
+        return df.assign(**{out_column: pid.astype(np.int64)})
+
+    return ds.map_batches(tag, batch_format="pandas")

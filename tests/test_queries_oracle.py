@@ -158,6 +158,8 @@ def test_oracle_keys_subset_of_queries(entry_module):
         "event_value_percentiles",
         "chunk_documents",
         "common_user_ids",
+        "salted_user_counts",
+        "events_value_range_partition",
     ],
 )
 def test_query_matches_oracle(entry_module, duck, name):
