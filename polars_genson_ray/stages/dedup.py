@@ -387,11 +387,15 @@ def dedup_pair_dataset(pairs, *, value_columns: list[str],
     """Drop duplicate (id_a, id_b) pairs, picking the exchange by the pair
     set's ACTUAL size: the pair Dataset (ids + small values only — never
     payload) is materialized (tiny object-store blocks) and counted; small
-    violation sets dedup in one coalesced task (a key-partitioned shuffle
-    measured 2-3 s of pure overhead at sf0.1), large ones (dup-heavy crawl
-    workloads where pairs are O(dataset)) dedup as a pair-key-bucketed
-    groupby so no single task holds all pairs."""
+    violation sets dedup DRIVER-SIDE in one vectorized pandas call (the
+    blocks are already counted small — a Repartition(1) round-trip here
+    measured 2-3 s of pure Ray stage overhead at sf0.1 for <1 ms of
+    work), large ones (dup-heavy crawl workloads where pairs are
+    O(dataset)) dedup as a pair-key-bucketed groupby so no single task
+    holds all pairs."""
     import pandas as pd
+
+    import ray.data as rd
 
     pairs = pairs.materialize()
     n_pairs = pairs.count()
@@ -404,8 +408,22 @@ def dedup_pair_dataset(pairs, *, value_columns: list[str],
         return out[out_cols]
 
     if n_pairs <= pair_dedup_threshold:
-        return pairs.repartition(1).map_batches(
-            dedup_pairs, batch_format="pandas", batch_size=None
+        if not n_pairs:
+            return rd.from_pandas(pd.DataFrame({c: [] for c in out_cols}))
+        out = dedup_pairs(pairs.to_pandas())[out_cols]
+        # split into multiple blocks so a downstream per-pair verify
+        # parallelizes (one driver-side dedup, no extra Ray stage)
+        try:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        nchunks = max(1, min(cpus * 2, len(out) // 4096))
+        if nchunks <= 1:
+            return rd.from_pandas(out)
+        return rd.from_pandas(
+            [c.reset_index(drop=True) for c in np.array_split(out, nchunks)]
         )
 
     pair_buckets = _derive_num_buckets(n_pairs)
