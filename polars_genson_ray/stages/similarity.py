@@ -219,33 +219,45 @@ def ivf_topk(ds, queries: np.ndarray, *, id_column="vec_id",
     )
 
 
-class HyperplaneLSH:
-    """Random-hyperplane bucket id per row (``lsh_bucket``): the scale path
-    for ANN — co-bucket rows are candidate neighbours; verify with exact
-    cosine inside each bucket group. ``table_id`` tags rows of one banding
-    table so multiple independent tables can share a groupby."""
+class MultiTableHyperplaneLSH:
+    """All banding tables in ONE input pass: ``num_tables`` independent
+    plane sets, each batch emits that many stacked copies tagged
+    (``lsh_table``, ``lsh_bucket``). One scan regardless of table count —
+    the previous per-table dataset + union shape re-read the input once
+    per table."""
 
-    def __init__(self, dim: int, num_planes: int = 12, seed: int = 11,
-                 column: str = "embedding", table_id: int = 0):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((num_planes, dim))
+    def __init__(self, dim: int, num_planes: int, num_tables: int,
+                 column: str = "embedding", seed: int = 11):
+        self.planes = [
+            np.random.default_rng(seed + 101 * t).standard_normal(
+                (num_planes, dim)
+            )
+            for t in range(num_tables)
+        ]
         self.column = column
-        self.table_id = table_id
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = _embedding_matrix(batch[self.column])
         n = len(batch)
-        if emb.size == 0:
-            out = batch.append_column("lsh_bucket", pa.array([], pa.int64()))
-            return out.append_column("lsh_table", pa.array([], pa.int32()))
-        bits = (emb @ self.planes.T) > 0
-        bucket = np.zeros(len(emb), dtype=np.int64)
-        for i in range(bits.shape[1]):
-            bucket |= bits[:, i].astype(np.int64) << i
-        out = batch.append_column("lsh_bucket", pa.array(bucket, pa.int64()))
-        return out.append_column(
-            "lsh_table", pa.array(np.full(n, self.table_id, dtype=np.int32))
-        )
+        parts = []
+        for t, planes in enumerate(self.planes):
+            if emb.size == 0:
+                bucket = np.zeros(0, dtype=np.int64)
+            else:
+                bits = (emb @ planes.T) > 0
+                bucket = np.zeros(len(emb), dtype=np.int64)
+                for i in range(bits.shape[1]):
+                    bucket |= bits[:, i].astype(np.int64) << i
+            part = batch.append_column(
+                "lsh_bucket", pa.array(bucket, pa.int64())
+            )
+            parts.append(
+                part.append_column(
+                    "lsh_table",
+                    pa.array(np.full(n, t, dtype=np.int32)),
+                )
+            )
+        return pa.concat_tables(parts)
 
 
 def embedding_near_duplicates(ds, *, id_column="vec_id", column="embedding",
@@ -286,16 +298,11 @@ def embedding_near_duplicates(ds, *, id_column="vec_id", column="embedding",
         num_planes = max(4, min(24, math.ceil(math.log2(max(2.0, n / 64)))))
 
     pruned = ds.select_columns([id_column, column])
-    tables = [
-        pruned.map_batches(
-            HyperplaneLSH(dim, num_planes, seed=11 + 101 * t, column=column,
-                          table_id=t),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-        )
-        for t in range(num_tables)
-    ]
-    bucketed = tables[0] if len(tables) == 1 else tables[0].union(*tables[1:])
+    bucketed = pruned.map_batches(
+        MultiTableHyperplaneLSH(dim, num_planes, num_tables, column=column),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -328,8 +335,25 @@ def embedding_near_duplicates(ds, *, id_column="vec_id", column="embedding",
             {"id_a": ids[I], "id_b": ids[J], "cosine": np.concatenate(out_c)}
         )
 
-    pairs = bucketed.groupby(["lsh_table", "lsh_bucket"]).map_groups(
-        verify, batch_format="pandas"
+    def verify_frame(df: pd.DataFrame) -> pd.DataFrame:
+        # one hash-bucket task verifies MANY (table, lsh_bucket) groups —
+        # a pandas subgroup loop (µs each), not one Ray call per group
+        outs = [
+            verify(g)
+            for _, g in df.groupby(["lsh_table", "lsh_bucket"], sort=False)
+        ]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cosine": pd.Series([], dtype=float)}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    from .aggregate import bucketed_groups
+
+    pairs = bucketed_groups(
+        bucketed, ["lsh_table", "lsh_bucket"], verify_frame,
+        approx_rows=approx_rows,
     )
     return dedup_pair_dataset(
         pairs, value_columns=["cosine"],
