@@ -129,9 +129,24 @@ def q_doc_lang_counts(sf_dir: str):
 
 
 def q_distinct_users(sf_dir: str):
+    """Exact global COUNT(DISTINCT): per-batch dedup → bucketed distinct
+    (whole ids per bucket) → one tiny per-bucket count row each.
+    (``Dataset.groupby().count()`` computes the same thing but pays
+    per-distinct-key Python overhead in its sort exchange — measured
+    6.5 s at sf0.1 for this 4-line shape's 0.6 s.)"""
+    from ..stages.aggregate import bucketed_groups
+
     ds = _read(sf_dir, "events", ["user_id"])
-    n = ds.groupby("user_id").count().count()
-    return pd.DataFrame({"n_distinct": [int(n)]})
+    ids = ds.map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"
+    )
+    counts = bucketed_groups(
+        ids,
+        ["user_id"],
+        lambda df: pd.DataFrame({"n": [df["user_id"].nunique()]}),
+        approx_rows=_table_rows(sf_dir, "events"),
+    ).to_pandas()
+    return pd.DataFrame({"n_distinct": [int(counts["n"].sum())]})
 
 
 def q_quantity_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9),
@@ -142,18 +157,22 @@ def q_quantity_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9),
     would materialize every distinct value there: guarded by
     ``max_distinct``; continuous columns belong on the t-digest sketch
     path (stages/sketches.TDigest, used by the validation stats pass)."""
-    rows = (
-        _read(sf_dir, "lineitem", ["l_quantity"])
-        .groupby("l_quantity")
-        .count()
-        .take(max_distinct + 1)
-    )
-    if len(rows) > max_distinct:
+    counts = combine_partials(
+        _read(sf_dir, "lineitem", ["l_quantity"]).map_batches(
+            lambda df: df.groupby("l_quantity", as_index=False).agg(
+                __n=("l_quantity", "size")
+            ),
+            batch_format="pandas",
+        ),
+        ["l_quantity"],
+        {"__n": "sum"},
+    ).to_pandas()
+    if len(counts) > max_distinct:
         raise ValueError(
             f"q_quantity_quantiles: > {max_distinct} distinct values — "
             "use the t-digest quantile path for continuous columns"
         )
-    vals = sorted((r["l_quantity"], r["count()"]) for r in rows)
+    vals = sorted(zip(counts["l_quantity"], counts["__n"]))
     total = sum(c for _, c in vals)
     out_q, out_v = [], []
     for q in qs:
