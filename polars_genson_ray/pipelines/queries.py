@@ -1169,11 +1169,10 @@ def q_shipping_priority(sf_dir: str, segment: str = "BUILDING",
             ["revenue", "o_orderkey"], ascending=[False, True]
         ).head(k)
 
-    return (
-        joined.map_batches(topk, batch_format="pandas")
-        .repartition(1)
-        .map_batches(topk, batch_format="pandas", batch_size=None)
-    )
+    # per-block top-k partials are ≤ k rows each — merge them driver-side
+    # instead of paying a Repartition(1) stage round-trip
+    parts = joined.map_batches(topk, batch_format="pandas").to_pandas()
+    return topk(parts).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
