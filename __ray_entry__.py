@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_user_counts": Q.q_salted_user_counts,
         "events_value_range_partition": Q.q_events_value_range_partition,
         "sample_events": Q.q_sample_events,
+        "events_from_ndjson": Q.q_events_from_ndjson,
         "stratified_sample_events": Q.q_stratified_sample_events,
         # constraint checks
         "duplicate_user_events": Q.q_duplicate_user_events,
@@ -198,6 +199,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events
             INTERSECT
             SELECT c_custkey FROM customer
+        """,
+        "events_from_ndjson": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY event_type
         """,
         "salted_user_counts": """
             SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id

@@ -668,6 +668,40 @@ def q_common_user_ids(sf_dir: str):
     )
 
 
+def q_events_from_ndjson(sf_dir: str):
+    """Source-format coverage: the events table exported once to NDJSON
+    (cached under /tmp), read back with ``ray.data.read_json``, and
+    aggregated — proving the engine's operators are source-agnostic
+    (Parquet is just the default). Oracle runs against the parquet view,
+    so the hash-match also proves the NDJSON round-trip is lossless."""
+    import duckdb
+
+    cache = f"/tmp/pgr_events_ndjson_{abs(hash(sf_dir)) % 10**8}"
+    if not os.path.isdir(cache):
+        tmp = cache + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        duckdb.sql(
+            f"COPY (SELECT event_id, event_type, value FROM "
+            f"read_parquet('{_t(sf_dir, 'events')}')) TO "
+            f"'{tmp}/events.jsonl' (FORMAT JSON)"
+        )
+        os.rename(tmp, cache)
+    ds = rd.read_json(os.path.join(cache, "events.jsonl"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(
+            n=("event_id", "size"), sum_value=("value", "sum")
+        )
+
+    out = combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type"],
+        {"n": "sum", "sum_value": "sum"},
+    ).to_pandas()
+    out["sum_value"] = out["sum_value"].round(2)
+    return out
+
+
 def q_sample_events(sf_dir: str, fraction: float = 0.1):
     """Deterministic Bernoulli sampling via the md5 hash predicate
     (``mix.hash_mix_sample`` with one global fraction): the SAME sample on

@@ -160,6 +160,7 @@ def test_oracle_keys_subset_of_queries(entry_module):
         "common_user_ids",
         "salted_user_counts",
         "events_value_range_partition",
+        "events_from_ndjson",
     ],
 )
 def test_query_matches_oracle(entry_module, duck, name):
