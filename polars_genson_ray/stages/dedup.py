@@ -692,48 +692,59 @@ def phash_hamming_pairs(
         return pd.concat(frames, ignore_index=True)
 
     def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, g in df.groupby(["__band", "__bv"], sort=False):
-            m = len(g)
-            if m < 2:
-                continue
-            if m > bucket_cap:
-                g = g.nsmallest(bucket_cap, "__id")
-                m = bucket_cap
-            ph = g["__ph"].to_numpy().astype(np.uint64)
-            ids = g["__id"].to_numpy()
-            ns = g["__n"].to_numpy()
-            ia, ib = np.triu_indices(m, 1)
-            hd = _popcount64(ph[ia] ^ ph[ib])
-            sel = hd <= max_hamming
-            if not sel.any():
-                continue
-            ia, ib, hd = ia[sel], ib[sel], hd[sel]
-            swap = ids[ia] > ids[ib]
-            a = np.where(swap, ib, ia)
-            b = np.where(swap, ia, ib)
-            out.append(
-                pd.DataFrame(
-                    {
-                        "id_a": ids[a],
-                        "id_b": ids[b],
-                        "hamming": hd,
-                        "n_a": ns[a],
-                        "n_b": ns[b],
-                    }
-                )
+        # vectorized run detection over the sorted frame: almost every
+        # (band, value) run has length 1 (random band collisions are
+        # ~n/2^band_bits), so pair generation only ever touches the rare
+        # multi-member runs — never a per-subgroup pandas loop
+        d = df.sort_values(["__band", "__bv", "__id"], kind="mergesort")
+        band = d["__band"].to_numpy()
+        bv = d["__bv"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate(
+                ([True], (band[1:] != band[:-1]) | (bv[1:] != bv[:-1]))
             )
-        if not out:
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series([], dtype=df["__id"].dtype),
-                    "id_b": pd.Series([], dtype=df["__id"].dtype),
-                    "hamming": pd.Series([], dtype="int64"),
-                    "n_a": pd.Series([], dtype="int64"),
-                    "n_b": pd.Series([], dtype="int64"),
-                }
-            )
-        return pd.concat(out, ignore_index=True)
+        )
+        lens = np.diff(np.concatenate((starts, [len(d)])))
+        ph = d["__ph"].to_numpy().astype(np.uint64)
+        ids = d["__id"].to_numpy()
+        ns = d["__n"].to_numpy()
+        pair_a, pair_b = [], []
+        for s, k in zip(starts[lens >= 2].tolist(),
+                        lens[lens >= 2].tolist()):
+            k = min(k, bucket_cap)
+            ia, ib = np.triu_indices(k, 1)
+            pair_a.append(ia + s)
+            pair_b.append(ib + s)
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=df["__id"].dtype),
+                "id_b": pd.Series([], dtype=df["__id"].dtype),
+                "hamming": pd.Series([], dtype="int64"),
+                "n_a": pd.Series([], dtype="int64"),
+                "n_b": pd.Series([], dtype="int64"),
+            }
+        )
+        if not pair_a:
+            return empty
+        ia = np.concatenate(pair_a)
+        ib = np.concatenate(pair_b)
+        hd = _popcount64(ph[ia] ^ ph[ib])
+        sel = hd <= max_hamming
+        if not sel.any():
+            return empty
+        ia, ib, hd = ia[sel], ib[sel], hd[sel]
+        swap = ids[ia] > ids[ib]
+        a = np.where(swap, ib, ia)
+        b = np.where(swap, ia, ib)
+        return pd.DataFrame(
+            {
+                "id_a": ids[a],
+                "id_b": ids[b],
+                "hamming": hd,
+                "n_a": ns[a],
+                "n_b": ns[b],
+            }
+        )
 
     pairs = (
         distinct.map_batches(band_rows, batch_format="pandas")

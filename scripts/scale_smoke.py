@@ -198,6 +198,47 @@ def main() -> None:
     report["kmeans_purity"] = round(purity / len(truth), 4)
     assert purity == len(truth), purity
 
+    # phash Hamming dedup at 1M hashes: 100k-row hot exact group (10%),
+    # 5k planted bit-flip near-dups, rest random — collapse-first must
+    # keep the hot group out of the pairwise phase entirely
+    from polars_genson_ray.stages.dedup import phash_hamming_pairs
+
+    n_ph = 1_000_000
+    rng_ph = np.random.default_rng(83)
+    ph = rng_ph.integers(0, 2**62, size=n_ph, dtype=np.int64)
+    ph[:n_ph // 10] = 0x5A5A5A5A
+    n_near = 5_000
+    base_idx = rng_ph.choice(
+        np.arange(n_ph // 10, n_ph - n_near), size=n_near, replace=False
+    )
+    for j, bi in enumerate(base_idx):
+        # hamming-2 perturbations (mask is never 0 → never an exact dup)
+        ph[n_ph - n_near + j] = ph[bi] ^ ((1 << (j % 3 + 1)) | 1)
+    ph_tbl = pa.table(
+        {
+            "image_id": pa.array(
+                [f"i{i:07d}" for i in range(n_ph)], pa.string()
+            ),
+            "phash": pa.array(ph, pa.int64()),
+        }
+    )
+    pds = rd.from_arrow(ph_tbl).repartition(32).materialize()
+    t0 = time.perf_counter()
+    ppairs = phash_hamming_pairs(
+        pds, max_hamming=3, bands=4, approx_rows=n_ph
+    ).to_pandas()
+    report["phash_s"] = round(time.perf_counter() - t0, 2)
+    report["phash_pairs"] = len(ppairs)
+    # every planted pair recovered (hamming 2-3 ≤ 3); the hot group shows
+    # up only through its n_a/n_b member count, never as 100k² pairs
+    planted_ids = {f"i{n_ph - n_near + j:07d}" for j in range(n_near)}
+    found_planted = sum(
+        (a in planted_ids) or (b in planted_ids)
+        for a, b in zip(ppairs["id_a"], ppairs["id_b"])
+    )
+    report["phash_planted_found"] = int(found_planted)
+    assert found_planted >= n_near, (found_planted, n_near)
+
     print(json.dumps(report))
     ray.shutdown()
 
