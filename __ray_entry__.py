@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_value": Q.q_user_running_value,
         "user_rolling_hour": Q.q_user_rolling_hour,
         "users_per_event_type": Q.q_users_per_event_type,
+        "hourly_active_users": Q.q_hourly_active_users,
         "event_value_percentiles": Q.q_event_value_percentiles,
         # multimodal stages (synthetic codec; rows-only)
         "phash_neardup_images": Q.r_phash_neardup_images,
@@ -274,6 +275,11 @@ def oracle_sql() -> dict[str, str]:
         "users_per_event_type": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "hourly_active_users": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
         """,
         "user_event_gaps": """
             WITH g AS (

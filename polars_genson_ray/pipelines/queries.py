@@ -1577,6 +1577,36 @@ def q_neardup_clusters(sf_dir: str):
     return connected_components(pairs, nodes, node_column="doc_id")
 
 
+def q_hourly_active_users(sf_dir: str):
+    """Windowed DISTINCT aggregate (hourly active users): per-batch
+    (hour, user) pair dedup → bucketed distinct → per-hour partial counts
+    → tiny combine. Only distinct pairs cross the exchange — the windowed
+    cousin of ``users_per_event_type``."""
+    from ..stages.aggregate import bucketed_groups
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            window_start=df["ts"].dt.floor("1h")
+        )[["window_start", "user_id"]].drop_duplicates()
+
+    def bucket_count(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.drop_duplicates()
+            .groupby("window_start", as_index=False)
+            .agg(n_users=("user_id", "size"))
+        )
+
+    partials = bucketed_groups(
+        ds.map_batches(pair_partial, batch_format="pandas"),
+        ["window_start", "user_id"],
+        bucket_count,
+        approx_rows=_table_rows(sf_dir, "events"),
+    )
+    return combine_partials(partials, ["window_start"], {"n_users": "sum"})
+
+
 def q_event_windows_sliding(sf_dir: str):
     """1-hour windows hopping every 30 minutes (each event lands in 2)."""
     from ..stages.windows import sliding_window

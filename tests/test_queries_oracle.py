@@ -161,6 +161,7 @@ def test_oracle_keys_subset_of_queries(entry_module):
         "salted_user_counts",
         "events_value_range_partition",
         "events_from_ndjson",
+        "hourly_active_users",
     ],
 )
 def test_query_matches_oracle(entry_module, duck, name):
