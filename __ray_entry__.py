@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rolling_hour": Q.q_user_rolling_hour,
         "users_per_event_type": Q.q_users_per_event_type,
         "hourly_active_users": Q.q_hourly_active_users,
+        "cumulative_new_users": Q.q_cumulative_new_users,
+        "day_retention": Q.q_day_retention,
         "event_value_percentiles": Q.q_event_value_percentiles,
         # multimodal stages (synthetic codec; rows-only)
         "phash_neardup_images": Q.r_phash_neardup_images,
@@ -280,6 +282,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start,
                    COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
+        """,
+        "cumulative_new_users": """
+            WITH f AS (
+                SELECT user_id, MIN(date_trunc('day', ts)) AS day
+                FROM events GROUP BY user_id
+            ), c AS (
+                SELECT day, COUNT(*) AS n FROM f GROUP BY day
+            )
+            SELECT day,
+                   CAST(SUM(n) OVER (ORDER BY day) AS BIGINT) AS cum_users
+            FROM c
+        """,
+        "day_retention": """
+            WITH a AS (
+                SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+                FROM events
+            )
+            SELECT a.day, COUNT(*) AS n_retained
+            FROM a JOIN a b ON a.user_id = b.user_id
+                           AND b.day = a.day + INTERVAL 1 DAY
+            GROUP BY a.day
         """,
         "user_event_gaps": """
             WITH g AS (

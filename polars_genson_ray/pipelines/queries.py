@@ -1607,6 +1607,94 @@ def q_hourly_active_users(sf_dir: str):
     return combine_partials(partials, ["window_start"], {"n_users": "sum"})
 
 
+def q_cumulative_new_users(sf_dir: str):
+    """Growth accounting: cumulative distinct users by day = first-seen
+    day per user (bucketed min) → per-day new-user counts (tiny combine)
+    → driver cumsum over the bounded day axis. The unbounded-cardinality
+    work (per-user min) never leaves the bucketed exchange."""
+    from ..stages.aggregate import bucketed_groups
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def first_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.assign(day=df["ts"].dt.floor("1d"))
+        return d.groupby("user_id", as_index=False).agg(day=("day", "min"))
+
+    firsts = bucketed_groups(
+        ds.map_batches(first_partial, batch_format="pandas"),
+        ["user_id"],
+        lambda df: df.groupby("user_id", as_index=False).agg(
+            day=("day", "min")
+        ),
+        approx_rows=_table_rows(sf_dir, "events"),
+    )
+    days = combine_partials(
+        firsts.map_batches(
+            lambda df: df.groupby("day", as_index=False).agg(
+                n=("user_id", "size")
+            ),
+            batch_format="pandas",
+        ),
+        ["day"],
+        {"n": "sum"},
+    ).to_pandas()
+    days = days.sort_values("day").reset_index(drop=True)
+    return pd.DataFrame(
+        {"day": days["day"], "cum_users": days["n"].cumsum().astype("int64")}
+    )
+
+
+def q_day_retention(sf_dir: str):
+    """Day-over-day retention: for each day, how many of its active users
+    are active again the NEXT day — distinct (day, user) pairs self-joined
+    on (user, day+1) via the co-partitioned hash join, then per-day counts.
+    Only distinct pairs cross any exchange."""
+    from ..stages.aggregate import bucketed_groups
+    from ..stages.join import hash_join
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(day=df["ts"].dt.floor("1d"))[
+            ["day", "user_id"]
+        ].drop_duplicates()
+
+    active = bucketed_groups(
+        ds.map_batches(pair_partial, batch_format="pandas"),
+        ["day", "user_id"],
+        lambda df: df.drop_duplicates(),
+        approx_rows=_table_rows(sf_dir, "events"),
+    ).materialize()
+
+    shifted = active.map_batches(
+        lambda df: df.assign(day=df["day"] - pd.Timedelta(days=1)),
+        batch_format="pandas",
+    )
+    pair_schema = pa.schema(
+        [pa.field("day", pa.timestamp("us")), pa.field("user_id", pa.int64())]
+    )
+    retained = hash_join(
+        active,
+        shifted,
+        on=["day", "user_id"],
+        how="semi",
+        approx_rows=_table_rows(sf_dir, "events"),
+        left_schema=pair_schema,
+        right_schema=pair_schema,
+    )
+    out = combine_partials(
+        retained.map_batches(
+            lambda df: df.groupby("day", as_index=False).agg(
+                n_retained=("user_id", "size")
+            ),
+            batch_format="pandas",
+        ),
+        ["day"],
+        {"n_retained": "sum"},
+    )
+    return out
+
+
 def q_event_windows_sliding(sf_dir: str):
     """1-hour windows hopping every 30 minutes (each event lands in 2)."""
     from ..stages.windows import sliding_window

@@ -92,7 +92,17 @@ def asof_join(
             np.int32
         )
 
+    left_proj = pa.schema([pa.field(c, lt[c]) for c in left_cols])
+    right_proj = pa.schema(
+        [pa.field(right_key, rt[right_key])]
+        + [pa.field(c, rt[c]) for c in out_right]
+    )
+
     def tag_left(batch: pa.Table) -> pa.Table:
+        if batch.schema != left_proj:
+            # normalize to declared types before hashing — pandas-origin
+            # blocks can drift timestamp units, changing every key hash
+            batch = batch.cast(left_proj)
         n = batch.num_rows
         keys = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
         cols = {
@@ -107,6 +117,8 @@ def asof_join(
         return pa.table(cols, schema=unified)
 
     def tag_right(batch: pa.Table) -> pa.Table:
+        if batch.schema != right_proj:
+            batch = batch.cast(right_proj)
         n = batch.num_rows
         keys = batch[right_key].to_numpy(zero_copy_only=False).astype(np.int64)
         cols = {

@@ -127,7 +127,18 @@ def hash_join(
         + [pa.field(c, rt[c]) for c in right_values]
     )
 
+    left_proj = pa.schema([pa.field(c, lt[c]) for c in left_cols])
+    right_proj = pa.schema(
+        [pa.field(c, rt[c]) for c in list(right_on) + list(right_values)]
+    )
+
     def tag_left(batch: pa.Table) -> pa.Table:
+        if batch.schema != left_proj:
+            # normalize to the DECLARED types before hashing: both sides
+            # must hash identical logical keys to identical buckets, and
+            # pandas-origin blocks drift units (e.g. a Timedelta shift
+            # promotes timestamp[us] → [ns], silently changing every hash)
+            batch = batch.cast(left_proj)
         n = batch.num_rows
         b = (_key_hashes(batch, on) & mask).astype(np.int32)
         cols = {
@@ -143,6 +154,8 @@ def hash_join(
         return pa.table(cols, schema=unified)
 
     def tag_right(batch: pa.Table) -> pa.Table:
+        if batch.schema != right_proj:
+            batch = batch.cast(right_proj)
         if existence:
             # existence probe: only DISTINCT keys matter — pre-reduce the
             # batch before it pays the exchange

@@ -221,3 +221,35 @@ def test_hash_join_outer_matches_pandas(ray_session):
     right_only = set(right.rk) - set(left.k)
     assert right_only <= set(out.k)
     assert out.loc[out.k.isin(right_only), "lv"].isna().all()
+
+
+def test_hash_join_normalizes_timestamp_unit_drift(ray_session):
+    """pandas Timedelta arithmetic silently promotes timestamp[us] to
+    [ns]; both sides must still hash identical logical keys to the same
+    bucket (the tag stage casts to the declared schemas)."""
+    import ray.data as rd
+
+    from polars_genson_ray.stages.join import hash_join
+
+    base = pd.Timestamp("2024-01-01")
+    a = pd.DataFrame(
+        {
+            "day": [base + pd.Timedelta(days=d) for d in range(6)],
+            "user_id": np.arange(6, dtype=np.int64),
+        }
+    )
+    ps = pa.schema(
+        [pa.field("day", pa.timestamp("us")), pa.field("user_id", pa.int64())]
+    )
+    A = rd.from_arrow(pa.Table.from_pandas(a, preserve_index=False).cast(ps))
+    # shift through a PANDAS stage: the output blocks carry timestamp[ns]
+    B = A.map_batches(
+        lambda df: df.assign(day=df["day"] + pd.Timedelta(days=0)),
+        batch_format="pandas",
+    )
+    assert str(B.schema().types[0]) == "timestamp[ns]"  # the hazard exists
+    out = hash_join(
+        A, B, on=["day", "user_id"], how="semi",
+        left_schema=ps, right_schema=ps, num_buckets=8,
+    ).to_pandas()
+    assert len(out) == len(a)  # identical keys: every row must survive

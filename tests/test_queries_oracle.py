@@ -162,6 +162,8 @@ def test_oracle_keys_subset_of_queries(entry_module):
         "events_value_range_partition",
         "events_from_ndjson",
         "hourly_active_users",
+        "cumulative_new_users",
+        "day_retention",
     ],
 )
 def test_query_matches_oracle(entry_module, duck, name):
