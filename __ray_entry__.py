@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_active_users": Q.q_hourly_active_users,
         "cumulative_new_users": Q.q_cumulative_new_users,
         "day_retention": Q.q_day_retention,
+        "weekly_cohorts": Q.q_weekly_cohorts,
         "event_value_percentiles": Q.q_event_value_percentiles,
         # multimodal stages (synthetic codec; rows-only)
         "phash_neardup_images": Q.r_phash_neardup_images,
@@ -303,6 +304,17 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN a b ON a.user_id = b.user_id
                            AND b.day = a.day + INTERVAL 1 DAY
             GROUP BY a.day
+        """,
+        "weekly_cohorts": """
+            WITH a AS (
+                SELECT DISTINCT date_trunc('week', ts) AS wk, user_id
+                FROM events
+            ), f AS (
+                SELECT user_id, MIN(wk) AS cohort FROM a GROUP BY user_id
+            )
+            SELECT f.cohort, a.wk, COUNT(*) AS n_active
+            FROM a JOIN f USING (user_id)
+            GROUP BY f.cohort, a.wk
         """,
         "user_event_gaps": """
             WITH g AS (

@@ -1695,6 +1695,67 @@ def q_day_retention(sf_dir: str):
     return out
 
 
+def q_weekly_cohorts(sf_dir: str):
+    """Cohort retention matrix: users grouped by first-seen week (cohort),
+    counted in every week they were active. Both unbounded-cardinality
+    steps stay bucketed (per-user min week; distinct (week, user) pairs);
+    the cohort label attaches via the co-partitioned hash join; the final
+    (cohort, week) matrix is bounded → tiny combine."""
+    from ..stages.aggregate import bucketed_groups
+    from ..stages.join import hash_join
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def week_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            wk=df["ts"].dt.to_period("W-SUN").dt.start_time.astype(
+                "datetime64[us]"
+            )
+        )[["wk", "user_id"]].drop_duplicates()
+
+    pairs = bucketed_groups(
+        ds.map_batches(week_pairs, batch_format="pandas"),
+        ["wk", "user_id"],
+        lambda df: df.drop_duplicates(),
+        approx_rows=_table_rows(sf_dir, "events"),
+    ).materialize()
+    cohorts = bucketed_groups(
+        pairs,
+        ["user_id"],
+        lambda df: df.groupby("user_id", as_index=False).agg(
+            cohort=("wk", "min")
+        ),
+        approx_rows=_table_rows(sf_dir, "events"),
+    )
+    pair_schema = pa.schema(
+        [pa.field("wk", pa.timestamp("us")), pa.field("user_id", pa.int64())]
+    )
+    labeled = hash_join(
+        pairs,
+        cohorts,
+        on="user_id",
+        right_values=["cohort"],
+        approx_rows=_table_rows(sf_dir, "events"),
+        left_schema=pair_schema,
+        right_schema=pa.schema(
+            [
+                pa.field("user_id", pa.int64()),
+                pa.field("cohort", pa.timestamp("us")),
+            ]
+        ),
+    )
+    return combine_partials(
+        labeled.map_batches(
+            lambda df: df.groupby(["cohort", "wk"], as_index=False).agg(
+                n_active=("user_id", "size")
+            ),
+            batch_format="pandas",
+        ),
+        ["cohort", "wk"],
+        {"n_active": "sum"},
+    )
+
+
 def q_event_windows_sliding(sf_dir: str):
     """1-hour windows hopping every 30 minutes (each event lands in 2)."""
     from ..stages.windows import sliding_window

@@ -164,6 +164,7 @@ def test_oracle_keys_subset_of_queries(entry_module):
         "hourly_active_users",
         "cumulative_new_users",
         "day_retention",
+        "weekly_cohorts",
     ],
 )
 def test_query_matches_oracle(entry_module, duck, name):
