@@ -253,3 +253,57 @@ def test_hash_join_normalizes_timestamp_unit_drift(ray_session):
         left_schema=ps, right_schema=ps, num_buckets=8,
     ).to_pandas()
     assert len(out) == len(a)  # identical keys: every row must survive
+
+
+def test_hash_join_fuzz_all_modes(ray_session):
+    """Randomized differential: every join mode against pandas on mixed
+    key dtypes (int, string, timestamp) with duplicate keys, partial
+    overlap, and several partitionings."""
+    import ray.data as rd
+
+    from polars_genson_ray.stages.join import hash_join
+
+    rng = np.random.default_rng(97)
+    base = pd.Timestamp("2024-03-01")
+    for trial in range(3):
+        n_l, n_r = int(rng.integers(30, 300)), int(rng.integers(30, 300))
+        left = pd.DataFrame(
+            {
+                "ki": rng.integers(0, 25, size=n_l),
+                "ks": rng.choice(list("abcdefgh"), size=n_l),
+                "kt": base
+                + pd.to_timedelta(rng.integers(0, 5, size=n_l), unit="D"),
+                "lv": rng.normal(size=n_l),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "ki": rng.integers(10, 35, size=n_r),
+                "ks": rng.choice(list("efghijkl"), size=n_r),
+                "kt": base
+                + pd.to_timedelta(rng.integers(0, 5, size=n_r), unit="D"),
+                "rv": rng.normal(size=n_r),
+            }
+        )
+        on = ["ki", "ks", "kt"][: int(rng.integers(1, 4))]
+        A = _ds(pa.Table.from_pandas(left), parts=int(rng.integers(1, 5)))
+        B = _ds(pa.Table.from_pandas(right), parts=int(rng.integers(1, 5)))
+        for how in ("inner", "left", "outer", "semi", "anti"):
+            rv = [] if how in ("semi", "anti") else ["rv"]
+            out = hash_join(
+                A, B, on=on, right_values=rv or None, how=how,
+                num_buckets=int(2 ** rng.integers(2, 6)),
+            ).to_pandas()
+            if how in ("semi", "anti"):
+                hit = left.merge(
+                    right[on].drop_duplicates(), on=on, how="left",
+                    indicator=True,
+                )["_merge"].eq("both").to_numpy()
+                expected = left[hit] if how == "semi" else left[~hit]
+            else:
+                expected = left.merge(
+                    right[on + ["rv"]], how=how, on=on
+                )
+            pd.testing.assert_frame_equal(
+                _sorted(out), _sorted(expected), check_dtype=False,
+            )
