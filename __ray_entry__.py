@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embedding similarity
         "ann_topk": Q.q_ann_topk,
         "ann_topk_ivf": Q.r_ann_topk_ivf,
+        "ann_topk_ivf_indexed": Q.r_ann_topk_ivf_indexed,
         "embedding_neardup": Q.r_embedding_neardup,
         "embedding_kmeans": Q.r_embedding_kmeans,
         "semantic_dedup": Q.r_semantic_dedup,

@@ -1283,6 +1283,26 @@ def r_embedding_neardup(sf_dir: str):
 # Windows / sessions over events
 # ---------------------------------------------------------------------------
 
+def r_ann_topk_ivf_indexed(sf_dir: str, k: int = 10, nprobe: int = 4):
+    """ANN over a PERSISTED IVF index: the embeddings table is rewritten
+    once into cell-partitioned parquet (resumable two-phase-commit build,
+    cached under /tmp); the query loads only the tiny centroid matrix and
+    reads ONLY the probed cells' partitions — the scan itself skips
+    ``1 − nprobe/n_cells`` of the data (``stages/similarity.
+    build_ivf_index`` / ``ivf_index_topk``)."""
+    from ..stages.similarity import build_ivf_index, ivf_index_topk
+
+    rows = _table_rows(sf_dir, "embeddings")
+    index_dir = f"/tmp/pgr_ivf_index_{rows}_v1"
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    build_ivf_index(
+        ds, index_dir, n_cells=16, approx_rows=rows,
+    )
+    out = ivf_index_topk(index_dir, _query_vectors(sf_dir), k=k,
+                         nprobe=nprobe)
+    return out.reset_index(drop=True)
+
+
 def r_embedding_kmeans(sf_dir: str, k: int = 10):
     """Distributed spherical k-means over the embeddings table (SemDeDup-
     style corpus organization: embed → cluster → prune/balance).  Fit is

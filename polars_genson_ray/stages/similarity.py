@@ -359,3 +359,109 @@ def embedding_near_duplicates(ds, *, id_column="vec_id", column="embedding",
         pairs, value_columns=["cosine"],
         pair_dedup_threshold=pair_dedup_threshold,
     )
+
+
+# --- persisted IVF index (build once, query via partition-pruned reads) ----
+
+def build_ivf_index(
+    ds,
+    index_dir: str,
+    *,
+    id_column: str = "vec_id",
+    column: str = "embedding",
+    n_cells: int = 16,
+    train_sample: int = 2048,
+    approx_rows: int | None = None,
+    seed: int = 5,
+    batch_size: int = 4096,
+) -> np.ndarray:
+    """Persist an IVF index: a sampled k-means coarse quantizer plus the
+    dataset rewritten as hive-partitioned parquet keyed by nearest-cell id
+    (two-phase-commit partitions via ``sources.partitioned_sink`` — a
+    crashed build resumes, finished cells are skipped). This is what makes
+    IVF an AT-SCALE index rather than an in-memory structure: query time
+    touches only the probed cells' partition directories, so the read
+    itself — not a post-read filter — skips ``1 − nprobe/n_cells`` of the
+    data. Returns the (n_cells, dim) centroid matrix; a complete index
+    directory is reused (idempotent)."""
+    import json
+    import os
+
+    from ..sources.partitioned_sink import write_partitioned
+
+    meta_path = os.path.join(index_dir, "meta.json")
+    cent_path = os.path.join(index_dir, "centroids.npy")
+    cells_dir = os.path.join(index_dir, "cells")
+    if os.path.exists(meta_path) and os.path.exists(cent_path):
+        return np.load(cent_path)
+    os.makedirs(index_dir, exist_ok=True)
+    sample = sample_embedding_rows(
+        ds.select_columns([column]), column=column, n=train_sample,
+        approx_rows=approx_rows, seed=seed,
+    )
+    centroids = _kmeans(sample, n_cells)
+    cent_ref = ray.put(centroids)
+
+    def assign_cell(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        emb = _embedding_matrix(batch[column])
+        if emb.size == 0:
+            return batch.append_column("cell", pa.array([], pa.int32()))
+        cells = np.argmax(_normalize(emb) @ c.T, axis=1).astype(np.int32)
+        return batch.append_column("cell", pa.array(cells))
+
+    assigned = ds.select_columns([id_column, column]).map_batches(
+        assign_cell, batch_format="pyarrow", batch_size=batch_size
+    )
+    write_partitioned(assigned, cells_dir, "cell")
+    tmp = cent_path + ".tmp.npy"
+    np.save(tmp, centroids)
+    os.replace(tmp, cent_path)
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump(
+            {"n_cells": int(n_cells), "dim": int(centroids.shape[1]),
+             "id_column": id_column, "column": column}, f,
+        )
+    os.replace(meta_path + ".tmp", meta_path)
+    return centroids
+
+
+def ivf_index_topk(
+    index_dir: str,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    batch_size: int = 4096,
+):
+    """Query a persisted IVF index: load the (tiny) centroid matrix, pick
+    each query's ``nprobe`` nearest cells, and ``read_parquet`` ONLY those
+    cells' partition directories — the scan never touches unprobed data.
+    ``nprobe = n_cells`` degenerates to an exact (brute-force-equal)
+    search that still exercises the index layout."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probed = np.unique(
+        np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe].reshape(-1)
+    )
+    paths = []
+    for c in probed.tolist():
+        d = os.path.join(index_dir, "cells", f"cell={c}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    ds = rd.read_parquet(paths)
+    return brute_force_topk(
+        ds, queries, id_column=meta["id_column"], column=meta["column"],
+        k=k, batch_size=batch_size,
+    )

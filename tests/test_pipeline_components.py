@@ -1511,3 +1511,61 @@ def test_spacesaving_heavy_hitters_vs_exact():
     top_sketch = [it for it, _, _ in merged.topk(10)]
     top_exact = [it for it, _ in exact.most_common(10)]
     assert set(top_sketch) == set(top_exact)
+
+
+def test_ivf_index_full_probe_equals_brute_force(ray_session, tmp_path):
+    """The persisted IVF index with nprobe == n_cells must reproduce the
+    exact brute-force top-k (the partitioned layout changes WHERE rows
+    are read from, never the result); with few probes on clustered data,
+    recall of the true top-k stays perfect."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    rng = np.random.default_rng(61)
+    blobs, dim, per = 8, 16, 200
+    centers = _normalize_rows(rng.normal(size=(blobs, dim)))
+    vecs = np.repeat(centers, per, axis=0) + rng.normal(
+        scale=0.05, size=(blobs * per, dim)
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(6).materialize()
+    idx_dir = str(tmp_path / "ivf")
+    build_ivf_index(
+        ds, idx_dir, n_cells=8, approx_rows=len(vecs), train_sample=512
+    )
+    queries = centers[:3] + 0.01
+    exact = brute_force_topk(ds, queries, k=10)
+    full = ivf_index_topk(idx_dir, queries, k=10, nprobe=8)
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), exact.reset_index(drop=True)
+    )
+    pruned = ivf_index_topk(idx_dir, queries, k=10, nprobe=2)
+    for qi in range(3):
+        want = set(exact[exact.query_idx == qi]["vec_id"])
+        got = set(pruned[pruned.query_idx == qi]["vec_id"])
+        assert got == want  # clustered data: the true cell is probed
+    # idempotent rebuild: a complete index is reused, not rewritten
+    c2 = build_ivf_index(ds, idx_dir, n_cells=8, approx_rows=len(vecs))
+    assert c2.shape == (8, 16)
+
+
+def _normalize_rows(m):
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1
+    return m / n

@@ -191,6 +191,7 @@ def test_query_matches_oracle(entry_module, duck, name):
         "phash_neardup_images",
         "events_value_drift",
         "ann_topk_ivf",
+        "ann_topk_ivf_indexed",
         "image_features",
         "image_resize",
         "validation_image_table",
