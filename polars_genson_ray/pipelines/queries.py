@@ -436,8 +436,15 @@ def q_event_value_percentiles(sf_dir: str, max_distinct: int = 1_000_000):
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
         v, rb, total = ray.get(cdf_ref)
-        idx = np.searchsorted(v, df["value"].to_numpy(dtype=np.float64))
-        return df.assign(pct_rank=rb[idx] / (total - 1))
+        x = df["value"].to_numpy(dtype=np.float64)
+        # nulls never enter the CDF (groupby drops them): propagate NaN
+        # instead of indexing past the rank table; single-row inputs get
+        # rank 0 (SQL PERCENT_RANK convention), not a 0/0
+        ok = ~np.isnan(x)
+        pct = np.full(len(x), np.nan)
+        denom = max(total - 1, 1)
+        pct[ok] = rb[np.searchsorted(v, x[ok])] / denom
+        return df.assign(pct_rank=pct)
 
     return ds.map_batches(attach, batch_format="pandas")
 
@@ -506,32 +513,17 @@ def q_upsample_sources(sf_dir: str):
 
 
 def q_users_per_event_type(sf_dir: str):
-    """Exact COUNT(DISTINCT user_id) per event_type: per-batch pair dedup
-    → bucketed distinct (a bucket holds whole (type, user) keys) →
-    per-type partial counts → tiny combine. Only DISTINCT pairs cross the
-    exchange — the approximate companion is the HLL sketch path
-    (stages/sketches.py), which needs no exchange at all."""
-    from ..stages.aggregate import bucketed_groups
+    """Exact COUNT(DISTINCT user_id) per event_type
+    (``stages/aggregate.grouped_distinct_count``: only distinct pairs
+    cross the exchange — the approximate companion is the HLL sketch
+    path, which needs no exchange at all)."""
+    from ..stages.aggregate import grouped_distinct_count
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
-    pairs = ds.map_batches(
-        lambda df: df.drop_duplicates(), batch_format="pandas"
+    return grouped_distinct_count(
+        ds, ["event_type"], "user_id",
+        approx_rows=_table_rows(sf_dir, "events"), out_column="n_users",
     )
-
-    def bucket_count(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.drop_duplicates()
-            .groupby("event_type", as_index=False)
-            .agg(n_users=("user_id", "size"))
-        )
-
-    partials = bucketed_groups(
-        pairs,
-        ["event_type", "user_id"],
-        bucket_count,
-        approx_rows=_table_rows(sf_dir, "events"),
-    )
-    return combine_partials(partials, ["event_type"], {"n_users": "sum"})
 
 
 def q_user_event_gaps(sf_dir: str):
@@ -676,7 +668,14 @@ def q_events_from_ndjson(sf_dir: str):
     so the hash-match also proves the NDJSON round-trip is lossless."""
     import duckdb
 
-    cache = f"/tmp/pgr_events_ndjson_{abs(hash(sf_dir)) % 10**8}"
+    import hashlib
+
+    # stable digest (builtin hash() is salted per process — the cache
+    # would never hit across runs and exports would pile up in /tmp)
+    cache = (
+        "/tmp/pgr_events_ndjson_"
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    )
     if not os.path.isdir(cache):
         tmp = cache + ".tmp"
         os.makedirs(tmp, exist_ok=True)
@@ -1292,8 +1291,16 @@ def r_ann_topk_ivf_indexed(sf_dir: str, k: int = 10, nprobe: int = 4):
     build_ivf_index`` / ``ivf_index_topk``)."""
     from ..stages.similarity import build_ivf_index, ivf_index_topk
 
+    import hashlib
+
     rows = _table_rows(sf_dir, "embeddings")
-    index_dir = f"/tmp/pgr_ivf_index_{rows}_v1"
+    # key the cached index by source identity (path + size), not just row
+    # count — a different table with equal rows must not reuse it
+    src = hashlib.md5(
+        f"{os.path.abspath(_t(sf_dir, 'embeddings'))}:"
+        f"{os.path.getsize(_t(sf_dir, 'embeddings'))}".encode()
+    ).hexdigest()[:10]
+    index_dir = f"/tmp/pgr_ivf_index_{src}_{rows}_v1"
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     build_ivf_index(
         ds, index_dir, n_cells=16, approx_rows=rows,
@@ -1598,33 +1605,20 @@ def q_neardup_clusters(sf_dir: str):
 
 
 def q_hourly_active_users(sf_dir: str):
-    """Windowed DISTINCT aggregate (hourly active users): per-batch
-    (hour, user) pair dedup → bucketed distinct → per-hour partial counts
-    → tiny combine. Only distinct pairs cross the exchange — the windowed
-    cousin of ``users_per_event_type``."""
-    from ..stages.aggregate import bucketed_groups
+    """Windowed DISTINCT aggregate (hourly active users) — the windowed
+    cousin of ``users_per_event_type``, sharing
+    ``stages/aggregate.grouped_distinct_count``."""
+    from ..stages.aggregate import grouped_distinct_count
 
     ds = _read(sf_dir, "events", ["ts", "user_id"])
-
-    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(
-            window_start=df["ts"].dt.floor("1h")
-        )[["window_start", "user_id"]].drop_duplicates()
-
-    def bucket_count(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.drop_duplicates()
-            .groupby("window_start", as_index=False)
-            .agg(n_users=("user_id", "size"))
-        )
-
-    partials = bucketed_groups(
-        ds.map_batches(pair_partial, batch_format="pandas"),
-        ["window_start", "user_id"],
-        bucket_count,
+    return grouped_distinct_count(
+        ds,
+        ["window_start"],
+        "user_id",
+        prepare=lambda df: df.assign(window_start=df["ts"].dt.floor("1h")),
         approx_rows=_table_rows(sf_dir, "events"),
+        out_column="n_users",
     )
-    return combine_partials(partials, ["window_start"], {"n_users": "sum"})
 
 
 def q_cumulative_new_users(sf_dir: str):

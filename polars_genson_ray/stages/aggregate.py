@@ -250,3 +250,40 @@ def stratified_sample(
         ascending=True,
     )
     return out.drop_columns(["__pri"])
+
+
+def grouped_distinct_count(
+    ds,
+    key_columns: list[str],
+    distinct_column: str,
+    *,
+    prepare=None,
+    approx_rows: int | None = None,
+    out_column: str = "n_distinct",
+):
+    """Exact ``COUNT(DISTINCT distinct_column) GROUP BY key_columns``:
+    per-batch pair dedup → bucketed distinct (a bucket holds whole
+    (keys, value) pairs) → per-key partial counts → tiny combine. Only
+    DISTINCT pairs ever cross the exchange; the final key set is assumed
+    bounded (windows, categories). ``prepare`` optionally derives the key
+    columns per batch (e.g. flooring a timestamp)."""
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if prepare is not None:
+            df = prepare(df)
+        return df[key_columns + [distinct_column]].drop_duplicates()
+
+    def bucket_count(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.drop_duplicates()
+            .groupby(key_columns, as_index=False)
+            .agg(**{out_column: (distinct_column, "size")})
+        )
+
+    partials = bucketed_groups(
+        ds.map_batches(pair_partial, batch_format="pandas"),
+        key_columns + [distinct_column],
+        bucket_count,
+        approx_rows=approx_rows,
+    )
+    return combine_partials(partials, key_columns, {out_column: "sum"})

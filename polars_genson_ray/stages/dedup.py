@@ -409,7 +409,10 @@ def dedup_pair_dataset(pairs, *, value_columns: list[str],
 
     if n_pairs <= pair_dedup_threshold:
         if not n_pairs:
-            return rd.from_pandas(pd.DataFrame({c: [] for c in out_cols}))
+            # hand back the (empty, already materialized) input: it keeps
+            # whatever id/value types the producer declared — an empty
+            # pandas frame here would infer every column as double
+            return pairs
         out = dedup_pairs(pairs.to_pandas())[out_cols]
         # split into multiple blocks so a downstream per-pair verify
         # parallelizes (one driver-side dedup, no extra Ray stage)

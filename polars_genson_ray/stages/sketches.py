@@ -262,12 +262,13 @@ class SpaceSaving:
     ``count - error ≤ true ≤ count`` per surviving item.
     """
 
-    __slots__ = ("capacity", "counts", "errors")
+    __slots__ = ("capacity", "counts", "errors", "_heap")
 
     def __init__(self, capacity: int = 1024):
         self.capacity = capacity
         self.counts: dict = {}
         self.errors: dict = {}
+        self._heap: list = []  # lazy (count, item) min-heap for eviction
 
     def add_many(self, items, weights=None) -> None:
         """Bulk insert: pre-aggregate the batch (vectorized) then do one
@@ -283,45 +284,83 @@ class SpaceSaving:
         for item, w in agg.items():
             self._add(item, w)
 
+    def _pop_min(self):
+        """Current minimum via the lazy heap: stale entries (evicted items
+        or outdated counts) are discarded / re-pushed on encounter —
+        amortized O(log capacity) per eviction, never an O(capacity) scan."""
+        import heapq
+
+        counts = self.counts
+        while True:
+            c, item = self._heap[0]
+            cur = counts.get(item)
+            if cur is None:
+                heapq.heappop(self._heap)
+            elif cur != c:
+                heapq.heapreplace(self._heap, (cur, item))
+            else:
+                heapq.heappop(self._heap)
+                return item, c
+
     def _add(self, item, w: int) -> None:
+        import heapq
+
         counts = self.counts
         if item in counts:
-            counts[item] += w
+            counts[item] += w  # heap entry goes stale; fixed lazily
             return
         if len(counts) < self.capacity:
             counts[item] = w
             self.errors[item] = 0
+            heapq.heappush(self._heap, (w, item))
             return
         # evict the current minimum; the newcomer inherits its count as
         # the over-estimate bound
-        victim = min(counts, key=counts.__getitem__)
-        floor = counts.pop(victim)
+        victim, floor = self._pop_min()
+        counts.pop(victim)
         self.errors.pop(victim)
         counts[item] = floor + w
         self.errors[item] = floor
+        heapq.heappush(self._heap, (floor + w, item))
+
+    def _floor(self) -> int:
+        """The count any UNTRACKED item could have accumulated before
+        eviction: the sketch's minimum count when full, else 0."""
+        if len(self.counts) < self.capacity:
+            return 0
+        return min(self.counts.values())
 
     def merge(self, other: "SpaceSaving") -> "SpaceSaving":
-        """Standard SpaceSaving merge: sum counts/errors for shared items,
-        union the rest, keep the top ``capacity`` by count."""
+        """Mergeable-summaries SpaceSaving merge (Agarwal et al.): an item
+        absent from one side is credited that side's eviction FLOOR (its
+        mass may live in another item's error there), keeping the
+        ``count − error ≤ true ≤ count`` envelope valid across shards —
+        summing only shared items would UNDER-estimate items evicted from
+        some shard and break heavy-hitter survival."""
+        import heapq
+
+        fa, fb = self._floor(), other._floor()
         counts, errors = self.counts, self.errors
-        for item, c in other.counts.items():
-            if item in counts:
-                counts[item] += c
-                errors[item] += other.errors[item]
+        for item in set(counts) | set(other.counts):
+            ca = counts.get(item)
+            cb = other.counts.get(item)
+            if ca is None:
+                counts[item] = cb + fa
+                errors[item] = other.errors[item] + fa
+            elif cb is None:
+                counts[item] = ca + fb
+                errors[item] = errors[item] + fb
             else:
-                counts[item] = c
-                errors[item] = other.errors[item]
+                counts[item] = ca + cb
+                errors[item] = errors[item] + other.errors[item]
         if len(counts) > self.capacity:
             keep = sorted(counts, key=counts.__getitem__, reverse=True)[
                 : self.capacity
             ]
-            kept = set(keep)
             self.counts = {k: counts[k] for k in keep}
             self.errors = {k: errors[k] for k in keep}
-            # dropped mass bounds future over-estimates; fold the largest
-            # dropped count into the error floor of nothing — SpaceSaving's
-            # merge guarantee only needs the per-item (count, error) sums
-            del counts, errors
+        self._heap = [(c, it) for it, c in self.counts.items()]
+        heapq.heapify(self._heap)
         return self
 
     def topk(self, k: int) -> list[tuple]:

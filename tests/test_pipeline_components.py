@@ -1513,6 +1513,29 @@ def test_spacesaving_heavy_hitters_vs_exact():
     assert set(top_sketch) == set(top_exact)
 
 
+def test_spacesaving_merge_credits_evicted_mass():
+    """An item heavy overall but EVICTED from one shard must keep its
+    over-estimate invariant after merge: the absent side credits its
+    eviction floor (the mass may hide in another item's error there)."""
+    from polars_genson_ray.stages.sketches import SpaceSaving
+
+    a = SpaceSaving(4)
+    a.add_many(["x"] * 100)
+    b = SpaceSaving(2)
+    # b sees x 50 times but churn evicts it: p and q end up tracked
+    b.add_many(["x"] * 50)
+    b.add_many(["p"] * 60)
+    b.add_many(["q"] * 70)
+    assert "x" not in b.counts  # the hazard exists
+    true_x = 150
+    a.merge(b)
+    assert a.counts["x"] >= true_x, "merge must over-estimate"
+    assert a.counts["x"] - a.errors["x"] <= true_x, "error bound"
+    # eviction still works after merge (lazy heap rebuilt)
+    a.add_many([f"fresh{i}" for i in range(10)] * 3)
+    assert len(a.counts) <= 4
+
+
 def test_ivf_index_full_probe_equals_brute_force(ray_session, tmp_path):
     """The persisted IVF index with nprobe == n_cells must reproduce the
     exact brute-force top-k (the partitioned layout changes WHERE rows
@@ -1569,3 +1592,29 @@ def _normalize_rows(m):
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1
     return m / n
+
+
+def test_pair_dedup_empty_keeps_types(ray_session):
+    """Zero duplicate pairs must not degrade the pair schema to inferred
+    doubles — downstream joins/unions key on the real id types."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.dedup import dedup_pair_dataset
+
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.string()),
+            "id_b": pa.array([], pa.string()),
+            "hamming": pa.array([], pa.int64()),
+        }
+    )
+    out = dedup_pair_dataset(
+        rd.from_arrow(empty), value_columns=["hamming"]
+    )
+    assert out.count() == 0
+    assert [str(t) for t in out.schema().types] == [
+        "string", "string", "int64",
+    ]
