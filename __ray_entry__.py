@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_counts": Q.q_doc_lang_counts,
         "distinct_users": Q.q_distinct_users,
         "quantity_quantiles": Q.q_quantity_quantiles,
+        "price_quantiles_exact": Q.q_price_quantiles_exact,
         "part_pruned_filter": Q.q_part_pruned_filter,
         "top_events": Q.q_top_events,
         "top_events_per_type": Q.q_top_events_per_type,
@@ -142,6 +143,12 @@ def oracle_sql() -> dict[str, str]:
         "quantity_quantiles": """
             SELECT UNNEST([0.25, 0.5, 0.75, 0.9]) AS q,
                    UNNEST(quantile_disc(l_quantity, [0.25, 0.5, 0.75, 0.9])) AS value
+            FROM lineitem
+        """,
+        "price_quantiles_exact": """
+            SELECT UNNEST([0.25, 0.5, 0.9]) AS q,
+                   UNNEST(quantile_disc(l_extendedprice, [0.25, 0.5, 0.9]))
+                       AS value
             FROM lineitem
         """,
         "part_pruned_filter": (

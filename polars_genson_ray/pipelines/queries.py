@@ -191,6 +191,20 @@ def q_quantity_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9),
 # Constraint checks
 # ---------------------------------------------------------------------------
 
+def q_price_quantiles_exact(sf_dir: str):
+    """EXACT quantiles of a CONTINUOUS column (~n distinct values — the
+    case the distinct-value-counts path refuses): sketch-guided selection
+    (``stages/aggregate.exact_quantile_continuous``) — a t-digest pass
+    brackets each rank, a counting pass collects only the ~4% of rows
+    inside the brackets, and the exact rank resolves driver-side."""
+    from ..stages.aggregate import exact_quantile_continuous
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return exact_quantile_continuous(
+        ds, "l_extendedprice", qs=(0.25, 0.5, 0.9)
+    )
+
+
 def q_duplicate_user_events(sf_dir: str):
     """Uniqueness-violation listing: keys with count > 1."""
     ds = _read(sf_dir, "events", ["user_id"])

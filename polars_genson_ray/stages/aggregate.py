@@ -287,3 +287,108 @@ def grouped_distinct_count(
         approx_rows=approx_rows,
     )
     return combine_partials(partials, key_columns, {out_column: "sum"})
+
+
+def exact_quantile_continuous(
+    ds,
+    column: str,
+    qs: tuple = (0.5,),
+    *,
+    bracket_eps: float = 0.02,
+    max_bracket_rows: int = 2_000_000,
+):
+    """EXACT ``quantile_disc`` over a CONTINUOUS column (unbounded distinct
+    values — the case the distinct-value-counts path must refuse) via
+    sketch-guided selection, two passes:
+
+    1. a t-digest pass brackets each target rank: per-batch digests merge
+       on the driver, and ``[q − eps, q + eps]`` quantiles of the sketch
+       give value brackets guaranteed-to-contain each exact answer far
+       tighter than the data range;
+    2. one counting pass takes, per bracket, the row count BELOW it and
+       the actual values INSIDE it (expected ``2·eps`` of the data —
+       KB-sized; guarded by ``max_bracket_rows``). The exact rank then
+       resolves by sorting the in-bracket values only.
+
+    Returns a DataFrame (q, value) matching SQL ``quantile_disc`` (first
+    value whose cumulative count reaches ``ceil(q·n)``). Nulls ignored,
+    like SQL."""
+    import pickle
+
+    import numpy as np
+
+    from .sketches import TDigest
+
+    def digest_batch(df: pd.DataFrame) -> pd.DataFrame:
+        td = TDigest()
+        td.add_array(df[column].to_numpy(dtype=np.float64))
+        return pd.DataFrame({"blob": [pickle.dumps(td)]})
+
+    merged = None
+    for row in ds.map_batches(
+        digest_batch, batch_format="pandas"
+    ).iter_rows():
+        td = pickle.loads(row["blob"])
+        merged = td if merged is None else merged.merge(td)
+    if merged is not None:
+        merged._compress()  # the digest buffers lazily; means may be empty
+    if merged is None or len(merged.means) == 0:
+        return pd.DataFrame({"q": list(qs), "value": [float("nan")] * len(qs)})
+
+    brackets = [
+        (
+            merged.quantile(max(0.0, q - bracket_eps)),
+            merged.quantile(min(1.0, q + bracket_eps)),
+        )
+        for q in qs
+    ]
+    lo = np.array([b[0] for b in brackets])
+    hi = np.array([b[1] for b in brackets])
+
+    def count_and_collect(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[column].to_numpy(dtype=np.float64)
+        x = x[~np.isnan(x)]
+        rows = []
+        for i in range(len(lo)):
+            inside = x[(x >= lo[i]) & (x <= hi[i])]
+            rows.append(
+                {
+                    "bi": i,
+                    "n_below": int((x < lo[i]).sum()),
+                    "n_total": len(x),
+                    "inside": inside.tobytes(),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(
+        count_and_collect, batch_format="pandas"
+    ).to_pandas()
+    out_q, out_v = [], []
+    for i, q in enumerate(qs):
+        g = parts[parts.bi == i]
+        n = int(g["n_total"].sum())
+        n_below = int(g["n_below"].sum())
+        inside = np.sort(
+            np.concatenate(
+                [np.frombuffer(b, dtype=np.float64) for b in g["inside"]]
+            )
+        )
+        if len(inside) > max_bracket_rows:
+            raise ValueError(
+                "exact_quantile_continuous: bracket holds "
+                f"{len(inside)} rows — widen delta or tighten bracket_eps"
+            )
+        # quantile_disc: first value whose cumulative count >= q·n (the
+        # engine-wide convention, verified against DuckDB)
+        target = q * n
+        rank = max(0, int(np.ceil(target)) - 1)  # 0-based global rank
+        local = rank - n_below
+        if local < 0 or local >= len(inside):
+            raise ValueError(
+                "exact_quantile_continuous: sketch bracket missed the "
+                f"target rank for q={q} — raise bracket_eps"
+            )
+        out_q.append(q)
+        out_v.append(float(inside[local]))
+    return pd.DataFrame({"q": out_q, "value": out_v})

@@ -111,6 +111,7 @@ def test_oracle_keys_subset_of_queries(entry_module):
         "doc_lang_counts",
         "distinct_users",
         "quantity_quantiles",
+        "price_quantiles_exact",
         "part_pruned_filter",
         "top_events",
         "union_ids",
