@@ -66,7 +66,9 @@ def _caption_validity(batch: pa.Table) -> pa.Table:
             try:
                 json.loads(t)
                 is_json.append(True)
-            except ValueError:
+            except (ValueError, RecursionError):
+                # RecursionError: pathological nesting depth is a malformed
+                # caption, not a task-killing failure
                 is_json.append(False)
         else:
             is_json.append(False)
@@ -88,6 +90,15 @@ class ValidationConfig:
     # spill root (runs land in <dir>/shard_NNN/). None → in-RAM only.
     dup_spill_dir: str | None = None
     dup_resident_limit: int | None = None
+    # the sharded index keys on 64-bit id hashes, so at ~10^12 unique ids
+    # hash collisions alone would flag ~n²/2^65 ≈ tens of thousands of
+    # FALSE duplicates; when suspects exist, a confirmation pass re-scans
+    # ONLY the id column, exact-counts the (small) suspect set, and keeps
+    # ids whose true occurrence count is > 1 — making "exact" exact.
+    # None = auto: scan only when expected collisions exceed 0.01
+    # (rows ≳ 7×10^8) — below that the scan is pure overhead (measured
+    # ~3 s of stage cost at toy scale for a zero-probability event).
+    confirm_duplicates: bool | None = None
 
 
 @dataclass
@@ -178,37 +189,9 @@ class ValidationWorker(DecodeValidator):
         token (fragment, chunk, shard) is deterministic, so task retries
         get the shards' memoized answers. Returns the duplicate ids seen in
         this chunk (within-chunk repeats included)."""
-        import numpy as np
+        from ..stages.unique import route_observe
 
-        import ray
-
-        from ..stages.unique import _id_hashes
-
-        if not ids:
-            return []
-        hashes = _id_hashes(ids)
-        _, first_idx = np.unique(hashes, return_index=True)
-        first_mask = np.zeros(len(hashes), dtype=bool)
-        first_mask[first_idx] = True
-        dups = [ids[j] for j in np.flatnonzero(~first_mask)]
-        if not self.dup_actors:
-            return dups
-        uniq_idx = np.flatnonzero(first_mask)
-        uniq_hashes = hashes[uniq_idx]
-        shard_of = (uniq_hashes % np.uint64(len(self.dup_actors))).astype(np.int64)
-        refs, positions = [], []
-        for s, actor in enumerate(self.dup_actors):
-            pos = np.flatnonzero(shard_of == s)
-            if len(pos) == 0:
-                continue
-            token = f"{path}:{chunk_idx}:{s}"
-            refs.append(actor.observe.remote(token, uniq_hashes[pos]))
-            positions.append(pos)
-        for pos, mask in zip(positions, ray.get(refs)):
-            for j, already in zip(uniq_idx[pos].tolist(), mask):
-                if already:
-                    dups.append(ids[j])
-        return dups
+        return route_observe(self.dup_actors, f"{path}:{chunk_idx}", ids)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -425,12 +408,16 @@ def run_validation(
         ):
             for blob in batch["partial"].to_pylist():
                 for path, d in pickle.loads(blob).items():
-                    frag_partials[path] = d
                     rec = _fragment_record(d)
                     rec["id_hashes_file"] = store.write_hashes(
                         path, d.get("id_hashes", b"")
                     )
                     store.record(path, rec)
+                    # the blob now lives in its sidecar; holding it here
+                    # would keep 8 B/row on the driver for the whole run
+                    d.pop("id_hashes", None)
+                    d["id_hashes_file"] = rec["id_hashes_file"]
+                    frag_partials[path] = d
                     merge_stats_partials([d["stats"]], stats_accum)
                     duplicate_set.update(d.get("dup_ids", []))
         _mark("decode_annotate_write")
@@ -489,6 +476,18 @@ def run_validation(
     duplicate_ids = sorted(duplicate_set)
     for a in dup_actors:
         ray.kill(a)
+    want_confirm = config.confirm_duplicates
+    if want_confirm is None:
+        # expected 64-bit collisions ≈ rows² / 2^65
+        want_confirm = (stats["rows"] ** 2) / float(2**65) > 0.01
+    if (
+        duplicate_ids
+        and want_confirm
+        and all(not str(p).startswith("lance://") for p in input_paths)
+    ):
+        duplicate_ids = _confirm_duplicates(
+            input_paths, duplicate_ids, config
+        )
     _mark("dup_index_collect")
 
     # stamp the global schema digest into every pending record (lineage);
@@ -498,12 +497,12 @@ def run_validation(
         "rows": stats["rows"],
         "w_q50": stats["quantiles"].get("w", {}).get("0.5"),
     }
-    from ..state.checkpoint import fragment_key
-
     for p in pending:
         rec = _fragment_record(frag_partials[p])
-        # sidecar already written during streaming; keep the reference
-        rec["id_hashes_file"] = fragment_key(p) + ".hashes.bin"
+        # reuse the sidecar name RETURNED by the streaming-phase write —
+        # re-deriving it here would silently desync if the store's naming
+        # scheme ever changes, and resume would then seed from nothing
+        rec["id_hashes_file"] = frag_partials[p].get("id_hashes_file", "")
         rec["schema_digest"] = schema_digest
         rec["stats_snapshot"] = snapshot
         store.record(p, rec)
@@ -523,6 +522,42 @@ def run_validation(
         output_dir=output_dir,
         timings=timings,
     )
+
+
+def _confirm_duplicates(input_paths, suspects: list, config) -> list:
+    """Exact confirmation of hash-level duplicate hits: one column-pruned
+    scan counts the TRUE occurrences of each suspect id (the suspect set
+    is small — it's the violation set — and broadcast once); only ids
+    genuinely appearing more than once survive. This removes 64-bit-hash
+    collision false positives without the index ever storing id strings."""
+    import ray
+    import ray.data as rd
+
+    suspect_ref = ray.put(frozenset(suspects))
+
+    def count_batch(batch: "pa.Table") -> "pa.Table":
+        import collections
+
+        sus = ray.get(suspect_ref)
+        c = collections.Counter(
+            str(v) for v in batch["image_id"].to_pylist() if str(v) in sus
+        )
+        return pa.table(
+            {
+                "id": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    rows = (
+        rd.read_parquet(list(input_paths), columns=["image_id"])
+        .map_batches(count_batch, batch_format="pyarrow")
+        .take_all()
+    )
+    totals: dict = {}
+    for r in rows:
+        totals[r["id"]] = totals.get(r["id"], 0) + int(r["n"])
+    return sorted(i for i in suspects if totals.get(i, 0) > 1)
 
 
 def _fragment_record(d: dict) -> dict:
@@ -553,21 +588,30 @@ def _fragment_record(d: dict) -> dict:
 
 def _merge_schema_partials(partials: list[dict], schema_uri) -> dict:
     """Merge batch-level schema partial dicts into one fragment-level
-    partial (no finalize — partials stay mergeable)."""
+    partial (no finalize — partials stay mergeable).
+
+    Runs under ``wire_mode``: the re-emitted partial must keep an
+    explicit ``"required": []`` when the intersection emptied it —
+    dropping the key here would read as "no constraint" at the next
+    merge level and make the final schema depend on chunk boundaries
+    (the monoid invariant ``stages/infer.py`` documents)."""
     from ..core import SchemaBuilder
+    from ..core.json_schema import wire_mode
 
     builder = SchemaBuilder(schema_uri=schema_uri)
     keys: dict[str, None] = {}
     rows = 0
     invalid = 0
-    for p in partials:
-        builder.add_schema(json.loads(p["schema_json"]))
-        for k in p["keys"]:
-            keys[k] = None
-        rows += p["rows"]
-        invalid += p["invalid"]
+    with wire_mode():
+        for p in partials:
+            builder.add_schema(json.loads(p["schema_json"]))
+            for k in p["keys"]:
+                keys[k] = None
+            rows += p["rows"]
+            invalid += p["invalid"]
+        schema_json = json.dumps(builder.to_schema())
     return {
-        "schema_json": json.dumps(builder.to_schema()),
+        "schema_json": schema_json,
         "keys": list(keys),
         "rows": rows,
         "invalid": invalid,

@@ -101,7 +101,15 @@ class UInt64Set:
         self._grow(self._n + len(pending))
         table = self._table
         int_mask = int(self._mask)
-        idx = (keys[pending] & self._mask).astype(np.int64)
+        # multiply-shift mix for the HOME slot: shard routing consumes the
+        # low bits (hash % num_shards), so masking raw keys would start
+        # every key in a power-of-two shard on the same slot residue class
+        # (severe probe clustering); the mix decorrelates slot from shard
+        idx = (
+            ((keys[pending] * np.uint64(0x9E3779B97F4A7C15))
+             >> np.uint64(17))
+            & self._mask
+        ).astype(np.int64)
         while len(pending):
             vals = table[idx]
             k = keys[pending]
@@ -148,12 +156,21 @@ class UniqueIndexShard:
     ``spill_dir`` (see module docstring) — same observe API, bounded heap.
     """
 
-    MEMO_LIMIT = 1024  # retry-window tokens kept; FIFO eviction
+    # Retry-window tokens kept (FIFO eviction). This is the ONLY retry-
+    # idempotence mechanism: a replayed task whose tokens were evicted
+    # would re-register its hashes and falsely flag them as duplicates,
+    # so the window must exceed the live token churn between a task's
+    # first attempt and its rescheduled retry (churn ≈ in-flight tasks ×
+    # batches/task). 32k tokens ≈ 20 MB/shard worst-case — cheap armor.
+    MEMO_LIMIT = 32768
     MAX_RUNS = 8  # compact when exceeded: bounds per-lookup run fan-out
 
     def __init__(self, spill_dir: str | None = None,
                  resident_limit: int | None = None,
-                 compact_chunk: int | None = None):
+                 compact_chunk: int | None = None,
+                 memo_limit: int | None = None):
+        if memo_limit is not None:
+            self.MEMO_LIMIT = memo_limit  # instance override (tests)
         self._seen = UInt64Set()
         self._memo: OrderedDict[str, list[bool]] = OrderedDict()
         self._spill_dir = spill_dir
@@ -301,10 +318,61 @@ def create_index(num_shards: int, *, spill_dir: str | None = None,
     ]
 
 
+# reserved hash for null ids: they must neither crash the integer path
+# nor alias a real id like str(None) == "None" would; all nulls conflate
+# to one group (a null id is invalid, so "duplicate" is the safe report)
+_NULL_ID_HASH = hash_strings(["\x00__null_id__"])[0]
+
+
 def _id_hashes(ids) -> np.ndarray:
-    if len(ids) and isinstance(ids[0], (int, np.integer)):
-        return hash64(np.asarray(ids, dtype=np.uint64))
-    return hash_strings([str(i) for i in ids])
+    n = len(ids)
+    null_mask = np.fromiter((v is None for v in ids), dtype=bool, count=n)
+    any_null = bool(null_mask.any())
+    first_real = next((v for v in ids if v is not None), None)
+    if n and isinstance(first_real, (int, np.integer)):
+        vals = [0 if v is None else v for v in ids] if any_null else ids
+        h = hash64(np.asarray(vals, dtype=np.uint64))
+    else:
+        h = hash_strings(["" if v is None else str(v) for v in ids])
+    if any_null:
+        h = h.copy()
+        h[null_mask] = _NULL_ID_HASH
+    return h
+
+
+def route_observe(actors, token_base: str, ids: list) -> list:
+    """Route one chunk's ids through the uniqueness-index shards (the ONE
+    copy of the routing algorithm — the validation worker and DupRouter
+    both call it): within-chunk repeats are duplicates outright; first
+    occurrences fan out to their hash shard under the deterministic token
+    ``{token_base}:{shard}`` so task retries replay memoized answers.
+    Returns the duplicate ids observed in this chunk."""
+    if not ids:
+        return []
+    hashes = _id_hashes(ids)
+    _, first_idx = np.unique(hashes, return_index=True)
+    first_mask = np.zeros(len(hashes), dtype=bool)
+    first_mask[first_idx] = True
+    dups = [ids[j] for j in np.flatnonzero(~first_mask)]
+    if not actors:
+        return dups
+    uniq_idx = np.flatnonzero(first_mask)
+    uniq_hashes = hashes[uniq_idx]
+    shard_of = (uniq_hashes % np.uint64(len(actors))).astype(np.int64)
+    refs, positions = [], []
+    for s, actor in enumerate(actors):
+        pos = np.flatnonzero(shard_of == s)
+        if len(pos) == 0:
+            continue
+        refs.append(
+            actor.observe.remote(f"{token_base}:{s}", uniq_hashes[pos])
+        )
+        positions.append(pos)
+    for pos, mask in zip(positions, ray.get(refs)):
+        for j, already in zip(uniq_idx[pos].tolist(), mask):
+            if already:
+                dups.append(ids[j])
+    return dups
 
 
 class DupRouter:
@@ -329,33 +397,7 @@ class DupRouter:
         token_base = f"{task_id}:{self._batch_no}"
 
         ids = batch[self.column].to_pylist()
-        dup_ids: list = []
-        if ids:
-            hashes = _id_hashes(ids)
-            # within-batch repeats are duplicates regardless of the index
-            _, first_idx, counts = np.unique(
-                hashes, return_index=True, return_counts=True
-            )
-            first_mask = np.zeros(len(hashes), dtype=bool)
-            first_mask[first_idx] = True
-            dup_ids.extend(np.asarray(ids, dtype=object)[~first_mask].tolist())
-
-            uniq_idx = np.flatnonzero(first_mask)
-            uniq_hashes = hashes[uniq_idx]
-            shard_of = (uniq_hashes % np.uint64(len(self.actors))).astype(np.int64)
-            refs, positions = [], []
-            for s, actor in enumerate(self.actors):
-                pos = np.flatnonzero(shard_of == s)
-                if len(pos) == 0:
-                    continue
-                refs.append(
-                    actor.observe.remote(f"{token_base}:{s}", uniq_hashes[pos])
-                )
-                positions.append(pos)
-            for pos, mask in zip(positions, ray.get(refs)):
-                for j, already in zip(uniq_idx[pos].tolist(), mask):
-                    if already:
-                        dup_ids.append(ids[j])
+        dup_ids = route_observe(self.actors, token_base, ids)
         return pa.table({"image_id": pa.array([str(i) for i in dup_ids], pa.string())})
 
 

@@ -18,7 +18,14 @@ def fragment_key(path: str) -> str:
     if path.startswith("lance://"):
         # spec string → filesystem-safe key
         return path.replace("://", "_").replace("/", "_").replace("#", "_f")
-    return os.path.basename(path).replace("/", "_")
+    # basename alone collides when two input dirs ship same-named
+    # fragments (part-0.parquet everywhere) — records, hash sidecars and
+    # annotated outputs would silently overwrite each other; a short
+    # full-path digest keeps keys unique and stable
+    import hashlib
+
+    digest = hashlib.sha256(os.path.abspath(path).encode()).hexdigest()[:8]
+    return f"{os.path.basename(path).replace('/', '_')}-{digest}"
 
 
 def _stat_digest(path: str) -> str:

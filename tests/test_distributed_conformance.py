@@ -137,3 +137,32 @@ def test_partial_merge_is_batch_boundary_invariant():
                     expected.schema, sort_keys=True
                 ), (chunks, perm)
                 assert res.processed_count == expected.processed_count
+
+
+def test_fragment_level_partial_merge_is_wire_mode():
+    """The fragment-level re-merge of chunk partials must keep an explicit
+    empty required list (wire mode): dropping it would read as 'no
+    constraint' at the next merge level, making the final schema depend
+    on chunk boundaries."""
+    import json
+
+    from polars_genson_ray.core import SchemaInferenceConfig
+    from polars_genson_ray.pipelines.validation import _merge_schema_partials
+    from polars_genson_ray.stages.infer import reduce_partials
+    from polars_genson_ray.stages.infer import SchemaPartialBatch
+
+    cfg = SchemaInferenceConfig()
+    spb = SchemaPartialBatch("caption", cfg)
+
+    pa_ = spb.compute(['{"a": 1}'])
+    pb_ = spb.compute(['{"b": 2}'])
+    frag = _merge_schema_partials([pa_, pb_], cfg.schema_uri)
+    assert '"required": []' in frag["schema_json"] or '"required":[]' in (
+        frag["schema_json"].replace(" ", "")
+    ), frag["schema_json"]
+
+    # a fragment requiring 'a' merged with the empty-required fragment:
+    # nothing stays required
+    other = spb.compute(['{"a": 3}'])
+    final = reduce_partials([frag, other], cfg).schema
+    assert "required" not in final, final

@@ -767,7 +767,7 @@ def test_unique_shard_memo_bounded_retry_window(ray_session):
 
     from polars_genson_ray.stages.unique import UniqueIndexShard
 
-    shard = UniqueIndexShard.remote()
+    shard = UniqueIndexShard.remote(memo_limit=1024)
     try:
         h = np.array([1, 2, 3], dtype=np.uint64)
         first = ray.get(shard.observe.remote("tok-A", h))
@@ -1618,3 +1618,34 @@ def test_pair_dedup_empty_keeps_types(ray_session):
     assert [str(t) for t in out.schema().types] == [
         "string", "string", "int64",
     ]
+
+
+def test_confirm_duplicates_drops_collision_false_positives(
+    ray_session, tmp_path
+):
+    """The confirmation scan keeps only ids that truly occur >1 time —
+    a hash-collision suspect (unique id flagged because its 64-bit hash
+    matched another id's) is dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from polars_genson_ray.pipelines.validation import (
+        ValidationConfig,
+        _confirm_duplicates,
+    )
+
+    p = str(tmp_path / "frag.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": pa.array(
+                    ["img_a", "img_b", "img_a", "img_c"], pa.string()
+                )
+            }
+        ),
+        p,
+    )
+    out = _confirm_duplicates(
+        [p], ["img_a", "img_c"], ValidationConfig()
+    )
+    assert out == ["img_a"]  # img_c occurs once: collision false positive
