@@ -75,6 +75,11 @@ def asof_join(
     rt = {f.name: f.type for f in right_schema}
     carry = [c for c in left_cols if c != key]
     out_right = [right_ts] + list(right_values)
+    bad = [c for c in out_right if c in carry]
+    if bad:
+        raise ValueError(
+            f"right columns collide with left columns: {bad}"
+        )
     # one unified Arrow schema for both sides (explicit — unioning pandas
     # blocks into arrow blocks trips Ray's batcher, and implicit null
     # columns would up-cast ints to float in pandas groups)
@@ -103,6 +108,11 @@ def asof_join(
             # normalize to declared types before hashing — pandas-origin
             # blocks can drift timestamp units, changing every key hash
             batch = batch.cast(left_proj)
+        # SQL ASOF semantics: null keys never match — and a null would
+        # force Arrow's float64 conversion path, which turns nulls into
+        # INT64_MIN (spurious equi-matches) and rounds keys above 2^53
+        if batch[key].null_count:
+            batch = batch.filter(pa.compute.is_valid(batch[key]))
         n = batch.num_rows
         keys = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
         cols = {
@@ -119,6 +129,8 @@ def asof_join(
     def tag_right(batch: pa.Table) -> pa.Table:
         if batch.schema != right_proj:
             batch = batch.cast(right_proj)
+        if batch[right_key].null_count:
+            batch = batch.filter(pa.compute.is_valid(batch[right_key]))
         n = batch.num_rows
         keys = batch[right_key].to_numpy(zero_copy_only=False).astype(np.int64)
         cols = {

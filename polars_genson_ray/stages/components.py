@@ -202,9 +202,16 @@ def connected_components(
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        lab = df["label"].to_numpy()
+        # left-join nulls upcast the label column to float64, which would
+        # round node ids above 2^53 — coalesce on the NULLABLE integer
+        # view so ids round-trip exactly
+        lab = df["label"].astype("Int64")
         own = df[node_column].to_numpy()
-        out = np.where(pd.isna(lab), own, lab).astype(np.int64)
+        out = np.where(
+            lab.isna().to_numpy(),
+            own,
+            lab.fillna(0).to_numpy(dtype=np.int64),
+        )
         return pd.DataFrame({node_column: own, "cluster_id": out})
 
     return joined.map_batches(finish, batch_format="pandas")

@@ -136,7 +136,7 @@ class _LogProbProbe:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import ray
 
-        vh, vlp = ray.get(self.vocab_ref)
+        vh, vlp, oov_lp = ray.get(self.vocab_ref)
         texts = batch[self.column].to_pylist()
         word_lists = _doc_words(texts)
         counts = np.fromiter(
@@ -151,9 +151,14 @@ class _LogProbProbe:
         else:
             lp = np.full(len(wh), np.nan)
         starts = np.concatenate(([0], np.cumsum(counts)))
+        # out-of-vocabulary words (pruned tail when min_count > 1, or a
+        # probe corpus wider than the stats corpus) take the FLOOR penalty
+        # — treating them as log p = 0 would score pure OOV word salad as
+        # perfect text, inverting the quality filter
+        lp = np.where(np.isnan(lp), oov_lp, lp)
         # segment sums via cumsum difference (reduceat mishandles empty
         # segments: equal/end-of-array indices); exact for zero-word docs
-        csum = np.concatenate(([0.0], np.cumsum(np.nan_to_num(lp))))
+        csum = np.concatenate(([0.0], np.cumsum(lp)))
         sums = csum[starts[1:]] - csum[starts[:-1]]
         keep = counts > 0
         ids = batch[self.id_column].to_numpy(zero_copy_only=False)[keep]
@@ -215,7 +220,10 @@ def unigram_logprob(
     order = np.argsort(vocab["wh"].to_numpy().view(np.uint64))
     vh = vocab["wh"].to_numpy().view(np.uint64)[order]
     vlp = np.log(vocab["c"].to_numpy()[order] / total)
-    vocab_ref = ray.put((vh, vlp))
+    # OOV floor: below every tracked word's probability (an unseen word
+    # is at most as likely as half a single occurrence)
+    oov_lp = float(np.log(0.5 / max(total, 1.0)))
+    vocab_ref = ray.put((vh, vlp, oov_lp))
 
     return probe_ds.map_batches(
         _LogProbProbe(vocab_ref, column, id_column, round_to),

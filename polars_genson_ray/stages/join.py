@@ -192,7 +192,12 @@ def hash_join(
     out_cols = [f.name for f in out_schema]
     r_keys = [f"__r_{c}" for c in right_on]
 
-    def bucket_join(df: pd.DataFrame) -> pa.Table:
+    def bucket_join(tbl: pa.Table) -> pa.Table:
+        # Arrow-backed frames: the unioned exchange nulls the OTHER side's
+        # columns, and a default pandas conversion would upcast int64-with-
+        # nulls to float64 — silently rounding keys/values above 2^53
+        # before the merge even runs. ArrowDtype keeps them exact+nullable.
+        df = tbl.to_pandas(types_mapper=pd.ArrowDtype)
         l = df.loc[df["__side"] == 0, left_cols]
         r = df.loc[df["__side"] == 1, r_keys + list(right_values)]
         # full outer is the only mode where right-only rows survive
@@ -201,6 +206,16 @@ def hash_join(
         if r.empty and how in ("inner", "semi"):
             return out_schema.empty_table()
         r = r.rename(columns=dict(zip(r_keys, on)))
+        # SQL semantics: a null in ANY key column matches nothing —
+        # pandas.merge would happily pair NaN with NaN, so null-key rows
+        # are routed around the match (kept where unmatched rows survive)
+        l_null = l[on].isna().any(axis=1)
+        r_null = r[on].isna().any(axis=1)
+        if l_null.any() or r_null.any():
+            l_nulls, l = l[l_null], l[~l_null]
+            r_nulls, r = r[r_null], r[~r_null]
+        else:
+            l_nulls = r_nulls = None
         if existence:
             # per-batch pre-dedup leaves ≤1 copy per (key, right batch);
             # finish the dedup here, then EXISTS = inner merge on distinct
@@ -213,12 +228,18 @@ def hash_join(
                     keys.assign(__hit=np.int8(1)), how="left", on=on
                 )
                 joined = probe.loc[probe["__hit"].isna(), left_cols]
+                if l_nulls is not None and len(l_nulls):
+                    joined = pd.concat([joined, l_nulls], ignore_index=True)
         else:
             if right_agg is not None and not r.empty:
                 r = r.groupby(on, as_index=False).agg(
                     **{c: (c, fn) for c, fn in right_agg.items()}
                 )
             joined = l.merge(r, how=how, on=on)
+            if how in ("left", "outer") and l_nulls is not None and len(l_nulls):
+                joined = pd.concat([joined, l_nulls], ignore_index=True)
+            if how == "outer" and r_nulls is not None and len(r_nulls):
+                joined = pd.concat([joined, r_nulls], ignore_index=True)
         # typed rebuild: undoes pandas' nullable-join upcasts and maps
         # left-join NaNs to Arrow nulls (from_pandas=True)
         return pa.table(
@@ -230,7 +251,9 @@ def hash_join(
             schema=out_schema,
         )
 
-    return tagged.groupby("__b").map_groups(bucket_join, batch_format="pandas")
+    return tagged.groupby("__b").map_groups(
+        bucket_join, batch_format="pyarrow"
+    )
 
 
 def broadcast_join(

@@ -94,6 +94,10 @@ def hash_mix_upsample(
     weights = weights or {}
 
     def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            # np.repeat's starts/counts shapes disagree on zero rows, and
+            # empty blocks arise naturally (an upstream filter emptied one)
+            return df.assign(**{rep_column: pd.Series([], dtype="int64")})
         u = _hash_units(df[id_column])
         if source_column is None:
             w = np.full(len(df), float(default_weight))

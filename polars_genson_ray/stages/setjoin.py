@@ -249,7 +249,17 @@ def set_similarity_join(
     # hold unique shingles per doc) and broadcast the hot set
     hot = np.zeros(0, dtype=np.uint64)
     if hot_sample > 0:
-        sampled = tokens.limit(hot_sample).take_all()
+        # scattered sample, not .limit() (head-of-dataset = first input
+        # files — a corpus whose boilerplate starts past the head would
+        # get an empty hot set and quadratic candidate groups, the exact
+        # pathology this guard exists for)
+        if approx_rows and approx_rows > hot_sample:
+            frac = min(1.0, (hot_sample * 2) / approx_rows)
+            sampled = tokens.random_sample(frac, seed=13).take_all()
+            if len(sampled) > hot_sample:
+                sampled = sampled[:hot_sample]
+        else:
+            sampled = tokens.limit(hot_sample).take_all()
         if sampled:
             cat = np.concatenate(
                 [np.frombuffer(r["shingles"], dtype=np.uint64) for r in sampled]

@@ -101,6 +101,10 @@ def range_partition_ids(
             f"range_partition_ids: > {max_distinct} distinct values — "
             "take boundaries from the t-digest sketch for continuous columns"
         )
+    if counts.empty:
+        raise ValueError(
+            "range_partition_ids: input has no rows — no boundaries exist"
+        )
     counts = counts.sort_values(column)
     vals = counts[column].to_numpy()
     cum = counts["__n"].to_numpy(dtype=np.int64).cumsum()

@@ -59,6 +59,15 @@ def key_hashes(tbl, cols: list[str]) -> np.ndarray:
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
             hc = hash_strings(col.to_pylist())
         else:
+            if (col.null_count if hasattr(col, "null_count")
+                    else sum(c.null_count for c in col.chunks)):
+                # a single null forces Arrow's float64 conversion, which
+                # maps nulls to INT64_MIN AND rounds valid keys > 2^53 —
+                # fill with a placeholder so VALID keys hash exactly (null
+                # keys never MATCH; the join layer enforces that)
+                import pyarrow.compute as pc
+
+                col = pc.fill_null(col, pa.scalar(0).cast(col.type))
             hc = hash64(
                 col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
             )

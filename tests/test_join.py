@@ -307,3 +307,63 @@ def test_hash_join_fuzz_all_modes(ray_session):
             pd.testing.assert_frame_equal(
                 _sorted(out), _sorted(expected), check_dtype=False,
             )
+
+
+def test_hash_join_keys_above_2_53_stay_exact(ray_session):
+    """The unioned exchange nulls the other side's columns; a default
+    pandas conversion would round int64 keys above 2^53 and let distinct
+    keys spuriously match. Arrow-backed frames keep them exact."""
+    import ray.data as rd
+
+    from polars_genson_ray.stages.join import hash_join
+
+    base = 2**60
+    left = pd.DataFrame(
+        {"k": np.array([base + 1, base + 2, base + 3], dtype=np.int64),
+         "lv": [1.0, 2.0, 3.0]}
+    )
+    # base+1 and base+2 collapse to the same float64; only exact matching
+    # keeps them apart
+    right = pd.DataFrame(
+        {"rk": np.array([base + 2], dtype=np.int64), "rv": [10.0]}
+    )
+    out = hash_join(
+        _ds(pa.Table.from_pandas(left), 2),
+        _ds(pa.Table.from_pandas(right), 1),
+        on="k", right_on="rk", right_values=["rv"], how="inner",
+        num_buckets=4,
+    ).to_pandas()
+    assert len(out) == 1
+    assert int(out.k.iloc[0]) == base + 2
+
+
+def test_hash_join_null_keys_never_match(ray_session):
+    """SQL semantics: a null key matches nothing — not even another null.
+    Null-key left rows survive left/outer/anti, vanish from inner/semi."""
+    import ray.data as rd
+
+    from polars_genson_ray.stages.join import hash_join
+
+    left = pa.table(
+        {"k": pa.array([1, None, 2, None], pa.int64()),
+         "lv": pa.array([10, 20, 30, 40], pa.int64())}
+    )
+    right = pa.table(
+        {"rk": pa.array([1, None], pa.int64()),
+         "rv": pa.array([100, 200], pa.int64())}
+    )
+    for how, rv, expect in (
+        ("inner", ["rv"], 1),   # only k=1 matches
+        ("left", ["rv"], 4),    # all left rows survive
+        ("semi", None, 1),
+        ("anti", None, 3),      # k=2 and both null-key rows
+        ("outer", ["rv"], 5),   # 4 left + unmatched null-key right row
+    ):
+        out = hash_join(
+            _ds(left, 2), _ds(right, 1), on="k", right_on="rk",
+            right_values=rv, how=how, num_buckets=4,
+        ).to_pandas()
+        assert len(out) == expect, (how, len(out))
+        if how in ("inner", "left", "outer"):
+            matched = out[out.rv.notna()]
+            assert set(matched.k.dropna().astype("int64")) <= {1}
