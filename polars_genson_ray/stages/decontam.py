@@ -59,14 +59,17 @@ class ContaminationTagger:
         self.id_column = id_column
         self.n = n
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table, words_lists=None) -> pa.Table:
         import ray
 
         # zero-copy shared-memory read of the broadcast array per task
         bench = ray.get(self.bench_ref)
         texts = batch[self.column].to_pylist()
         n = self.n
-        word_lists = [t.lower().split() if t else [] for t in texts]
+        word_lists = (
+            words_lists if words_lists is not None
+            else [t.lower().split() if t else [] for t in texts]
+        )
         counts = np.fromiter(
             (len(w) for w in word_lists), count=len(word_lists), dtype=np.int64
         )

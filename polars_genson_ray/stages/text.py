@@ -52,7 +52,9 @@ class QualityScorer:
         self.column = column
         self.punct_re = re.compile(r"[.!?,;:]")
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table, words_lists=None) -> pa.Table:
+        # ``words_lists``: precomputed lowercase word lists per row —
+        # fused callers (CurationFilter) tokenize ONCE for all kernels
         texts = batch[self.column].to_pylist()
         n = len(texts)
         length = np.zeros(n, dtype=np.int64)
@@ -64,7 +66,7 @@ class QualityScorer:
                 continue
             length[i] = len(t)
             punct[i] = len(self.punct_re.findall(t))
-            words = t.lower().split()
+            words = words_lists[i] if words_lists is not None else t.lower().split()
             if words:
                 stop_ratio[i] = sum(w in self.STOPWORDS for w in words) / len(words)
                 mean_wlen[i] = sum(len(w) for w in words) / len(words)
@@ -137,7 +139,7 @@ class RepetitionScorer:
         self.column = column
         self.id_column = id_column
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table, words_lists=None) -> pa.Table:
         texts = batch[self.column].to_pylist()
         n = len(texts)
         n_words = np.zeros(n, dtype=np.int64)
@@ -145,7 +147,10 @@ class RepetitionScorer:
         top_word = np.zeros(n)
         top_bigram = np.zeros(n)
         for i, t in enumerate(texts):
-            words = t.lower().split() if t else []
+            words = (
+                words_lists[i] if words_lists is not None
+                else (t.lower().split() if t else [])
+            )
             if not words:
                 continue
             n_words[i] = len(words)
