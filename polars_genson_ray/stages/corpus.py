@@ -59,13 +59,38 @@ def boilerplate_ngrams(
     n = ngram_words
 
     def partial_counts(batch: pa.Table) -> pa.Table:
+        # one flat pass per BATCH (hash every word once, one gram-hash
+        # window sweep, one lexsort dedup) — the per-doc numpy-call loop
+        # this replaces paid dispatch overhead per document on a stage
+        # that scans 100% of the corpus
         word_lists = _doc_words(batch[column].to_pylist())
-        per_doc = []
-        for ws in word_lists:
-            if len(ws) >= n:
-                per_doc.append(np.unique(_gram_hashes_flat(hash_strings(ws), n)))
-        if per_doc:
-            h, c = np.unique(np.concatenate(per_doc), return_counts=True)
+        counts = np.fromiter(
+            (len(ws) for ws in word_lists), count=len(word_lists),
+            dtype=np.int64,
+        )
+        all_words = [w for ws in word_lists for w in ws]
+        if all_words and (counts >= n).any():
+            flat_all = _gram_hashes_flat(hash_strings(all_words), n)
+            starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            vcounts = np.maximum(counts - n + 1, 0)
+            # valid window positions per doc (windows straddling doc
+            # boundaries discarded), each tagged with its doc index
+            voffsets = np.concatenate(([0], np.cumsum(vcounts)))[:-1]
+            total = int(vcounts.sum())
+            idx = (
+                np.repeat(starts, vcounts)
+                + np.arange(total)
+                - np.repeat(voffsets, vcounts)
+            )
+            doc_idx = np.repeat(np.arange(len(counts)), vcounts)
+            grams = flat_all[idx]
+            # distinct per doc: sort by (doc, gram), keep run heads
+            order = np.lexsort((grams, doc_idx))
+            fd, fg = doc_idx[order], grams[order]
+            keep = np.concatenate(
+                ([True], (fd[1:] != fd[:-1]) | (fg[1:] != fg[:-1]))
+            )
+            h, c = np.unique(fg[keep], return_counts=True)
         else:
             h = np.zeros(0, dtype=np.uint64)
             c = np.zeros(0, dtype=np.int64)
