@@ -201,17 +201,16 @@ def connected_components(
         how="left",
     )
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        # left-join nulls upcast the label column to float64, which would
-        # round node ids above 2^53 — coalesce on the NULLABLE integer
-        # view so ids round-trip exactly
-        lab = df["label"].astype("Int64")
-        own = df[node_column].to_numpy()
-        out = np.where(
-            lab.isna().to_numpy(),
-            own,
-            lab.fillna(0).to_numpy(dtype=np.int64),
-        )
-        return pd.DataFrame({node_column: own, "cluster_id": out})
+    def finish(batch: pa.Table) -> pa.Table:
+        # coalesce in Arrow: a pandas-format batch here would route the
+        # nullable int64 label column through float64 (rounding ids above
+        # 2^53) BEFORE this function ever saw it
+        import pyarrow.compute as pc
 
-    return joined.map_batches(finish, batch_format="pandas")
+        node = batch.column(node_column)
+        lab = batch.column("label").cast(pa.int64())
+        return pa.table(
+            {node_column: node, "cluster_id": pc.coalesce(lab, node)}
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

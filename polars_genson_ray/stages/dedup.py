@@ -694,6 +694,38 @@ def phash_hamming_pairs(
             )
         return pd.concat(frames, ignore_index=True)
 
+    def _run_pair_chunks(s: int, k: int):
+        """Yield (ia, ib) global-index chunks covering the FULL pair
+        triangle of the run starting at ``s`` with length ``k``.
+
+        Runs up to ``bucket_cap`` emit one triangle.  Oversized runs
+        (structured corpora where many distinct hashes share a band value
+        — e.g. near-uniform images) are verified in ``bucket_cap``-sized
+        index blocks: exact, memory bounded by cap², and NO pairs dropped
+        — the previous behavior silently truncated the run at the cap,
+        losing true near-duplicate pairs with no signal.
+        """
+        if k <= bucket_cap:
+            ia, ib = np.triu_indices(k, 1)
+            yield ia + s, ib + s
+            return
+        edges = list(range(0, k, bucket_cap)) + [k]
+        for i in range(len(edges) - 1):
+            lo_i, hi_i = edges[i], edges[i + 1]
+            ni = hi_i - lo_i
+            # diagonal block: in-block triangle
+            ia, ib = np.triu_indices(ni, 1)
+            yield ia + (s + lo_i), ib + (s + lo_i)
+            for j in range(i + 1, len(edges) - 1):
+                lo_j, hi_j = edges[j], edges[j + 1]
+                nj = hi_j - lo_j
+                # off-diagonal block: full cross product, 1-D repeat/tile
+                # (2-D uint64 broadcasts hit numpy's non-SIMD path)
+                yield (
+                    np.repeat(np.arange(s + lo_i, s + hi_i), nj),
+                    np.tile(np.arange(s + lo_j, s + hi_j), ni),
+                )
+
     def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # vectorized run detection over the sorted frame: almost every
         # (band, value) run has length 1 (random band collisions are
@@ -711,13 +743,16 @@ def phash_hamming_pairs(
         ph = d["__ph"].to_numpy().astype(np.uint64)
         ids = d["__id"].to_numpy()
         ns = d["__n"].to_numpy()
-        pair_a, pair_b = [], []
+        hits_a, hits_b, hits_h = [], [], []
         for s, k in zip(starts[lens >= 2].tolist(),
                         lens[lens >= 2].tolist()):
-            k = min(k, bucket_cap)
-            ia, ib = np.triu_indices(k, 1)
-            pair_a.append(ia + s)
-            pair_b.append(ib + s)
+            for ia, ib in _run_pair_chunks(s, k):
+                hd = _popcount64(ph[ia] ^ ph[ib])
+                sel = hd <= max_hamming
+                if sel.any():
+                    hits_a.append(ia[sel])
+                    hits_b.append(ib[sel])
+                    hits_h.append(hd[sel])
         empty = pd.DataFrame(
             {
                 "id_a": pd.Series([], dtype=df["__id"].dtype),
@@ -727,15 +762,11 @@ def phash_hamming_pairs(
                 "n_b": pd.Series([], dtype="int64"),
             }
         )
-        if not pair_a:
+        if not hits_a:
             return empty
-        ia = np.concatenate(pair_a)
-        ib = np.concatenate(pair_b)
-        hd = _popcount64(ph[ia] ^ ph[ib])
-        sel = hd <= max_hamming
-        if not sel.any():
-            return empty
-        ia, ib, hd = ia[sel], ib[sel], hd[sel]
+        ia = np.concatenate(hits_a)
+        ib = np.concatenate(hits_b)
+        hd = np.concatenate(hits_h)
         swap = ids[ia] > ids[ib]
         a = np.where(swap, ib, ia)
         b = np.where(swap, ia, ib)

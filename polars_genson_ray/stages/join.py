@@ -288,6 +288,12 @@ def broadcast_join(
         [right_on] if isinstance(right_on, str) else list(right_on)
     )
     sdf = small.to_pandas() if isinstance(small, pa.Table) else small
+    # SQL equality never matches NULL keys, but pandas merge pairs NaN with
+    # NaN — a null in the broadcast key list would make null big-side rows
+    # EXISTS hits (inverting semi/anti) or join partners (inner/left). Drop
+    # null-key rows from the small side so a null key simply never matches,
+    # mirroring hash_join's explicit null-key routing.
+    sdf = sdf.dropna(subset=list(right_on))
     if how in ("semi", "anti"):
         keys = (
             sdf[list(right_on)]

@@ -279,9 +279,13 @@ def embedding_near_duplicates(ds, *, id_column="vec_id", column="embedding",
       * ``num_tables`` independent plane sets (multi-table banding) recover
         the recall that more planes cost — a true near-dup pair collides in
         at least one table with high probability;
-      * ``bucket_cap`` hard-bounds the verify group (deterministic id-order
-        truncation; oversized buckets mean the plane count is too low for
-        the data — resize rather than rely on the cap);
+      * ``bucket_cap`` bounds the QUADRATIC verify group: an oversized
+        bucket is re-probed with a finer, deterministically-seeded plane
+        set (one extra refinement level per pass, logged — never a silent
+        row drop) until its sub-buckets fit, then each sub-bucket is
+        verified exactly. Pairs the refinement planes split apart within
+        one table are the standard LSH recall tradeoff and are recovered
+        by the other ``num_tables`` tables;
       * the verify matmul runs in row chunks, bounding the (chunk × bucket)
         similarity allocation;
       * duplicate pairs across tables/buckets are dropped by
@@ -304,15 +308,49 @@ def embedding_near_duplicates(ds, *, id_column="vec_id", column="embedding",
         batch_size=batch_size,
     )
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
+    import logging
+
+    logger = logging.getLogger(__name__)
+    _MAX_REFINE = 8
+
+    def verify(group: pd.DataFrame, depth: int = 0) -> pd.DataFrame:
         empty = pd.DataFrame(
             {"id_a": [], "id_b": [], "cosine": pd.Series([], dtype=float)}
         )
         if len(group) < 2:
             return empty
         group = group.sort_values(id_column)
-        if len(group) > bucket_cap:
-            group = group.head(bucket_cap)
+        if len(group) > bucket_cap and depth < _MAX_REFINE:
+            # finer probe instead of the old silent head(bucket_cap) drop:
+            # split the bucket with extra hyperplanes (seeded by the
+            # bucket identity + depth, so re-runs are deterministic) and
+            # verify each sub-bucket; nothing is truncated
+            t = int(group["lsh_table"].iloc[0])
+            bk = int(group["lsh_bucket"].iloc[0])
+            extra = max(
+                1,
+                int(np.ceil(np.log2(len(group) / max(1, bucket_cap // 2)))),
+            )
+            logger.warning(
+                "embedding verify: bucket (table=%d, bucket=%d) has %d rows "
+                "> cap %d; re-probing with %d finer planes (depth %d)",
+                t, bk, len(group), bucket_cap, extra, depth,
+            )
+            emb_all = np.array(group[column].tolist(), dtype=np.float64)
+            rng = np.random.default_rng(
+                (hash((t, bk, depth)) & 0x7FFFFFFF) + 7919
+            )
+            planes = rng.standard_normal((extra, emb_all.shape[1]))
+            bits = (emb_all @ planes.T) > 0
+            subkey = np.zeros(len(group), dtype=np.int64)
+            for i in range(bits.shape[1]):
+                subkey |= bits[:, i].astype(np.int64) << i
+            outs = [
+                verify(g, depth + 1)
+                for _, g in group.groupby(subkey, sort=False)
+            ]
+            outs = [o for o in outs if len(o)]
+            return pd.concat(outs, ignore_index=True) if outs else empty
         ids = group[id_column].to_numpy()
         emb = _normalize(np.array(group[column].tolist(), dtype=np.float64))
         out_i, out_j, out_c = [], [], []

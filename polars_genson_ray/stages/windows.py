@@ -368,12 +368,13 @@ def keyed_time_rolling(
     # every (key, bucket) segment in the bucket frame at once: ticks are
     # rebased to the segment's bucket start (∈ [-w, tb)), then shifted by
     # segment_index · SEG_STEP with SEG_STEP > tb + 2w — lookbacks can
-    # never reach a neighboring segment's range
-    SEG_STEP = np.int64(1) << np.int64(41)  # 2^41 µs ≈ 25 days
-    if int(tb.value // 1000) + 2 * int(w_us) >= int(SEG_STEP):
-        raise ValueError(
-            f"time_bucket {time_bucket} too large for the segment encoding"
-        )
+    # never reach a neighboring segment's range.  The stride is the
+    # MINIMAL one the disjointness proof needs (tb + 2w + 1), not a fixed
+    # power of two: a 2^41 µs stride would wrap int64 silently at ~2^22
+    # segments per frame, exactly the regime a hot hash bucket at
+    # 10^12-row scale reaches.
+    tb_us = int(tb.value // 1000)
+    SEG_STEP = np.int64(tb_us + 2 * int(w_us) + 1)
 
     def rolling_frame(df: pd.DataFrame) -> pd.DataFrame:
         d = df.sort_values(
@@ -386,6 +387,14 @@ def keyed_time_rolling(
             | d["__tb"].ne(d["__tb"].shift())
         ).to_numpy()
         seg_id = np.cumsum(new_seg)
+        if len(seg_id) and int(seg_id[-1]) * int(SEG_STEP) + tb_us >= 2**63:
+            # unreachable for any frame that fits in memory, but fail loud
+            # rather than let the encoded ticks wrap and corrupt the
+            # global searchsorted
+            raise OverflowError(
+                f"{int(seg_id[-1])} (key, {time_bucket}) segments exceed "
+                "the int64 segment-tick encoding for this bucket frame"
+            )
         tg = (ticks - tb_ticks) + seg_id * SEG_STEP
         vals = d[value_column].to_numpy()
         prefix = np.concatenate([[0], np.cumsum(vals)])

@@ -28,6 +28,18 @@ def fragment_key(path: str) -> str:
     return f"{os.path.basename(path).replace('/', '_')}-{digest}"
 
 
+def _legacy_fragment_key(path: str) -> str:
+    """Pre-digest key format (basename only). Kept solely so stores written
+    by earlier builds resume instead of silently re-validating from scratch:
+    ``CheckpointStore.load`` falls back to this key, verifies the record's
+    embedded ``fragment`` path actually matches (the basename-collision case
+    the digest fixed is thereby excluded), and migrates the record + hash
+    sidecar to the current key format."""
+    if path.startswith("lance://"):
+        return fragment_key(path)  # lance spec keys never changed
+    return os.path.basename(path).replace("/", "_")
+
+
 def _stat_digest(path: str) -> str:
     st = os.stat(path)
     return f"{st.st_size}:{st.st_mtime_ns}"
@@ -57,7 +69,43 @@ class CheckpointStore:
             with open(self._record_path(fragment)) as f:
                 return json.load(f)
         except (FileNotFoundError, json.JSONDecodeError):
+            pass
+        return self._migrate_legacy(fragment)
+
+    def _migrate_legacy(self, fragment: str) -> dict | None:
+        """One-time fallback for stores written before fragment keys gained
+        the path digest: find the old-format record, confirm it belongs to
+        THIS fragment path (its embedded ``fragment`` field), rewrite it —
+        and its ``.hashes.bin`` sidecar — under the current key."""
+        legacy = _legacy_fragment_key(fragment)
+        new = fragment_key(fragment)
+        if legacy == new:
             return None
+        legacy_json = os.path.join(self.directory, legacy + ".json")
+        try:
+            with open(legacy_json) as f:
+                rec = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+        recorded = rec.get("fragment", "")
+        if recorded != fragment and (
+            not recorded or os.path.abspath(recorded) != os.path.abspath(fragment)
+        ):
+            # a same-named fragment from ANOTHER directory — exactly the
+            # collision the digest key fixed; not ours, leave it alone
+            return None
+        old_sidecar = rec.get("id_hashes_file")
+        if old_sidecar == legacy + ".hashes.bin":
+            src = os.path.join(self.directory, old_sidecar)
+            if os.path.exists(src):
+                rec["id_hashes_file"] = new + ".hashes.bin"
+                os.replace(src, os.path.join(self.directory, rec["id_hashes_file"]))
+        self.record(fragment, rec)
+        try:
+            os.unlink(legacy_json)
+        except OSError:
+            pass
+        return rec
 
     def is_done(self, fragment: str) -> bool:
         rec = self.load(fragment)

@@ -367,3 +367,35 @@ def test_hash_join_null_keys_never_match(ray_session):
         if how in ("inner", "left", "outer"):
             matched = out[out.rv.notna()]
             assert set(matched.k.dropna().astype("int64")) <= {1}
+
+
+def test_broadcast_join_null_keys_never_match(ray_session):
+    """ADVICE r2: a null in the broadcast key list must not pair with null
+    big-side keys (pandas merge matches NaN==NaN) — semi keeps / anti drops
+    null-key rows otherwise, inverting SQL EXISTS semantics."""
+    import ray.data as rd
+
+    from polars_genson_ray.stages.join import broadcast_join
+
+    big = pa.table(
+        {"k": pa.array([1, None, 2, None], pa.int64()),
+         "lv": pa.array([10, 20, 30, 40], pa.int64())}
+    )
+    small = pa.table(
+        {"rk": pa.array([1, None], pa.int64()),
+         "rv": pa.array([100, 200], pa.int64())}
+    )
+    for how, rv, expect in (
+        ("semi", None, 1),     # only k=1 EXISTS
+        ("anti", None, 3),     # k=2 and both null-key rows NOT EXISTS
+        ("inner", ["rv"], 1),
+        ("left", ["rv"], 4),   # null-key rows survive with null rv
+    ):
+        out = broadcast_join(
+            _ds(big, 2), small, on="k", right_on="rk",
+            right_values=rv, how=how,
+        ).to_pandas()
+        assert len(out) == expect, (how, len(out))
+        if how in ("inner", "left"):
+            matched = out[out.rv.notna()]
+            assert set(matched.k.dropna().astype("int64")) <= {1}

@@ -127,6 +127,64 @@ def test_checkpoint_store_roundtrip(tmp_path):
     assert not store.is_done(frag)
 
 
+def test_checkpoint_store_migrates_legacy_keys(tmp_path):
+    """A store written before fragment keys gained the path digest must
+    still resume: legacy basename-keyed records (and their hash sidecars)
+    are found, verified against the embedded fragment path, and rewritten
+    under the current key — same-named fragments from OTHER directories are
+    left untouched (ADVICE r2)."""
+    import json
+
+    from polars_genson_ray.state.checkpoint import (
+        CheckpointStore,
+        _legacy_fragment_key,
+        fragment_digest,
+        fragment_key,
+    )
+
+    frag = str(tmp_path / "data" / "part-0.parquet")
+    os.makedirs(os.path.dirname(frag))
+    with open(frag, "w") as f:
+        f.write("x")
+    ckpt = tmp_path / "ckpt"
+    store = CheckpointStore(str(ckpt))
+    # hand-write a legacy-format record + sidecar, as an old build would
+    legacy = _legacy_fragment_key(frag)
+    rec = {
+        "status": "done",
+        "fragment": frag,
+        "input_digest": fragment_digest(frag),
+        "id_hashes_file": legacy + ".hashes.bin",
+        "report": {"rows": 7},
+    }
+    with open(ckpt / (legacy + ".json"), "w") as f:
+        json.dump(rec, f)
+    with open(ckpt / (legacy + ".hashes.bin"), "wb") as f:
+        f.write(b"\x01\x02\x03")
+    # a colliding record for a same-named fragment in ANOTHER directory
+    other = str(tmp_path / "other" / "part-1.parquet")
+    with open(ckpt / "part-1.parquet.json", "w") as f:
+        json.dump({"status": "done", "fragment": other}, f)
+
+    assert store.is_done(frag)  # legacy record honored → no re-validation
+    loaded = store.load(frag)
+    assert loaded["report"] == {"rows": 7}
+    assert store.load_hashes(loaded) == b"\x01\x02\x03"
+    # migrated on disk: new-format key, legacy files gone
+    new = fragment_key(frag)
+    assert (ckpt / (new + ".json")).exists()
+    assert (ckpt / (new + ".hashes.bin")).exists()
+    assert not (ckpt / (legacy + ".json")).exists()
+    assert not (ckpt / (legacy + ".hashes.bin")).exists()
+    # the other-directory collision record was not claimed
+    mine = str(tmp_path / "data2" / "part-1.parquet")
+    os.makedirs(os.path.dirname(mine))
+    with open(mine, "w") as f:
+        f.write("y")
+    assert store.load(mine) is None
+    assert (ckpt / "part-1.parquet.json").exists()
+
+
 def test_validation_resume_skips_fragments(ray_session, tmp_path):
     from polars_genson_ray.pipelines.validation import run_validation
 
@@ -1018,6 +1076,28 @@ def test_embedding_neardup_bucket_cap_and_tables(ray_session):
     assert expected <= found
 
 
+def test_embedding_neardup_oversized_bucket_refined_not_truncated(ray_session):
+    """An LSH bucket larger than ``bucket_cap`` must be re-probed with finer
+    planes, not truncated: the planted pair sits at the HIGHEST ids, so the
+    old ``group.head(bucket_cap)`` id-order truncation would always drop it
+    (1 plane → ~half of 100 vectors per bucket >> cap 8)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from polars_genson_ray.stages.similarity import embedding_near_duplicates
+
+    rng = np.random.default_rng(73)
+    vecs = rng.standard_normal((100, 16))
+    vecs[99] = vecs[98] + 0.001 * rng.standard_normal(16)
+    df = pd.DataFrame({"vec_id": range(100), "embedding": list(vecs)})
+    out = embedding_near_duplicates(
+        rd.from_pandas(df).repartition(3), dim=16, threshold=0.99,
+        num_planes=1, num_tables=2, bucket_cap=8,
+    ).to_pandas()
+    found = {tuple(sorted((int(r.id_a), int(r.id_b)))) for r in out.itertuples()}
+    assert (98, 99) in found
+
+
 def test_minhash_bands_fused_matches_two_stage():
     """The fused MinHashBands stage must emit exactly what
     MinHasher → BandExploder emits (same band hashes, ids, blobs)."""
@@ -1130,6 +1210,34 @@ def test_connected_components_distributed_matches_driver(ray_session):
     ref = _bfs_components(list(zip(src.tolist(), dst.tolist())), all_nodes.tolist())
     got = dict(zip(small["doc_id"].tolist(), small["cluster_id"].tolist()))
     assert got == {n: ref.get(n, n) for n in all_nodes.tolist()}
+
+
+def test_connected_components_exact_above_2pow53(ray_session):
+    """Ids above 2^53 must round-trip the distributed finish pass exactly:
+    a float64 detour would round 2^60+1 to ...976 (the ADVICE r2 finding —
+    pandas-format batches converted the nullable label column through
+    float64 before the coalesce ever ran)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from polars_genson_ray.stages.components import connected_components
+
+    base = 2**60
+    # component {base+1, base+3}; singletons base+7 (unpaired) — all three
+    # ids are unrepresentable in float64 (base itself IS representable)
+    src = np.array([base + 1], dtype=np.int64)
+    dst = np.array([base + 3], dtype=np.int64)
+    all_nodes = np.array([base + 1, base + 3, base + 7], dtype=np.int64)
+    pairs = rd.from_arrow(pa.table({"id_a": src, "id_b": dst}))
+    nodes = rd.from_arrow(pa.table({"doc_id": all_nodes}))
+    out = (
+        connected_components(
+            pairs, nodes, node_column="doc_id", driver_threshold=0
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [base + 1, base + 3, base + 7]
+    assert out["cluster_id"].tolist() == [base + 1, base + 1, base + 7]
 
 
 def test_pii_redactor_kernels():
@@ -1470,6 +1578,58 @@ def test_phash_hamming_pairs_matches_brute_force(ray_session):
     hot_rep = df.loc[df.phash == 0x5A5A5A5A, "image_id"].min()
     hot_rows = out[(out.id_a == hot_rep) | (out.id_b == hot_rep)]
     assert (hot_rows[["n_a", "n_b"]].max(axis=1) == 60).all() or hot_rows.empty
+
+
+def test_phash_oversized_run_verified_exactly(ray_session):
+    """A (band, value) run longer than ``bucket_cap`` must be verified in
+    full via the blocked pair sweep — the ADVICE r2 finding was that such
+    runs were silently truncated at the cap, dropping true pairs.
+
+    Construct 120 distinct phashes sharing band 0 (low 16 bits identical)
+    with pairwise-distant high bits, plus planted near pairs whose indices
+    land in DIFFERENT cap-blocks (cap=16), so truncation or a
+    diagonal-only sweep would miss them."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from polars_genson_ray.stages.dedup import (
+        _popcount64,
+        phash_hamming_pairs,
+    )
+
+    rng = np.random.default_rng(91)
+    n = 120
+    low = np.uint64(0xBEEF)
+    # distinct random high 48 bits, same low 16 bits → one shared band-0 run
+    high = rng.choice(2**46, size=n, replace=False).astype(np.uint64)
+    ph = ((high << np.uint64(16)) | low).astype(np.int64)
+    # plant pairs across distant positions (blocks of 16): flip high bits
+    ph[100] = ph[3] ^ (0b101 << 20)   # hamming 2, blocks 0 vs 6
+    ph[77] = ph[18] ^ (0b1 << 33)     # hamming 1, blocks 1 vs 4
+    df = pd.DataFrame(
+        {"image_id": [f"i{i:03d}" for i in range(n)], "phash": ph}
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+    out = (
+        phash_hamming_pairs(
+            ds, max_hamming=3, bands=4, num_buckets=8, bucket_cap=16
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    # brute-force truth
+    vals = ph.astype(np.uint64)
+    exp = set()
+    for i in range(n - 1):
+        hd = _popcount64(vals[i] ^ vals[i + 1:])
+        for j in np.where(hd <= 3)[0]:
+            a, b = sorted((f"i{i:03d}", f"i{i + 1 + j:03d}"))
+            exp.add((a, b, int(hd[j])))
+    got = set(zip(out.id_a, out.id_b, out.hamming))
+    assert ("i003", "i100", 2) in exp and ("i018", "i077", 1) in exp
+    assert got == exp
 
 
 def test_spacesaving_heavy_hitters_vs_exact():
