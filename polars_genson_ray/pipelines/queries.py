@@ -891,30 +891,42 @@ def q_chunk_documents(sf_dir: str):
 
 def r_heavy_hitter_tokens(sf_dir: str, k: int = 20):
     """Approximate corpus top-k tokens with ZERO key exchange: one
-    SpaceSaving sketch per batch (bounded dict, O(distinct) per batch),
-    KB-sized pickled partials merged on the driver. The exact counterpart
-    is ``boilerplate_ngrams``' bucketed-combine df counts — this is the
-    path when even the distinct-key partials are too wide to shuffle.
-    count − error ≤ true ≤ count per returned row."""
+    SpaceSaving sketch per batch (bounded dict, ONE flat tokenize + one
+    Counter pass — O(distinct) per batch), KB-sized pickled partials
+    tree-merged in parallel (``tree_reduce_blobs``) so the driver touches
+    at most one fan-in's worth of blobs regardless of block count. The
+    exact counterpart is ``boilerplate_ngrams``' bucketed-combine df
+    counts — this is the path when even the distinct-key partials are too
+    wide to shuffle. count − error ≤ true ≤ count per returned row."""
     import pickle
 
-    from ..stages.sketches import SpaceSaving
+    from ..stages.sketches import SpaceSaving, tree_reduce_blobs
 
     ds = _read(sf_dir, "documents", ["text"])
 
     def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
         sk = SpaceSaving(4096)
-        for t in df["text"]:
-            if isinstance(t, str) and t:
-                sk.add_many(t.lower().split())
+        sk.add_many(
+            [
+                w
+                for t in df["text"]
+                if isinstance(t, str) and t
+                for w in t.lower().split()
+            ]
+        )
         return pd.DataFrame({"blob": [pickle.dumps(sk)]})
 
-    merged = None
-    for row in ds.map_batches(
-        sketch_batch, batch_format="pandas"
-    ).iter_rows():
-        sk = pickle.loads(row["blob"])
-        merged = sk if merged is None else merged.merge(sk)
+    def combine(blobs: list[bytes]) -> bytes:
+        merged = None
+        for b in blobs:
+            sk = pickle.loads(b)
+            merged = sk if merged is None else merged.merge(sk)
+        return pickle.dumps(merged)
+
+    blobs = tree_reduce_blobs(
+        ds.map_batches(sketch_batch, batch_format="pandas"), combine
+    )
+    merged = pickle.loads(combine(blobs)) if blobs else None
     top = merged.topk(k) if merged is not None else []
     return pd.DataFrame(
         {

@@ -114,25 +114,48 @@ def boilerplate_ngrams(
     freq_ref = ray.put((freq_h, freq_df))
 
     def recover(batch: pa.Table) -> pa.Table:
+        # flat per-BATCH sweep, mirroring partial_counts: hash every word
+        # once, one gram-window pass, ONE searchsorted for the whole batch;
+        # strings are rebuilt only at the first occurrence of each distinct
+        # frequent gram (the per-doc loop this replaces re-hashed each doc
+        # and looped Python-side over every hit on a 100%-of-corpus stage)
         fh, fdf = ray.get(freq_ref)
-        grams_out, df_out = [], []
-        seen: set[str] = set()
-        for ws in _doc_words(batch[column].to_pylist()):
-            if len(ws) < n:
-                continue
-            gh = _gram_hashes_flat(hash_strings(ws), n)
-            pos = np.searchsorted(fh, gh)
-            pos[pos == len(fh)] = 0
-            hit = fh[pos] == gh if len(fh) else np.zeros(len(gh), bool)
-            for i in np.flatnonzero(hit):
-                g = " ".join(ws[i : i + n])
-                if g not in seen:
-                    seen.add(g)
-                    grams_out.append(g)
-                    df_out.append(int(fdf[pos[i]]))
+        empty = pa.table(
+            {"gram": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+        )
+        word_lists = _doc_words(batch[column].to_pylist())
+        counts = np.fromiter(
+            (len(ws) for ws in word_lists), count=len(word_lists),
+            dtype=np.int64,
+        )
+        if len(fh) == 0 or not (counts >= n).any():
+            return empty
+        all_words = [w for ws in word_lists for w in ws]
+        flat_all = _gram_hashes_flat(hash_strings(all_words), n)
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        vcounts = np.maximum(counts - n + 1, 0)
+        voffsets = np.concatenate(([0], np.cumsum(vcounts)))[:-1]
+        total = int(vcounts.sum())
+        idx = (
+            np.repeat(starts, vcounts)
+            + np.arange(total)
+            - np.repeat(voffsets, vcounts)
+        )
+        grams = flat_all[idx]
+        pos = np.searchsorted(fh, grams)
+        pos[pos == len(fh)] = 0
+        hit = fh[pos] == grams
+        if not hit.any():
+            return empty
+        hit_idx = np.flatnonzero(hit)
+        _, first = np.unique(grams[hit_idx], return_index=True)
+        sel = hit_idx[first]
+        grams_out = [
+            " ".join(all_words[s : s + n]) for s in idx[sel].tolist()
+        ]
         return pa.table(
             {"gram": pa.array(grams_out, pa.string()),
-             "df": pa.array(df_out, pa.int64())}
+             "df": pa.array(fdf[pos[sel]].astype(np.int64))}
         )
 
     def dedup(df: pd.DataFrame) -> pd.DataFrame:

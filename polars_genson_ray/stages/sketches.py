@@ -261,6 +261,38 @@ class Histogram:
         return h
 
 
+def tree_reduce_blobs(blobs_ds, combine, *, fanin: int = 64) -> list:
+    """Distributed tree reduce over a one-column (``blob``: binary) Dataset
+    of serialized sketch partials: repartition into ``ceil(n/fanin)`` groups
+    and merge each group in ONE task, repeating until at most ``fanin``
+    blobs remain, which the caller merges driver-side.
+
+    This replaces the serial ``iter_rows()`` driver loop — O(#blocks) on
+    the driver — with O(log_fanin #blocks) rounds of parallel merges; at
+    sf-scale block counts (n ≤ fanin) it degenerates to the direct driver
+    merge with zero extra stages. ``combine`` takes a list of blobs and
+    returns one blob; it must be associative + commutative (every sketch
+    here is a monoid).
+    """
+    import math
+
+    import pandas as pd
+
+    ds = blobs_ds
+    n = ds.count()  # blob datasets are KB-sized partials; count is cheap
+    while n > fanin:
+        n_groups = math.ceil(n / fanin)
+
+        def merge_block(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"blob": [combine(list(df["blob"]))]})
+
+        ds = ds.repartition(n_groups).map_batches(
+            merge_block, batch_format="pandas", batch_size=None
+        ).materialize()
+        n = n_groups
+    return [row["blob"] for row in ds.iter_rows()]
+
+
 class SpaceSaving:
     """Mergeable heavy-hitters sketch (SpaceSaving / Metwally et al.):
     tracks ~``capacity`` items with count over-estimates bounded by the

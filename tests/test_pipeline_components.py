@@ -1696,6 +1696,62 @@ def test_spacesaving_merge_credits_evicted_mass():
     assert len(a.counts) <= 4
 
 
+def test_tree_reduce_blobs_matches_serial_merge(ray_session):
+    """The distributed sketch tree reduce (fanin forcing ≥2 rounds) must
+    preserve the SpaceSaving guarantees the serial driver loop gave: the
+    over-estimate envelope against exact counts, and recovery of every
+    well-separated heavy hitter. (Tree grouping may change floor credits,
+    so bit-identity with a serial fold is NOT the contract — the envelope
+    is.)"""
+    import pickle
+
+    import pandas as pd
+    import ray.data as rd
+
+    from polars_genson_ray.stages.sketches import SpaceSaving, tree_reduce_blobs
+
+    import collections
+
+    rng = np.random.default_rng(59)
+    # 40 partial sketches: 10 well-separated heavy hitters + a noise tail
+    exact: collections.Counter = collections.Counter()
+    partials = []
+    for i in range(40):
+        items = []
+        for h in range(10):
+            items += [f"hot{h}"] * (30 - 2 * h)
+        items += [f"noise{int(v)}" for v in rng.integers(0, 400, size=120)]
+        rng.shuffle(items)
+        exact.update(items)
+        sk = SpaceSaving(128)
+        sk.add_many(items)
+        partials.append(sk)
+    blobs_ds = rd.from_pandas(
+        pd.DataFrame({"blob": [pickle.dumps(s) for s in partials]})
+    ).repartition(40)
+
+    def combine(blobs):
+        merged = None
+        for b in blobs:
+            s = pickle.loads(b)
+            merged = s if merged is None else merged.merge(s)
+        return pickle.dumps(merged)
+
+    out = tree_reduce_blobs(blobs_ds, combine, fanin=4)  # ≥2 rounds
+    assert len(out) <= 4
+    tree_merged = pickle.loads(combine(out))
+
+    # SpaceSaving envelope holds through the tree merge: over-estimate,
+    # and count − error never exceeds the true count
+    for item, c in tree_merged.counts.items():
+        true_c = exact.get(item, 0)
+        assert c >= true_c, item
+        assert c - tree_merged.errors[item] <= true_c, item
+    # the well-separated heavy hitters are exactly the sketch's top-10
+    top = [it for it, _, _ in tree_merged.topk(10)]
+    assert set(top) == {f"hot{h}" for h in range(10)}
+
+
 def test_ivf_index_full_probe_equals_brute_force(ray_session, tmp_path):
     """The persisted IVF index with nprobe == n_cells must reproduce the
     exact brute-force top-k (the partitioned layout changes WHERE rows
