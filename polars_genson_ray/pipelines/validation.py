@@ -75,6 +75,38 @@ def _caption_validity(batch: pa.Table) -> pa.Table:
     return batch.append_column("caption_is_json", pa.array(is_json, pa.bool_()))
 
 
+def _derive_dup_resident_limit(
+    n_shards: int,
+    mem_bytes: float | None = None,
+    *,
+    budget_fraction: float = 0.20,
+    bytes_per_entry: float = 13.0,
+) -> int:
+    """Per-shard resident cap for the uniqueness index, derived from node
+    memory: the index's TOTAL live footprint across shards is held to
+    ``budget_fraction`` of the node at the measured ~13 B/entry of
+    ``UInt64Set``. Floored at 1M entries so toy runs never spill."""
+    if mem_bytes is None:
+        import ray
+
+        mem_bytes = (
+            ray.cluster_resources().get("memory")
+            if ray.is_initialized()
+            else None
+        )
+        if not mem_bytes:
+            try:
+                mem_bytes = os.sysconf("SC_PAGE_SIZE") * os.sysconf(
+                    "SC_PHYS_PAGES"
+                )
+            except (ValueError, OSError):
+                mem_bytes = 8 << 30
+    return max(
+        1_000_000,
+        int(mem_bytes * budget_fraction / bytes_per_entry / max(1, n_shards)),
+    )
+
+
 @dataclass
 class ValidationConfig:
     psnr_threshold: float = 40.0
@@ -86,8 +118,13 @@ class ValidationConfig:
     max_side: int = 4096  # histogram range for w/h drift
     dup_shards: int | None = None  # None → sized to cluster
     # LSM spill for the uniqueness index: beyond ~10^9 ids/shard the live
-    # table can't fit a node's heap; set a per-shard resident cap and a
-    # spill root (runs land in <dir>/shard_NNN/). None → in-RAM only.
+    # table can't fit a node's heap. None → AUTO: the per-shard resident
+    # cap is derived from the node's memory (the index's total resident
+    # footprint is held to ~20% of it at ~13 B/entry) and the spill root
+    # defaults to <output_dir>/_dup_spill — at toy scale the derived cap
+    # is far above the data so nothing spills, while the 10^12-row
+    # flagship gets the spill valve WITHOUT the caller opting in (round-2
+    # verdict: defaulting to unbounded OOMs the flagship).
     dup_spill_dir: str | None = None
     dup_resident_limit: int | None = None
     # the sharded index keys on 64-bit id hashes, so at ~10^12 unique ids
@@ -326,10 +363,19 @@ def run_validation(
 
     from ..stages.unique import create_index
 
+    n_dup_shards = config.dup_shards or max(2, cpus // 4)
+    dup_spill_dir = config.dup_spill_dir
+    dup_resident_limit = config.dup_resident_limit
+    if dup_resident_limit is None:
+        # auto: see ValidationConfig — derive the per-shard cap from node
+        # memory so the index spills instead of OOMing at flagship scale
+        dup_resident_limit = _derive_dup_resident_limit(n_dup_shards)
+        if dup_spill_dir is None:
+            dup_spill_dir = os.path.join(output_dir, "_dup_spill")
     dup_actors = create_index(
-        config.dup_shards or max(2, cpus // 4),
-        spill_dir=config.dup_spill_dir,
-        resident_limit=config.dup_resident_limit,
+        n_dup_shards,
+        spill_dir=dup_spill_dir,
+        resident_limit=dup_resident_limit,
     )
     duplicate_set: set[str] = set()
     seed_refs = []

@@ -450,25 +450,29 @@ class SimHasher:
     """64-bit SimHash over word hashes; ``simhash_bucket`` = top-``prefix``
     bits for bucketed near-dup grouping.
 
-    ``simhashes`` is the hot path: one ``hash_strings`` pass over the
-    batch's concatenated word list, per-bit ones-counts via
-    ``np.add.reduceat`` per document, sign-threshold, one packed shift-sum —
-    no per-row 64-iteration bit loop. ``simhash`` keeps the row-at-a-time
-    formulation as the parity reference for tests."""
+    ``simhashes`` is the hot path: one word-hash pass over the batch's
+    concatenated word list, per-bit ones-counts via ``np.add.reduceat``
+    per document, sign-threshold, one packed shift-sum — no per-row
+    64-iteration bit loop. ``simhash`` keeps the row-at-a-time
+    formulation as the parity reference for tests.
+
+    Word hashes are :func:`..sketches.md5_hash_strings` (md5 low-64) —
+    unlike every other dedup operator, SimHash's hash IS the output, so
+    it must be reproducible by the SQL oracle."""
 
     def __init__(self, column: str = "text", prefix_bits: int = 16):
         self.column = column
         self.prefix_bits = prefix_bits
 
     def simhash(self, text: str) -> int:
-        from .sketches import hash_strings
+        from .sketches import md5_hash_strings
 
         words = text.lower().split() if text else []
         if not words:
             return 0
         # NB: deterministic hashing (not builtin hash(): PYTHONHASHSEED varies
         # per Ray worker process)
-        hs = hash_strings(words)
+        hs = md5_hash_strings(words)
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
             np.int64
         )
@@ -482,7 +486,7 @@ class SimHasher:
     def simhashes(self, texts) -> np.ndarray:
         """Vectorized simhashes for a batch: (n_docs,) uint64, equal to
         ``simhash`` per row."""
-        from .sketches import hash_strings
+        from .sketches import md5_hash_strings
 
         n = len(texts)
         out = np.zeros(n, dtype=np.uint64)
@@ -493,7 +497,7 @@ class SimHasher:
         all_words = [w for ws in word_lists for w in ws]
         if not all_words:
             return out
-        hs = hash_strings(all_words)
+        hs = md5_hash_strings(all_words)
         word_starts = np.concatenate(([0], np.cumsum(counts)))
         doc_idx = np.flatnonzero(counts > 0)
         seg = word_starts[doc_idx]  # contiguous: empty docs contribute no words

@@ -46,6 +46,24 @@ def hash_strings(values) -> np.ndarray:
     return hash64(out)
 
 
+def md5_hash_strings(values) -> np.ndarray:
+    """64-bit word hashes as the FIRST 8 md5 bytes (big-endian). Slower
+    than :func:`hash_strings` but exactly reproducible in ANSI SQL —
+    DuckDB: ``('0x' || substr(md5(w), 1, 16))::UBIGINT`` — so operators
+    whose OUTPUT embeds the hash (SimHash) stay oracle-comparable."""
+    import hashlib
+
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        b = (
+            v.encode("utf-8", "surrogatepass")
+            if isinstance(v, str)
+            else bytes(v or b"")
+        )
+        out[i] = int.from_bytes(hashlib.md5(b).digest()[:8], "big")
+    return out
+
+
 def key_hashes(tbl, cols: list[str]) -> np.ndarray:
     """Combined 64-bit hash of one or more key columns of an Arrow table
     (vectorized; string keys via hash_strings, anything integral via the

@@ -185,6 +185,23 @@ def test_checkpoint_store_migrates_legacy_keys(tmp_path):
     assert (ckpt / "part-1.parquet.json").exists()
 
 
+def test_derive_dup_resident_limit():
+    """Auto spill sizing: the index's TOTAL footprint stays within the
+    budget fraction of node memory; toy nodes floor at 1M entries per
+    shard (never spilling small runs); explicit config still wins (the
+    run_validation wiring only derives when dup_resident_limit is None)."""
+    from polars_genson_ray.pipelines.validation import (
+        _derive_dup_resident_limit,
+    )
+
+    # 128 GiB node, 8 shards → 20% / 13 B / 8 ≈ 264M entries per shard
+    lim = _derive_dup_resident_limit(8, mem_bytes=128 * 2**30)
+    assert 200_000_000 < lim < 300_000_000
+    assert lim * 8 * 13 <= 0.20 * 128 * 2**30 * 1.001
+    # tiny node floors at 1M
+    assert _derive_dup_resident_limit(8, mem_bytes=1 << 20) == 1_000_000
+
+
 def test_validation_resume_skips_fragments(ray_session, tmp_path):
     from polars_genson_ray.pipelines.validation import run_validation
 
