@@ -168,33 +168,77 @@ def _split_concatenated(s: str) -> list:
     return values
 
 
+# interned scalar leaf schemas: the fast path emits these SHARED dicts for
+# every scalar value — the dominant allocation of map-heavy documents.
+# Safety contract: nothing downstream mutates an incoming subschema in
+# place (strategies borrow, to_schema deep-copies on emission, and
+# transforms._apply replaces forced-field entries instead of mutating —
+# see the comment there).
+_SCALAR_SCHEMAS = {
+    "string": {"type": "string"},
+    "boolean": {"type": "boolean"},
+    "integer": {"type": "integer"},
+    "number": {"type": "number"},
+    "null": {"type": "null"},
+    "object": {"type": "object"},
+}
+
+# record-schema interning: identical object VALUES produce the SAME schema
+# dict. Key = (property name, id(child schema)) pairs — valid because every
+# child is itself interned (scalar singleton or cached record) and each
+# cache entry keeps its children alive through ``properties``, so ids can't
+# be recycled while the entry exists. The payoff is downstream:
+# ``SchemaNode.add_schemas`` identity-dedups its batch, so the K identical
+# {language, value} records of a wide Wikidata-style map merge ONCE instead
+# of K times (the merge is a join-semilattice — a ⊔ a = a — so dropping
+# later duplicates is exact).
+_RECORD_CACHE: dict[tuple, dict] = {}
+_RECORD_CACHE_LIMIT = 65536
+
+
 def _fast_value_schema(v):
     """Direct schema of one JSON value, bypassing the strategy machinery —
-    byte-identical to a fresh ``SchemaNode.add_object(v).to_schema()`` for
-    list-free values (scalar emission, first-seen property order, sorted
-    ``required``). Returns None when a list (ListStrategy merge semantics
-    needed) or non-JSON type is present; callers then fall back."""
+    byte-identical to ``SchemaBuilder().add_schema(...).to_schema()`` of a
+    fresh builder round trip for list-free values (scalar emission,
+    first-seen property order, sorted ``required``; object emission order
+    is the round trip's properties→required→type — the per-doc dedup key
+    serializes in insertion order, so the order is part of the contract).
+    Returns None when a list (ListStrategy merge semantics needed) or
+    non-JSON type is present; callers then fall back."""
     t = type(v)
     if t is str:
-        return {"type": "string"}
+        return _SCALAR_SCHEMAS["string"]
     if t is bool:
-        return {"type": "boolean"}
+        return _SCALAR_SCHEMAS["boolean"]
     if t is int:
-        return {"type": "integer"}
+        return _SCALAR_SCHEMAS["integer"]
     if t is float:
-        return {"type": "number"}
+        return _SCALAR_SCHEMAS["number"]
     if v is None:
-        return {"type": "null"}
+        return _SCALAR_SCHEMAS["null"]
     if t is dict:
         if not v:
-            return {"type": "object"}
+            return _SCALAR_SCHEMAS["object"]
         props = {}
+        key_parts = []
         for k, x in v.items():
             s = _fast_value_schema(x)
             if s is None:
                 return None
             props[k] = s
-        return {"type": "object", "properties": props, "required": sorted(props)}
+            key_parts.append((k, id(s)))
+        ck = tuple(key_parts)
+        cached = _RECORD_CACHE.get(ck)
+        if cached is not None:
+            return cached
+        schema = {"properties": props, "required": sorted(props), "type": "object"}
+        if len(_RECORD_CACHE) >= _RECORD_CACHE_LIMIT:
+            # whole-cache clear only: partial eviction is safe too (entries
+            # pin their key ids via properties), but clearing is simpler
+            # and this bound is far above any real schema diversity
+            _RECORD_CACHE.clear()
+        _RECORD_CACHE[ck] = schema
+        return schema
     return None
 
 
@@ -239,22 +283,6 @@ def build_document_schema(builder: SchemaBuilder, text: str, config: SchemaInfer
 # Per-document schema (the distributable unit) and merge paths
 # ---------------------------------------------------------------------------
 
-def _normalize_fast_schema(s: dict) -> dict:
-    """Key order of ``SchemaBuilder().add_schema(s).to_schema()`` for a
-    ``_fast_value_schema`` output (objects/scalars only): the round trip
-    stores ``properties``/``required`` as first-wins extra keywords, so they
-    precede ``type`` on emission. Byte-identity with the builder round trip
-    matters because per-doc dedup keys serialize in insertion order."""
-    props = s.get("properties")
-    if props is None:
-        return s
-    return {
-        "properties": {k: _normalize_fast_schema(v) for k, v in props.items()},
-        "required": s["required"],
-        "type": "object",
-    }
-
-
 def _schema_uri_base(config: SchemaInferenceConfig) -> dict:
     """The ``$schema`` base dict a fresh SchemaBuilder(config.schema_uri)
     would emit (builder.rs:13-41 semantics)."""
@@ -296,7 +324,15 @@ def document_schema(text: str, index: int, config: SchemaInferenceConfig) -> dic
         fast = _fast_value_schema(value)
         if fast is not None:
             schema = _schema_uri_base(config)
-            schema.update(_normalize_fast_schema(fast))
+            if config.force_field_types:
+                # the fast schema tree is interned/shared; the forced-field
+                # rewrite replaces entries inside its properties dicts, so
+                # it needs a private copy (rare path — only when the knob
+                # is set)
+                from .json_schema import _deepcopy
+
+                fast = _deepcopy(fast)
+            schema.update(fast)
             apply_force_field_types(schema, config)
             return schema
         values = [value]

@@ -560,6 +560,22 @@ class SchemaNode:
         schema needing the legacy path (typeless, anyOf, type lists)
         flushes pending groups first so first-wins extras keep batch order.
         """
+        if len(schemas) > 1:
+            # identity dedup, first occurrence kept: the merge is a
+            # join-semilattice (a ⊔ a = a, first-wins/first-seen orders
+            # follow the first occurrence), so later duplicates are no-ops.
+            # The fast-path interning (infer._RECORD_CACHE) makes repeated
+            # subschemas the SAME object — a wide map column whose values
+            # share one record shape collapses to ONE merge per property.
+            seen_ids = set()
+            uniq = []
+            for s in schemas:
+                i = id(s)
+                if i not in seen_ids:
+                    seen_ids.add(i)
+                    uniq.append(s)
+            schemas = uniq
+
         groups: dict[int, tuple] = {}  # id(strategy) → (strategy, [schemas])
 
         def flush():

@@ -26,10 +26,20 @@ def _apply(schema, config) -> None:
                 if config.force_field_types.get(field_name) == "map" and isinstance(
                     field_schema, dict
                 ):
-                    field_schema.pop("properties", None)
-                    field_schema.pop("required", None)
+                    # REPLACE the entry rather than mutating field_schema in
+                    # place: leaf schemas may be interned shared singletons
+                    # (infer._SCALAR_SCHEMAS) — mutation would corrupt every
+                    # other use. Key order matches the old in-place rewrite:
+                    # surviving keys keep their positions ("type" updates in
+                    # place), additionalProperties appends.
+                    field_schema = {
+                        k: v
+                        for k, v in field_schema.items()
+                        if k not in ("properties", "required")
+                    }
                     field_schema["type"] = "object"
                     field_schema["additionalProperties"] = {"type": "string"}
+                    props[field_name] = field_schema
                 _apply(field_schema, config)
         if "items" in schema:
             _apply(schema["items"], config)

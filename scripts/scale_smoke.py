@@ -1,4 +1,6 @@
-"""Dedup/similarity scale smoke: 20× the sf0.1 document volume.
+"""Dedup/similarity scale smoke: 20× the sf0.1 document volume (plus
+round-3 legs: Dataset.join verify branch, 6M-edge distributed components,
+spill-active uniqueness index at 16M ids).
 
 Builds a deterministic 100k-doc corpus (16 fragments) with PLANTED
 structure — 10k exact duplicates, 10k near duplicates (one word swapped
@@ -238,6 +240,88 @@ def main() -> None:
     )
     report["phash_planted_found"] = int(found_planted)
     assert found_planted >= n_near, (found_planted, n_near)
+
+    # --- round-3 legs (VERDICT r2 §7) -----------------------------------
+
+    # setjoin's Dataset.join verify branch: broadcast_limit=0 forces the
+    # two-pass Dataset.join blob attach (the >500k-token path at real
+    # scale) on the same corpus — answers must be IDENTICAL to the
+    # broadcast branch asserted above
+    ds = rd.read_parquet(out_dir, columns=["doc_id", "text"])
+    t0 = time.perf_counter()
+    pairs_dj = set_similarity_join(
+        ds, "text", "doc_id", threshold=0.8, approx_rows=n_docs,
+        broadcast_limit=0,
+    ).take_all()
+    report["setjoin_datasetjoin_s"] = round(time.perf_counter() - t0, 2)
+    got_dj = {(r["id_a"], r["id_b"]) for r in pairs_dj}
+    assert got_dj == expected, (len(got_dj), len(expected))
+    report["setjoin_datasetjoin_pairs"] = len(got_dj)
+
+    # connected components ABOVE the 5M-pair driver threshold: 8M nodes in
+    # chains of 4 → 6M edges route to the distributed min-label branch by
+    # size (no threshold override); survivors = one per chain
+    n_nodes, chain = 8_000_000, 4
+    base_ids = np.arange(n_nodes, dtype=np.int64)
+    in_chain = base_ids % chain != chain - 1
+    big_src = base_ids[in_chain]
+    big_dst = big_src + 1
+    big_pairs = rd.from_arrow(
+        pa.table({"id_a": big_src, "id_b": big_dst})
+    ).repartition(64).materialize()
+    big_nodes = rd.from_arrow(
+        pa.table({"doc_id": base_ids})
+    ).repartition(64).materialize()
+    t0 = time.perf_counter()
+    clusters = connected_components(
+        big_pairs, big_nodes, node_column="doc_id"
+    )
+    surv = clusters.map_batches(
+        lambda b: pa.table({"s": pa.array(
+            [int((b.column("doc_id").to_numpy()
+                  == b.column("cluster_id").to_numpy()).sum())])}),
+        batch_format="pyarrow",
+    ).sum("s")
+    report["components_6M_edges_s"] = round(time.perf_counter() - t0, 2)
+    assert surv == n_nodes // chain, surv
+    report["components_6M_edges_survivors"] = int(surv)
+
+    # spill-ACTIVE uniqueness index: 16M ids (1% planted repeats) through
+    # 4 shards capped at 500k resident entries each → every shard spills
+    # multiple sorted runs; the duplicate count must stay exact
+    import shutil
+
+    from polars_genson_ray.stages.unique import create_index, route_observe
+
+    spill_root = "/tmp/pgr_smoke_spill"
+    shutil.rmtree(spill_root, ignore_errors=True)
+    n_ids, dup_every = 16_000_000, 100
+    actors = create_index(4, spill_dir=spill_root, resident_limit=500_000)
+    t0 = time.perf_counter()
+    total_dups = 0
+    chunk_sz = 1_000_000
+    for lo in range(0, n_ids, chunk_sz):
+        ids = np.arange(lo, min(lo + chunk_sz, n_ids), dtype=np.int64)
+        # every dup_every-th id repeats its predecessor → exact planted dups
+        ids[ids % dup_every == dup_every - 1] -= 1
+        total_dups += len(
+            route_observe(actors, f"smoke:{lo}", ids.tolist())
+        )
+    report["unique_spill_s"] = round(time.perf_counter() - t0, 2)
+    expected_dups = n_ids // dup_every
+    assert total_dups == expected_dups, (total_dups, expected_dups)
+    report["unique_spill_dups"] = int(total_dups)
+    run_files = [
+        f
+        for root, _, files in os.walk(spill_root)
+        for f in files
+        if f.endswith(".npy")
+    ]
+    assert run_files, "spill never activated — resident cap not honored"
+    report["unique_spill_runs"] = len(run_files)
+    for a in actors:
+        ray.kill(a)
+    shutil.rmtree(spill_root, ignore_errors=True)
 
     print(json.dumps(report))
     ray.shutdown()
