@@ -82,18 +82,31 @@ def _derive_dup_resident_limit(
     budget_fraction: float = 0.20,
     bytes_per_entry: float = 13.0,
 ) -> int:
-    """Per-shard resident cap for the uniqueness index, derived from node
-    memory: the index's TOTAL live footprint across shards is held to
-    ``budget_fraction`` of the node at the measured ~13 B/entry of
-    ``UInt64Set``. Floored at 1M entries so toy runs never spill."""
+    """Per-shard resident cap for the uniqueness index, derived from
+    PER-NODE memory: the shards resident on one node are together held to
+    ``budget_fraction`` of the smallest node at the measured ~13 B/entry
+    of ``UInt64Set``. The budget must be per-node, not per-cluster — shard
+    actors are created with SPREAD scheduling (``stages/unique.
+    create_index``), so at most ``ceil(n_shards / n_nodes)`` land on one
+    node; sizing against total cluster memory would let the co-resident
+    shards OOM a node before any shard's spill valve opened. Floored at
+    1M entries so toy runs never spill."""
+    shards_per_node = max(1, n_shards)
     if mem_bytes is None:
         import ray
 
-        mem_bytes = (
-            ray.cluster_resources().get("memory")
-            if ray.is_initialized()
-            else None
-        )
+        if ray.is_initialized():
+            alive = [
+                n["Resources"].get("memory", 0.0)
+                for n in ray.nodes()
+                if n.get("Alive") and n.get("Resources")
+            ]
+            alive = [m for m in alive if m > 0]
+            if alive:
+                mem_bytes = min(alive)
+                shards_per_node = max(
+                    1, -(-max(1, n_shards) // len(alive))  # ceil div
+                )
         if not mem_bytes:
             try:
                 mem_bytes = os.sysconf("SC_PAGE_SIZE") * os.sysconf(
@@ -103,7 +116,7 @@ def _derive_dup_resident_limit(
                 mem_bytes = 8 << 30
     return max(
         1_000_000,
-        int(mem_bytes * budget_fraction / bytes_per_entry / max(1, n_shards)),
+        int(mem_bytes * budget_fraction / bytes_per_entry / shards_per_node),
     )
 
 

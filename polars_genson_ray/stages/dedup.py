@@ -17,10 +17,15 @@ original payload — so the wide steps stay narrow at 100 TB.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 
 from .sketches import hash64, hash_strings
+
+# ASCII-whitespace tokenizer shared with the SQL oracles' RE2 '\s+'
+_ASCII_WS = re.compile(r"\s+", re.ASCII)
 
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
@@ -458,16 +463,27 @@ class SimHasher:
 
     Word hashes are :func:`..sketches.md5_hash_strings` (md5 low-64) —
     unlike every other dedup operator, SimHash's hash IS the output, so
-    it must be reproducible by the SQL oracle."""
+    it must be reproducible by the SQL oracle. Tokenization is therefore
+    ASCII-whitespace (``re.ASCII`` split), matching the oracle's RE2
+    ``string_split_regex('\\s+')`` — Python's Unicode-aware ``str.split``
+    would split on U+00A0/U+2009 etc. that RE2's ``\\s`` does not.
+    (Remaining theoretical divergence: ``lower()`` on non-ASCII letters;
+    the oracle comparison corpus is ASCII.)"""
 
     def __init__(self, column: str = "text", prefix_bits: int = 16):
         self.column = column
         self.prefix_bits = prefix_bits
 
+    @staticmethod
+    def _words(text: str) -> list[str]:
+        if not text:
+            return []
+        return [w for w in _ASCII_WS.split(text.lower()) if w]
+
     def simhash(self, text: str) -> int:
         from .sketches import md5_hash_strings
 
-        words = text.lower().split() if text else []
+        words = self._words(text)
         if not words:
             return 0
         # NB: deterministic hashing (not builtin hash(): PYTHONHASHSEED varies
@@ -492,7 +508,7 @@ class SimHasher:
         out = np.zeros(n, dtype=np.uint64)
         if n == 0:
             return out
-        word_lists = [t.lower().split() if t else [] for t in texts]
+        word_lists = [self._words(t) for t in texts]
         counts = np.fromiter((len(w) for w in word_lists), count=n, dtype=np.int64)
         all_words = [w for ws in word_lists for w in ws]
         if not all_words:

@@ -320,6 +320,40 @@ def embedding_near_duplicates(ds, *, id_column="vec_id", column="embedding",
         if len(group) < 2:
             return empty
         group = group.sort_values(id_column)
+        star = None
+        if len(group) > bucket_cap:
+            # exact-duplicate collapse (phash's collapse phase, applied
+            # lazily to oversized buckets only): byte-identical embeddings
+            # reduce to their min-id representative, each member linked via
+            # a STAR pair (cosine exactly 1.0) instead of a quadratic
+            # expansion — a 100k-row hot exact group emits 99,999 pairs,
+            # not 5e9, and hyperplane refinement below then operates on
+            # distinct vectors it can actually split.
+            emb_all = np.array(group[column].tolist(), dtype=np.float64)
+            eb = [r.tobytes() for r in emb_all]
+            first_pos: dict = {}
+            rep_pos = np.empty(len(group), dtype=np.int64)
+            for i, b in enumerate(eb):
+                rep_pos[i] = first_pos.setdefault(b, i)
+            dup_mask = rep_pos != np.arange(len(group))
+            if dup_mask.any():
+                ids_all = group[id_column].to_numpy()
+                rep_of_dup = rep_pos[dup_mask]
+                # zero vectors match the quadratic path (cosine 0): no pair
+                nz = np.linalg.norm(emb_all[rep_of_dup], axis=1) > 0
+                star = pd.DataFrame(
+                    {
+                        "id_a": ids_all[rep_of_dup][nz],
+                        "id_b": ids_all[dup_mask][nz],
+                        "cosine": 1.0,
+                    }
+                )
+                logger.warning(
+                    "embedding verify: collapsed %d exact-duplicate rows "
+                    "into %d representatives (star pairs, cosine=1.0)",
+                    int(dup_mask.sum()), len(first_pos),
+                )
+                group = group.iloc[~dup_mask]
         if len(group) > bucket_cap and depth < _MAX_REFINE:
             # finer probe instead of the old silent head(bucket_cap) drop:
             # split the bucket with extra hyperplanes (seeded by the
@@ -345,10 +379,48 @@ def embedding_near_duplicates(ds, *, id_column="vec_id", column="embedding",
             subkey = np.zeros(len(group), dtype=np.int64)
             for i in range(bits.shape[1]):
                 subkey |= bits[:, i].astype(np.int64) << i
-            outs = [
+            outs = [] if star is None else [star]
+            outs += [
                 verify(g, depth + 1)
                 for _, g in group.groupby(subkey, sort=False)
             ]
+            outs = [o for o in outs if len(o)]
+            return pd.concat(outs, ignore_index=True) if outs else empty
+        if len(group) > bucket_cap:
+            # depth exhausted on a bucket hyperplanes cannot split (after
+            # exact collapse this means near-collinear DISTINCT vectors —
+            # a dense clique whose full pair set is inherently quadratic).
+            # Bounded fallback: star sweeps — pivot = min id, emit
+            # pivot→member pairs ≥ threshold, drop pivot + members, repeat.
+            # Same O(k²) dot-product compute as the full verify but O(k)
+            # memory and linear output; member↔member pairs inside one
+            # sweep are represented by their shared pivot (sufficient for
+            # dedup/connected-components; logged, never silent).
+            logger.warning(
+                "embedding verify: bucket of %d rows unsplittable at max "
+                "refine depth %d; emitting star-cluster pairs (pivot-based, "
+                "linear output) instead of the full quadratic pair set",
+                len(group), _MAX_REFINE,
+            )
+            ids_all = group[id_column].to_numpy()
+            emb_n = _normalize(np.array(group[column].tolist(), dtype=np.float64))
+            remaining = np.arange(len(ids_all))
+            outs = [] if star is None else [star]
+            while len(remaining) > 1:
+                pivot, rest = remaining[0], remaining[1:]
+                sims = emb_n[rest] @ emb_n[pivot]
+                hit = sims >= threshold
+                if hit.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": ids_all[pivot],
+                                "id_b": ids_all[rest[hit]],
+                                "cosine": sims[hit],
+                            }
+                        )
+                    )
+                remaining = rest[~hit]
             outs = [o for o in outs if len(o)]
             return pd.concat(outs, ignore_index=True) if outs else empty
         ids = group[id_column].to_numpy()
@@ -363,15 +435,16 @@ def embedding_near_duplicates(ds, *, id_column="vec_id", column="embedding",
             out_i.append(ii[keep] + s)
             out_j.append(jj[keep])
             out_c.append(sims[ii[keep], jj[keep]])
-        if not out_i:
-            return empty
-        I = np.concatenate(out_i)
+        I = np.concatenate(out_i) if out_i else np.array([], dtype=np.int64)
         if len(I) == 0:
-            return empty
+            return star if star is not None and len(star) else empty
         J = np.concatenate(out_j)
-        return pd.DataFrame(
+        quad = pd.DataFrame(
             {"id_a": ids[I], "id_b": ids[J], "cosine": np.concatenate(out_c)}
         )
+        if star is not None and len(star):
+            return pd.concat([star, quad], ignore_index=True)
+        return quad
 
     def verify_frame(df: pd.DataFrame) -> pd.DataFrame:
         # one hash-bucket task verifies MANY (table, lsh_bucket) groups —

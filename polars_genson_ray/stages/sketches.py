@@ -53,15 +53,34 @@ def md5_hash_strings(values) -> np.ndarray:
     whose OUTPUT embeds the hash (SimHash) stay oracle-comparable."""
     import hashlib
 
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
+    n = len(values)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    # hash DISTINCT values only, then scatter: natural text repeats words
+    # 10-25×, so this cuts the per-value hashlib calls by the batch's
+    # repetition factor on SimHash's 100%-of-corpus path
+    arr = np.asarray(values, dtype=object)
+    try:
+        uniq, inverse = np.unique(arr, return_inverse=True)
+    except TypeError:  # mixed str/bytes/None input is unsortable
+        out = np.empty(n, dtype=np.uint64)
+        for i, v in enumerate(values):
+            b = (
+                v.encode("utf-8", "surrogatepass")
+                if isinstance(v, str)
+                else bytes(v or b"")
+            )
+            out[i] = int.from_bytes(hashlib.md5(b).digest()[:8], "big")
+        return out
+    uh = np.empty(len(uniq), dtype=np.uint64)
+    for i, v in enumerate(uniq):
         b = (
             v.encode("utf-8", "surrogatepass")
             if isinstance(v, str)
             else bytes(v or b"")
         )
-        out[i] = int.from_bytes(hashlib.md5(b).digest()[:8], "big")
-    return out
+        uh[i] = int.from_bytes(hashlib.md5(b).digest()[:8], "big")
+    return uh[inverse]
 
 
 def key_hashes(tbl, cols: list[str]) -> np.ndarray:
@@ -302,6 +321,11 @@ def tree_reduce_blobs(blobs_ds, combine, *, fanin: int = 64) -> list:
         n_groups = math.ceil(n / fanin)
 
         def merge_block(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                # a 0-row block after repartition must not synthesize a
+                # combine([]) blob (e.g. pickled None) that poisons the
+                # next merge round — emit nothing instead
+                return pd.DataFrame({"blob": pd.Series([], dtype=object)})
             return pd.DataFrame({"blob": [combine(list(df["blob"]))]})
 
         ds = ds.repartition(n_groups).map_batches(

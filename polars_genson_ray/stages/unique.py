@@ -182,9 +182,19 @@ class UniqueIndexShard:
         if resident_limit is not None and spill_dir is None:
             raise ValueError("resident_limit requires spill_dir")
         if spill_dir is not None:
+            import glob
             import os
 
             os.makedirs(spill_dir, exist_ok=True)
+            # a fresh shard owns its directory: stale run files from a
+            # crashed prior run are unreachable (_runs starts empty) and
+            # only the low-numbered names would be overwritten — remove
+            # them all so orphaned multi-TB spill never accumulates
+            for stale in glob.glob(os.path.join(spill_dir, "run_*.npy")):
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
 
     # -- spill machinery -------------------------------------------------
     def _in_runs(self, hashes: np.ndarray) -> np.ndarray:
@@ -308,8 +318,12 @@ def create_index(num_shards: int, *, spill_dir: str | None = None,
     LSM spill path (each shard gets its own subdirectory)."""
     import os
 
+    # SPREAD: distribute shards across nodes so the per-node resident
+    # budget (validation._derive_dup_resident_limit divides by shards
+    # PER NODE) holds — default packing could co-locate every shard on
+    # one node and OOM it before any spill valve opened
     return [
-        UniqueIndexShard.remote(
+        UniqueIndexShard.options(scheduling_strategy="SPREAD").remote(
             spill_dir=None if spill_dir is None
             else os.path.join(spill_dir, f"shard_{i:03d}"),
             resident_limit=resident_limit,

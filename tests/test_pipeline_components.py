@@ -1882,3 +1882,148 @@ def test_confirm_duplicates_drops_collision_false_positives(
         [p], ["img_a", "img_c"], ValidationConfig()
     )
     assert out == ["img_a"]  # img_c occurs once: collision false positive
+
+
+def test_embedding_neardup_hot_exact_group_collapses(ray_session):
+    """An oversized bucket dominated by byte-identical embeddings must
+    collapse to star pairs (rep → member, cosine 1.0) — linear output,
+    never the quadratic pairwise expansion, and refinement then splits
+    the remaining distinct vectors."""
+    import pandas as pd
+    import ray.data as rd
+
+    from polars_genson_ray.stages.similarity import embedding_near_duplicates
+
+    rng = np.random.default_rng(41)
+    base = rng.standard_normal(16)
+    hot = np.tile(base, (300, 1))  # 300 identical copies
+    others = rng.standard_normal((50, 16))
+    vecs = np.vstack([hot, others])
+    df = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": list(vecs)})
+    out = embedding_near_duplicates(
+        rd.from_pandas(df).repartition(3), dim=16, threshold=0.95,
+        num_planes=1, num_tables=2, bucket_cap=16,
+    ).to_pandas()
+    # every hot member links to the min-id representative (id 0)
+    star = out[(out.id_a == 0) & (out.cosine >= 0.999)]
+    assert set(star.id_b) == set(range(1, 300))
+    # linear, not quadratic: 300 identical rows would make 44850 pairs
+    assert len(out) < 2000
+
+
+def test_embedding_neardup_collinear_bucket_star_sweep(ray_session):
+    """DISTINCT collinear vectors defeat hyperplane refinement at every
+    depth; the bounded fallback must emit pivot-star pairs covering every
+    member instead of OOM-ing on the full quadratic set."""
+    import pandas as pd
+    import ray.data as rd
+
+    from polars_genson_ray.stages.similarity import embedding_near_duplicates
+
+    rng = np.random.default_rng(43)
+    base = rng.standard_normal(8)
+    scales = 1.0 + 0.01 * np.arange(120)  # distinct positive multiples
+    vecs = base[None, :] * scales[:, None]
+    df = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": list(vecs)})
+    out = embedding_near_duplicates(
+        rd.from_pandas(df).repartition(2), dim=8, threshold=0.99,
+        num_planes=1, num_tables=1, bucket_cap=8,
+    ).to_pandas()
+    # all 120 members are mutually cosine-1: star pairs must link every
+    # id to pivot 0, with linear (not 7140-pair quadratic) output
+    linked = set(out.id_b[out.id_a == 0]) | set(out.id_a[out.id_b == 0])
+    assert linked == set(range(1, 120))
+    assert len(out) < 1000
+
+
+def test_md5_hash_strings_unique_scatter_matches_direct():
+    """The distinct-hash + scatter fast path must be byte-identical to
+    hashing each occurrence directly (incl. heavy repetition)."""
+    import hashlib
+
+    from polars_genson_ray.stages.sketches import md5_hash_strings
+
+    words = ["the", "cat", "the", "", "dog", "the", "cat"] * 13
+    got = md5_hash_strings(words)
+    exp = np.array(
+        [
+            int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+            for w in words
+        ],
+        dtype=np.uint64,
+    )
+    assert (got == exp).all()
+    assert len(md5_hash_strings([])) == 0
+
+
+def test_tree_reduce_blobs_tolerates_empty_blocks(ray_session):
+    """A 0-row block reaching a merge round must emit nothing — not a
+    combine([]) artifact that poisons the next round."""
+    import pickle
+
+    import pandas as pd
+    import ray.data as rd
+
+    from polars_genson_ray.stages.sketches import tree_reduce_blobs
+
+    blobs = [pickle.dumps({i: i}) for i in range(7)]
+    # more partitions than rows → guaranteed empty blocks
+    ds = rd.from_pandas(pd.DataFrame({"blob": blobs})).repartition(20)
+
+    def combine(bs):
+        assert bs, "combine must never see an empty list"
+        merged = {}
+        for b in bs:
+            merged.update(pickle.loads(b))
+        return pickle.dumps(merged)
+
+    out = tree_reduce_blobs(ds, combine, fanin=2)
+    merged = {}
+    for b in out:
+        merged.update(pickle.loads(b))
+    assert merged == {i: i for i in range(7)}
+
+
+def test_simhash_ascii_whitespace_matches_duckdb_oracle():
+    """SimHash tokenization must match the oracle's RE2 '\\s+' (ASCII):
+    a non-breaking space stays INSIDE a token on both sides."""
+    import duckdb
+    import pandas as pd
+
+    from polars_genson_ray.stages.dedup import SimHasher
+
+    texts = ["foo bar baz", "foo bar baz", "plain ascii text"]
+    sh = SimHasher()
+    ours = [sh.simhash(t) for t in texts]
+    assert ours == [int(v) for v in sh.simhashes(texts)]
+    con = duckdb.connect()
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    con.register("documents", docs)
+    sql = """
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS w
+            FROM documents WHERE trim(text) <> ''
+        ), words AS (
+            SELECT doc_id, UNNEST(w) AS word FROM toks
+        ), wh AS (
+            SELECT doc_id, ('0x' || substr(md5(word), 1, 16))::UBIGINT AS h
+            FROM words WHERE word <> ''
+        ), bits AS (
+            SELECT doc_id, b AS bit,
+                   SUM(((h >> b::INTEGER) & 1)::BIGINT) AS ones,
+                   COUNT(*) AS n
+            FROM wh, (SELECT UNNEST(range(0, 63)) AS b)
+            GROUP BY doc_id, b
+        ), sh AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN 2 * ones > n
+                            THEN (1::BIGINT << bit::INTEGER)
+                            ELSE 0 END) AS simhash
+            FROM bits GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(COALESCE(simhash, 0) AS BIGINT) AS simhash
+        FROM sh ORDER BY doc_id
+    """
+    theirs = con.execute(sql).df()["simhash"].tolist()
+    assert ours == theirs
