@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_value": Q.q_user_running_value,
         "cumulative_new_users": Q.q_cumulative_new_users,
         "weekly_cohorts": Q.q_weekly_cohorts,
+        "dup_spans": Q.q_dup_spans,
         # schema-inference / normalisation core (conformance-tested against
         # the reference snapshot corpus; outputs not SQL-expressible)
         "schema_infer_events_props": Q.r_schema_infer_events_props,
@@ -788,6 +789,39 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(LN(c.c / t.t)), 6) AS logprob
             FROM wexp e JOIN counts c USING (word) CROSS JOIN tot t
             GROUP BY e.doc_id
+        """,
+        # dup_fraction is the EXACT IEEE quotient dup_words/n_words on both
+        # sides (no ROUND: rational ties would hit numpy half-even vs SQL
+        # half-away); gram identity is by hash in the engine, by string
+        # here — collisions are ~n²/2⁶⁵
+        "dup_spans": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents WHERE trim(text) <> ''
+            ), docw AS (
+                SELECT doc_id, w, len(w) AS nw FROM toks
+            ), wins AS (
+                SELECT doc_id, g.s AS s,
+                       array_to_string(w[g.s : g.s + 4], ' ') AS gram
+                FROM docw, UNNEST(range(1, nw - 5 + 2)) AS g(s)
+            ), dupg AS (
+                SELECT gram FROM wins
+                GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+            ), hits AS (
+                SELECT doc_id, s FROM wins
+                WHERE gram IN (SELECT gram FROM dupg)
+            ), cov AS (
+                SELECT DISTINCT doc_id, p.p
+                FROM hits, UNNEST(range(s, s + 5)) AS p(p)
+            ), perdoc AS (
+                SELECT doc_id, COUNT(*) AS dup_words FROM cov GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   d.nw AS n_words,
+                   COALESCE(pd.dup_words, 0) AS dup_words,
+                   COALESCE(pd.dup_words, 0)::DOUBLE / d.nw AS dup_fraction
+            FROM docw d LEFT JOIN perdoc pd USING (doc_id)
         """,
         # SimHash word hashes are md5 low-64 PRECISELY so this oracle can
         # replicate the full bit-vote construction in SQL (bits 0..62; the

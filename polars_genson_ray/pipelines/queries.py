@@ -865,6 +865,20 @@ def q_doc_logprob(sf_dir: str):
     return unigram_logprob(ds, probe)
 
 
+def q_dup_spans(sf_dir: str, ngram_words: int = 5, min_docs: int = 2):
+    """Substring-level exact duplication (Lee-et-al-style over word
+    windows): per-document count/fraction of word positions covered by a
+    ``ngram_words``-gram that occurs in ≥ ``min_docs`` distinct documents.
+    Two-pass: hashed gram df exchange → broadcast dup-gram probe with
+    vectorized interval-union coverage."""
+    from ..stages.corpus import duplicated_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return duplicated_spans(
+        ds, "text", "doc_id", ngram_words=ngram_words, min_docs=min_docs
+    )
+
+
 def r_pack_documents(sf_dir: str, max_tokens: int = 512):
     """Token-budget sequence packing (rows-only: next-fit order is
     partition-dependent, not SQL-expressible). Token counts come from the

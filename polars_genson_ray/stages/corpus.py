@@ -35,6 +35,34 @@ def _doc_words(texts) -> list[list[str]]:
     return [t.lower().split() if t else [] for t in texts]
 
 
+def _flat_gram_windows(word_lists: list[list[str]], n: int):
+    """Flat gram-window index over a batch's word lists: hash every word
+    ONCE, one gram-hash window sweep over the concatenation; windows
+    straddling doc boundaries are discarded. Returns ``(all_words, grams,
+    idx, doc_idx)`` — ``grams[k]`` is the hash of the n-word window
+    starting at flat word position ``idx[k]`` in document ``doc_idx[k]`` —
+    or None when no document has a full window. Shared by both
+    boilerplate passes so the straddle arithmetic can't diverge."""
+    counts = np.fromiter(
+        (len(ws) for ws in word_lists), count=len(word_lists), dtype=np.int64
+    )
+    if not len(counts) or not (counts >= n).any():
+        return None
+    all_words = [w for ws in word_lists for w in ws]
+    flat_all = _gram_hashes_flat(hash_strings(all_words), n)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    vcounts = np.maximum(counts - n + 1, 0)
+    voffsets = np.concatenate(([0], np.cumsum(vcounts)))[:-1]
+    total = int(vcounts.sum())
+    idx = (
+        np.repeat(starts, vcounts)
+        + np.arange(total)
+        - np.repeat(voffsets, vcounts)
+    )
+    doc_idx = np.repeat(np.arange(len(counts)), vcounts)
+    return all_words, flat_all[idx], idx, doc_idx
+
+
 def boilerplate_ngrams(
     ds,
     column: str = "text",
@@ -64,26 +92,9 @@ def boilerplate_ngrams(
         # this replaces paid dispatch overhead per document on a stage
         # that scans 100% of the corpus
         word_lists = _doc_words(batch[column].to_pylist())
-        counts = np.fromiter(
-            (len(ws) for ws in word_lists), count=len(word_lists),
-            dtype=np.int64,
-        )
-        all_words = [w for ws in word_lists for w in ws]
-        if all_words and (counts >= n).any():
-            flat_all = _gram_hashes_flat(hash_strings(all_words), n)
-            starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
-            vcounts = np.maximum(counts - n + 1, 0)
-            # valid window positions per doc (windows straddling doc
-            # boundaries discarded), each tagged with its doc index
-            voffsets = np.concatenate(([0], np.cumsum(vcounts)))[:-1]
-            total = int(vcounts.sum())
-            idx = (
-                np.repeat(starts, vcounts)
-                + np.arange(total)
-                - np.repeat(voffsets, vcounts)
-            )
-            doc_idx = np.repeat(np.arange(len(counts)), vcounts)
-            grams = flat_all[idx]
+        flat = _flat_gram_windows(word_lists, n)
+        if flat is not None:
+            _, grams, _, doc_idx = flat
             # distinct per doc: sort by (doc, gram), keep run heads
             order = np.lexsort((grams, doc_idx))
             fd, fg = doc_idx[order], grams[order]
@@ -124,24 +135,10 @@ def boilerplate_ngrams(
             {"gram": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
         )
         word_lists = _doc_words(batch[column].to_pylist())
-        counts = np.fromiter(
-            (len(ws) for ws in word_lists), count=len(word_lists),
-            dtype=np.int64,
-        )
-        if len(fh) == 0 or not (counts >= n).any():
+        flat = _flat_gram_windows(word_lists, n) if len(fh) else None
+        if flat is None:
             return empty
-        all_words = [w for ws in word_lists for w in ws]
-        flat_all = _gram_hashes_flat(hash_strings(all_words), n)
-        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
-        vcounts = np.maximum(counts - n + 1, 0)
-        voffsets = np.concatenate(([0], np.cumsum(vcounts)))[:-1]
-        total = int(vcounts.sum())
-        idx = (
-            np.repeat(starts, vcounts)
-            + np.arange(total)
-            - np.repeat(voffsets, vcounts)
-        )
-        grams = flat_all[idx]
+        all_words, grams, idx, _ = flat
         pos = np.searchsorted(fh, grams)
         pos[pos == len(fh)] = 0
         hit = fh[pos] == grams
@@ -168,6 +165,110 @@ def boilerplate_ngrams(
         .repartition(1)
         .map_batches(dedup, batch_format="pandas", batch_size=None)
     )
+
+
+def duplicated_spans(
+    ds,
+    column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    ngram_words: int = 8,
+    min_docs: int = 2,
+):
+    """Substring-level exact duplication (the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" shape, expressed over word
+    windows): a word ``ngram_words``-gram occurring in ≥ ``min_docs``
+    DISTINCT documents marks every word position it covers as duplicated.
+    Emits per-document ``(id, n_words, dup_words, dup_fraction)`` — the
+    curation signal for "this doc is partially boilerplate/copied", finer
+    than whole-doc minhash and cheaper than suffix arrays.
+
+    Same two-pass 100-TB shape as :func:`boilerplate_ngrams` (shared
+    window machinery): pass 1 exchanges only gram-hash df counts, the
+    duplicated-gram set (bounded by corpus_grams / min_docs) broadcasts
+    once, pass 2 streams the corpus with one searchsorted probe per batch
+    and computes interval-union coverage vectorized (sorted fixed-length
+    windows: each contributes ``min(n, gap-to-next)``).
+
+    ``dup_fraction`` is emitted as the EXACT IEEE quotient dup/n (no
+    rounding): integer÷integer is bit-reproducible by the SQL oracle,
+    while rounding rational ties (e.g. 1/128 at 6 decimals) would hit the
+    numpy half-even vs SQL half-away divergence.
+    """
+    import ray
+
+    n = ngram_words
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        word_lists = _doc_words(batch[column].to_pylist())
+        flat = _flat_gram_windows(word_lists, n)
+        if flat is not None:
+            _, grams, _, doc_idx = flat
+            order = np.lexsort((grams, doc_idx))
+            fd, fg = doc_idx[order], grams[order]
+            keep = np.concatenate(
+                ([True], (fd[1:] != fd[:-1]) | (fg[1:] != fg[:-1]))
+            )
+            h, c = np.unique(fg[keep], return_counts=True)
+        else:
+            h = np.zeros(0, dtype=np.uint64)
+            c = np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {"gh": pa.array(h.view(np.int64)), "df": pa.array(c.astype(np.int64))}
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("gh", as_index=False).agg(df=("df", "sum"))
+        return out[out["df"] >= min_docs]
+
+    counts = bucketed_groups(
+        ds.map_batches(partial_counts, batch_format="pyarrow"), ["gh"], combine
+    )
+    dup = counts.to_pandas()  # bounded by corpus_grams / min_docs
+    dup_h = np.sort(dup["gh"].to_numpy().view(np.uint64))
+    dup_ref = ray.put(dup_h)
+
+    def coverage(batch: pa.Table) -> pa.Table:
+        dh = ray.get(dup_ref)
+        texts = batch[column].to_pylist()
+        word_lists = _doc_words(texts)
+        counts_ = np.fromiter(
+            (len(ws) for ws in word_lists), count=len(word_lists),
+            dtype=np.int64,
+        )
+        dup_words = np.zeros(len(counts_), dtype=np.int64)
+        flat = _flat_gram_windows(word_lists, n) if len(dh) else None
+        if flat is not None:
+            _, grams, idx, doc_idx = flat
+            pos = np.searchsorted(dh, grams)
+            pos[pos == len(dh)] = 0
+            hit = dh[pos] == grams
+            if hit.any():
+                h_doc = doc_idx[hit]
+                h_pos = idx[hit]  # ascending within each doc by construction
+                contrib = np.full(len(h_pos), n, dtype=np.int64)
+                if len(h_pos) > 1:
+                    same = h_doc[1:] == h_doc[:-1]
+                    gaps = h_pos[1:] - h_pos[:-1]
+                    head = contrib[:-1]
+                    head[same] = np.minimum(n, gaps[same])
+                dup_words = np.bincount(
+                    h_doc, weights=contrib, minlength=len(counts_)
+                ).astype(np.int64)
+        keep = counts_ > 0
+        ids = batch[id_column].to_numpy(zero_copy_only=False)[keep]
+        dw = dup_words[keep]
+        nw = counts_[keep]
+        return pa.table(
+            {
+                id_column: pa.array(ids),
+                "n_words": pa.array(nw),
+                "dup_words": pa.array(dw),
+                "dup_fraction": pa.array(dw / nw),
+            }
+        )
+
+    return ds.map_batches(coverage, batch_format="pyarrow")
 
 
 class _LogProbProbe:

@@ -243,3 +243,41 @@ def test_hash_mix_upsample_exact_replication(ray_session):
     # every integer-weight row contributes exactly w)
     s0 = out[out.source == "s0"]
     assert len(s0) == 2 * (len(df) // 3 + (1 if len(df) % 3 else 0))
+
+
+def test_duplicated_spans_interval_union_coverage(ray_session):
+    """Planted-truth check of the window-coverage arithmetic: overlapping
+    duplicated windows must count each covered position ONCE."""
+    import pandas as pd
+    import ray.data as rd
+
+    from polars_genson_ray.stages.corpus import duplicated_spans
+
+    # docs 0 and 1 share the 6-word run "a b c d e f" → with n=3 the dup
+    # 3-grams are (a b c),(b c d),(c d e),(d e f): overlapping windows
+    # covering positions 0..5 = 6 words exactly (not 4*3=12)
+    shared = "a b c d e f"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                shared + " unique0 tail0",
+                "head1 " + shared,
+                "totally different words here seven eight",
+            ],
+        }
+    )
+    out = (
+        duplicated_spans(
+            rd.from_pandas(docs).repartition(2), "text", "doc_id",
+            ngram_words=3, min_docs=2,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_words"] == 8 and out.loc[0, "dup_words"] == 6
+    assert out.loc[1, "n_words"] == 7 and out.loc[1, "dup_words"] == 6
+    assert out.loc[2, "dup_words"] == 0
+    assert out.loc[0, "dup_fraction"] == 6 / 8
+    assert out.loc[2, "dup_fraction"] == 0.0

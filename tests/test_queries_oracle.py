@@ -187,6 +187,7 @@ _ORACLED_QUERIES = [
         "day_retention",
         "weekly_cohorts",
         "simhash_docs",
+        "dup_spans",
 ]
 
 
