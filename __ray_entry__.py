@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_new_users": Q.q_cumulative_new_users,
         "weekly_cohorts": Q.q_weekly_cohorts,
         "dup_spans": Q.q_dup_spans,
+        "bm25_docs": Q.q_bm25_docs,
         # schema-inference / normalisation core (conformance-tested against
         # the reference snapshot corpus; outputs not SQL-expressible)
         "schema_infer_events_props": Q.r_schema_infer_events_props,
@@ -132,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": Q.r_embedding_kmeans,
         "semantic_dedup": Q.r_semantic_dedup,
         "events_value_drift": Q.r_events_value_drift,
+        "bloom_decontam": Q.r_bloom_decontam,
         # multimodal stages (synthetic codec; rows-only)
         "phash_neardup_images": Q.r_phash_neardup_images,
         "image_features": Q.r_image_features,
@@ -822,6 +824,41 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(pd.dup_words, 0) AS dup_words,
                    COALESCE(pd.dup_words, 0)::DOUBLE / d.nw AS dup_fraction
             FROM docw d LEFT JOIN perdoc pd USING (doc_id)
+        """,
+        # BM25 with Robertson keep-positive idf; ROUND(…, 6) on both sides
+        # absorbs libm/summation-order ulps (the doc_logprob convention)
+        "bm25_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents WHERE trim(text) <> ''
+            ), dl AS (
+                SELECT doc_id, len(w) AS dl FROM toks
+            ), words AS (
+                SELECT doc_id, UNNEST(w) AS word FROM toks
+            ), stats AS (
+                SELECT COUNT(*)::DOUBLE AS n_docs, AVG(dl)::DOUBLE AS avgdl
+                FROM dl
+            ), qt AS (
+                SELECT UNNEST(['hash', 'join', 'merge', 'sort']) AS term
+            ), dft AS (
+                SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS df
+                FROM words JOIN qt ON word = term GROUP BY term
+            ), tf AS (
+                SELECT doc_id, word AS term, COUNT(*)::DOUBLE AS tf
+                FROM words JOIN qt ON word = term GROUP BY doc_id, word
+            )
+            SELECT tf.doc_id,
+                   ROUND(SUM(
+                       LN(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                   ), 6) AS bm25
+            FROM tf
+            JOIN dft d USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY tf.doc_id
         """,
         # SimHash word hashes are md5 low-64 PRECISELY so this oracle can
         # replicate the full bit-vote construction in SQL (bits 0..62; the

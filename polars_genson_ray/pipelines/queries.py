@@ -879,6 +879,16 @@ def q_dup_spans(sf_dir: str, ngram_words: int = 5, min_docs: int = 2):
     )
 
 
+def q_bm25_docs(sf_dir: str, query: str = "hash join merge sort"):
+    """BM25 relevance of every document against a query string: the
+    statistics exchange is |query| df counters per batch (no
+    vocabulary-sized combine), then one streamed scoring pass."""
+    from ..stages.corpus import bm25_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_scores(ds, query)
+
+
 def r_pack_documents(sf_dir: str, max_tokens: int = 512):
     """Token-budget sequence packing (rows-only: next-fit order is
     partition-dependent, not SQL-expressible). Token counts come from the
@@ -1023,6 +1033,35 @@ def q_decontaminate_docs(sf_dir: str):
     return decontaminate(
         ds.map_batches(drop_benchmark, batch_format="pandas"),
         bench_texts,
+        column="text",
+        id_column="doc_id",
+        ngram_words=5,
+    )
+
+
+def r_bloom_decontam(sf_dir: str):
+    """Bloom-filter decontamination (rows-only: the filter is approximate
+    — guaranteed no false negatives, tunable false positives — so exact
+    SQL equality doesn't apply; the in-repo differential test pins
+    flags ⊇ exact-decontaminate flags). Same benchmark convention as
+    ``decontaminate_docs`` (every 50th doc), but the benchmark side is a
+    DATASET and the membership structure is a fixed 8 MiB bitmap —
+    the variant for contamination corpora too large to broadcast
+    exactly."""
+    from ..stages.decontam import bloom_decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keep_benchmark(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df.doc_id % 50 == 0]
+
+    def drop_benchmark(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df.doc_id % 50 != 0]
+
+    contam = ds.map_batches(keep_benchmark, batch_format="pandas")
+    return bloom_decontaminate(
+        ds.map_batches(drop_benchmark, batch_format="pandas"),
+        contam,
         column="text",
         id_column="doc_id",
         ngram_words=5,

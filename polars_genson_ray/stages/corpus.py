@@ -271,6 +271,118 @@ def duplicated_spans(
     return ds.map_batches(coverage, batch_format="pyarrow")
 
 
+def bm25_scores(
+    ds,
+    query: str,
+    *,
+    column: str = "text",
+    id_column: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+):
+    """Distributed BM25 of every document against ONE query string
+    (Robertson ``ln(1 + (N - df + .5)/(df + .5))`` idf — the Lucene
+    keep-positive convention).
+
+    The 100-TB shape differs from the generic two-pass template in one
+    key way: the statistics pass exchanges ONLY ``|query|`` df counters
+    plus (n_docs, total_words) per batch — a fixed-width partial row, no
+    vocabulary-sized combine at all. The tiny partials collapse
+    driver-side (#blocks × (|query|+2) ints; tree-merge via
+    ``sketches.tree_reduce_blobs`` if block counts ever made this the
+    bottleneck), then pass 2 streams the corpus once with a vectorized
+    per-batch probe. Scores round to ``round_to`` (the ``doc_logprob``
+    convention: cross-engine libm/g summation-order ulps vanish at 6
+    decimals). Only documents containing ≥1 query term are emitted.
+    """
+    import ray
+
+    q_words = sorted(set(_doc_words([query])[0]))
+    if not q_words:
+        raise ValueError("query has no words")
+    q_h = np.sort(hash_strings(q_words))
+    nq = len(q_h)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        word_lists = _doc_words(batch[column].to_pylist())
+        counts = np.fromiter(
+            (len(ws) for ws in word_lists), count=len(word_lists),
+            dtype=np.int64,
+        )
+        n_docs = int((counts > 0).sum())
+        total_words = int(counts.sum())
+        df = np.zeros(nq, dtype=np.int64)
+        all_words = [w for ws in word_lists for w in ws]
+        if all_words:
+            wh = hash_strings(all_words)
+            pos = np.searchsorted(q_h, wh)
+            pos[pos == nq] = 0
+            hit = q_h[pos] == wh
+            if hit.any():
+                doc_idx = np.repeat(np.arange(len(counts)), counts)
+                key = doc_idx[hit] * nq + pos[hit]
+                terms = np.unique(key) % nq  # distinct (doc, term) → df
+                df = np.bincount(terms, minlength=nq).astype(np.int64)
+        return pa.table(
+            {
+                "df": pa.array([df.tolist()], pa.list_(pa.int64())),
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "total_words": pa.array([total_words], pa.int64()),
+            }
+        )
+
+    stats = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    df_tot = np.sum(np.stack(stats["df"].to_numpy()), axis=0).astype(np.float64)
+    n_docs = float(stats["n_docs"].sum())
+    avgdl = float(stats["total_words"].sum()) / max(1.0, n_docs)
+    idf = np.log(1.0 + (n_docs - df_tot + 0.5) / (df_tot + 0.5))
+    probe_ref = ray.put((q_h, idf, avgdl))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qh, idf_, avgdl_ = ray.get(probe_ref)
+        word_lists = _doc_words(batch[column].to_pylist())
+        counts = np.fromiter(
+            (len(ws) for ws in word_lists), count=len(word_lists),
+            dtype=np.int64,
+        )
+        empty = pa.table(
+            {
+                id_column: pa.array([], batch[id_column].type),
+                "bm25": pa.array([], pa.float64()),
+            }
+        )
+        all_words = [w for ws in word_lists for w in ws]
+        if not all_words:
+            return empty
+        wh = hash_strings(all_words)
+        pos = np.searchsorted(qh, wh)
+        pos[pos == len(qh)] = 0
+        hit = qh[pos] == wh
+        if not hit.any():
+            return empty
+        doc_idx = np.repeat(np.arange(len(counts)), counts)
+        key = doc_idx[hit] * len(qh) + pos[hit]
+        ukey, tf = np.unique(key, return_counts=True)
+        ud, ut = ukey // len(qh), ukey % len(qh)
+        dl = counts[ud].astype(np.float64)
+        tf = tf.astype(np.float64)
+        contrib = idf_[ut] * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * dl / avgdl_)
+        )
+        docs = np.unique(ud)
+        scores = np.bincount(ud, weights=contrib, minlength=len(counts))[docs]
+        ids = batch[id_column].take(pa.array(docs))
+        return pa.table(
+            {
+                id_column: ids,
+                "bm25": pa.array(np.round(scores, round_to)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 class _LogProbProbe:
     """Broadcast-vocabulary scorer (pass 2 of :func:`unigram_logprob`)."""
 

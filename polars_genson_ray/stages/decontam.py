@@ -118,3 +118,185 @@ def decontaminate(
         ContaminationTagger(bench_ref, column, id_column, ngram_words),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter variant: contamination sets too large to broadcast exactly
+# ---------------------------------------------------------------------------
+
+def _bloom_positions(h: np.ndarray, num_hashes: int, bits_log2: int):
+    """Kirsch–Mitzenmacher double hashing: k bit positions per 64-bit
+    shingle hash, pos_i = (h + i * h2) mod 2^bits_log2 with odd h2."""
+    mask = np.uint64((1 << bits_log2) - 1)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    return [((h + np.uint64(i) * h2) & mask) for i in range(num_hashes)]
+
+
+def build_bloom_filter(
+    contam_ds,
+    column: str = "text",
+    *,
+    ngram_words: int = 5,
+    bits_log2: int = 26,
+    num_hashes: int = 4,
+) -> np.ndarray:
+    """Distributed Bloom-filter build over a contamination corpus that is
+    itself a Dataset (prior training corpus, giant eval suite): the exact
+    sorted-hash broadcast of :func:`decontaminate` needs 8 B per DISTINCT
+    shingle — beyond ~10⁹ shingles the broadcast side stops fitting, while
+    a Bloom filter stays at a FIXED 2^bits_log2 bits (2^26 = 8 MiB)
+    regardless of corpus size, trading a tunable false-positive rate
+    (never false negatives: nothing contaminated slips through; some clean
+    docs are over-dropped — the conservative direction for hygiene).
+
+    Each batch sets its shingles' bits in a local bitmap; bitmaps OR-merge
+    through :func:`..sketches.tree_reduce_blobs` (log-depth, the driver
+    sees ≤ fanin blobs — OR is the idempotent-commutative monoid here).
+    Returns the packed uint64 bitmap (length 2^bits_log2 / 64).
+    """
+    import pandas as pd
+
+    from .sketches import tree_reduce_blobs
+
+    n = ngram_words
+    words_len = 1 << max(0, bits_log2 - 6)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bitmap = np.zeros(words_len, dtype=np.uint64)
+        texts = batch[column].to_pylist()
+        word_lists = [t.lower().split() if t else [] for t in texts]
+        counts = np.fromiter(
+            (len(w) for w in word_lists), count=len(word_lists),
+            dtype=np.int64,
+        )
+        all_words = [w for ws in word_lists for w in ws]
+        if all_words and (counts >= n).any():
+            flat = _gram_hashes_flat(hash_strings(all_words), n)
+            starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            vcounts = np.maximum(counts - n + 1, 0)
+            voffsets = np.concatenate(([0], np.cumsum(vcounts)))[:-1]
+            total = int(vcounts.sum())
+            idx = (
+                np.repeat(starts, vcounts)
+                + np.arange(total)
+                - np.repeat(voffsets, vcounts)
+            )
+            grams = np.unique(flat[idx])
+            for pos in _bloom_positions(grams, num_hashes, bits_log2):
+                np.bitwise_or.at(
+                    bitmap, (pos >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (pos & np.uint64(63)),
+                )
+        return pa.table({"blob": pa.array([bitmap.tobytes()], pa.binary())})
+
+    def combine(blobs: list) -> bytes:
+        acc = np.frombuffer(blobs[0], dtype=np.uint64).copy()
+        for b in blobs[1:]:
+            acc |= np.frombuffer(b, dtype=np.uint64)
+        return acc.tobytes()
+
+    blobs = tree_reduce_blobs(
+        contam_ds.map_batches(partial, batch_format="pyarrow"), combine
+    )
+    return np.frombuffer(combine(blobs), dtype=np.uint64).copy()
+
+
+class BloomContaminationTagger:
+    """map_batches: (id, text) → (id, n_maybe_contam, contaminated) via a
+    broadcast Bloom bitmap — one flat vectorized probe per batch (no
+    per-doc loop): k position computations over the batch's full gram
+    array, AND-reduced, then per-doc distinct-hit counting."""
+
+    def __init__(self, bloom_ref, column: str, id_column: str,
+                 n: int = 5, bits_log2: int = 26, num_hashes: int = 4):
+        self.bloom_ref = bloom_ref
+        self.column = column
+        self.id_column = id_column
+        self.n = n
+        self.bits_log2 = bits_log2
+        self.num_hashes = num_hashes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        bitmap = ray.get(self.bloom_ref)
+        texts = batch[self.column].to_pylist()
+        n = self.n
+        word_lists = [t.lower().split() if t else [] for t in texts]
+        counts = np.fromiter(
+            (len(w) for w in word_lists), count=len(word_lists),
+            dtype=np.int64,
+        )
+        n_hits = np.zeros(len(texts), dtype=np.int64)
+        all_words = [w for ws in word_lists for w in ws]
+        if all_words and (counts >= n).any():
+            flat = _gram_hashes_flat(hash_strings(all_words), n)
+            starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            vcounts = np.maximum(counts - n + 1, 0)
+            voffsets = np.concatenate(([0], np.cumsum(vcounts)))[:-1]
+            total = int(vcounts.sum())
+            idx = (
+                np.repeat(starts, vcounts)
+                + np.arange(total)
+                - np.repeat(voffsets, vcounts)
+            )
+            doc_idx = np.repeat(np.arange(len(counts)), vcounts)
+            grams = flat[idx]
+            member = np.ones(total, dtype=bool)
+            for pos in _bloom_positions(
+                grams, self.num_hashes, self.bits_log2
+            ):
+                word = bitmap[(pos >> np.uint64(6)).astype(np.int64)]
+                member &= (
+                    (word >> (pos & np.uint64(63))) & np.uint64(1)
+                ).astype(bool)
+            if member.any():
+                # distinct matching grams per doc (mirror the exact
+                # tagger's join-on-distinct semantics)
+                hd, hg = doc_idx[member], grams[member]
+                order = np.lexsort((hg, hd))
+                hd, hg = hd[order], hg[order]
+                keep = np.concatenate(
+                    ([True], (hd[1:] != hd[:-1]) | (hg[1:] != hg[:-1]))
+                )
+                n_hits = np.bincount(
+                    hd[keep], minlength=len(counts)
+                ).astype(np.int64)
+        return pa.table(
+            {
+                self.id_column: batch[self.id_column],
+                "n_maybe_contam": pa.array(n_hits),
+                "contaminated": pa.array(n_hits > 0),
+            }
+        )
+
+
+def bloom_decontaminate(
+    ds,
+    contam_ds,
+    column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    ngram_words: int = 5,
+    bits_log2: int = 26,
+    num_hashes: int = 4,
+):
+    """Bloom-filter decontamination: build the fixed-size bitmap over
+    ``contam_ds`` distributedly, broadcast it once, stream ``ds`` with a
+    flat vectorized probe. NO false negatives (every truly contaminated
+    doc is flagged); false-positive rate ≈ (1 - e^{-kx/m})^k per distinct
+    gram probed. Returns (id, n_maybe_contam, contaminated)."""
+    import ray
+
+    bloom = build_bloom_filter(
+        contam_ds, column, ngram_words=ngram_words,
+        bits_log2=bits_log2, num_hashes=num_hashes,
+    )
+    bloom_ref = ray.put(bloom)
+    return ds.map_batches(
+        BloomContaminationTagger(
+            bloom_ref, column, id_column, ngram_words,
+            bits_log2, num_hashes,
+        ),
+        batch_format="pyarrow",
+    )

@@ -281,3 +281,95 @@ def test_duplicated_spans_interval_union_coverage(ray_session):
     assert out.loc[2, "dup_words"] == 0
     assert out.loc[0, "dup_fraction"] == 6 / 8
     assert out.loc[2, "dup_fraction"] == 0.0
+
+
+def test_bm25_ranking_and_selectivity(ray_session):
+    """BM25 sanity: higher tf of a rare term outranks common terms; docs
+    with no query term are absent."""
+    import pandas as pd
+    import ray.data as rd
+
+    from polars_genson_ray.stages.corpus import bm25_scores
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "zebra zebra zebra common filler words",  # rare term, tf 3
+                "zebra common filler pad filler pad",     # rare term, tf 1
+                "common common common common pad pad",    # only common term
+                "nothing relevant at all",                # no query terms
+            ],
+        }
+    )
+    out = (
+        bm25_scores(rd.from_pandas(docs).repartition(2), "zebra common")
+        .to_pandas()
+        .set_index("doc_id")["bm25"]
+    )
+    assert set(out.index) == {0, 1, 2}
+    assert out[0] > out[1] > 0
+    assert out[1] > out[2]  # one rare-term hit beats pure common-term tf
+    assert all(out > 0)
+
+
+def test_bloom_decontaminate_superset_of_exact(ray_session):
+    """Bloom flags must be a SUPERSET of exact decontamination flags (no
+    false negatives), and with an 8 MiB bitmap over a toy corpus the FP
+    count is zero — flags match exactly."""
+    import pandas as pd
+    import ray.data as rd
+
+    from polars_genson_ray.stages.decontam import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(80)]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(k)).tolist())
+        for k in rng.integers(3, 30, size=120)
+    ]
+    # plant: docs 100.. share an exact 5-gram run with bench docs 0..4
+    bench_texts = texts[:5]
+    for i in range(5):
+        words = texts[100 + i].split()
+        texts[100 + i] = " ".join(words[:2] + bench_texts[i].split()[:5] + words[2:])
+    docs = pd.DataFrame({"doc_id": range(120), "text": texts})
+    train = rd.from_pandas(docs.iloc[5:]).repartition(3)
+    contam = rd.from_pandas(docs.iloc[:5]).repartition(2)
+
+    exact = (
+        decontaminate(train, bench_texts, ngram_words=5)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    bloom = (
+        bloom_decontaminate(train, contam, ngram_words=5)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    exact_flagged = set(exact.index[exact.contaminated])
+    bloom_flagged = set(bloom.index[bloom.contaminated])
+    assert {100 + i for i in range(5)} <= exact_flagged
+    assert exact_flagged <= bloom_flagged  # never a false negative
+    assert bloom_flagged == exact_flagged  # 8 MiB bitmap: no FPs at toy size
+    # hit counts agree when there are no false positives
+    assert (
+        bloom.loc[sorted(exact_flagged), "n_maybe_contam"].to_numpy()
+        == exact.loc[sorted(exact_flagged), "n_contam"].to_numpy()
+    ).all()
+
+
+def test_bloom_filter_build_is_order_independent(ray_session):
+    """OR-merge of per-batch bitmaps is commutative: different
+    partitionings build the identical filter."""
+    import pandas as pd
+    import ray.data as rd
+
+    from polars_genson_ray.stages.decontam import build_bloom_filter
+
+    texts = [f"alpha beta gamma delta epsilon doc{i} zeta eta" for i in range(40)]
+    docs = pd.DataFrame({"doc_id": range(40), "text": texts})
+    a = build_bloom_filter(rd.from_pandas(docs).repartition(1), bits_log2=20)
+    b = build_bloom_filter(rd.from_pandas(docs).repartition(7), bits_log2=20)
+    assert (a == b).all()

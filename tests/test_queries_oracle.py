@@ -188,6 +188,7 @@ _ORACLED_QUERIES = [
         "weekly_cohorts",
         "simhash_docs",
         "dup_spans",
+        "bm25_docs",
 ]
 
 
@@ -215,6 +216,7 @@ _ROWS_ONLY_QUERIES = [
         "training_data_prep",
         "phash_neardup_images",
         "events_value_drift",
+        "bloom_decontam",
         "ann_topk_ivf",
         "ann_topk_ivf_indexed",
         "image_features",
