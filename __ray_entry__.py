@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_neardup_images": Q.r_phash_neardup_images,
         "image_features": Q.r_image_features,
         "image_resize": Q.r_image_resize,
+        "aspect_buckets": Q.r_aspect_buckets,
         # flagship validation pipeline
         "validation_image_table": Q.r_validation_image_table,
     }

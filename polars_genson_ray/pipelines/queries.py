@@ -1946,6 +1946,19 @@ def r_image_resize(sf_dir: str):
     return out.select_columns(["image_id", "w", "h", "resize_ok"])
 
 
+def r_aspect_buckets(sf_dir: str):
+    """Aspect-ratio bucketing + deterministic training-batch assembly
+    over the image table (rows-only: batch assignment depends on the
+    engine's shuffle-key hash, not SQL-expressible; determinism and
+    batch-shape invariants are unit-tested). Only (id, w, h) leave the
+    scan — image bytes never move."""
+    from ..stages.image import aspect_bucket_batches
+
+    img_dir = _image_table_dir(_rows_for_sf(sf_dir))
+    ds = rd.read_parquet(img_dir, columns=["image_id", "w", "h"])
+    return aspect_bucket_batches(ds, batch_size=32)
+
+
 # ---------------------------------------------------------------------------
 # Flagship validation pipeline over the synthetic image table
 # ---------------------------------------------------------------------------

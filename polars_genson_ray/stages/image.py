@@ -85,3 +85,166 @@ class DecodeValidator:
         out = out.append_column("psnr_db", pa.array(psnr_db, pa.float64()))
         out = out.append_column("violation", pa.array(violations, pa.large_string()))
         return out
+
+
+# ---------------------------------------------------------------------------
+# Aspect-ratio bucketing (training-batch assembly for image models)
+# ---------------------------------------------------------------------------
+
+def _aspect_ladder(step: float, max_log_ratio: float, pixel_budget: int,
+                   multiple: int):
+    """Bucket ladder: log2(w/h) snapped to ``step``-spaced rungs in
+    [-max_log_ratio, +max_log_ratio]; each rung gets target dims with area
+    ≈ ``pixel_budget``, both sides snapped DOWN to ``multiple`` (the
+    SDXL-style constraint that latents/conv strides need)."""
+    ratios = np.round(
+        np.arange(-max_log_ratio, max_log_ratio + step / 2, step), 6
+    )
+    tw = np.empty(len(ratios), dtype=np.int64)
+    th = np.empty(len(ratios), dtype=np.int64)
+    for i, lr in enumerate(ratios):
+        r = 2.0 ** lr
+        h = np.sqrt(pixel_budget / r)
+        th[i] = max(multiple, int(h // multiple) * multiple)
+        tw[i] = max(multiple, int((r * h) // multiple) * multiple)
+    return ratios, tw, th
+
+
+def aspect_bucket_batches(
+    ds,
+    *,
+    id_column: str = "image_id",
+    w_column: str = "w",
+    h_column: str = "h",
+    batch_size: int = 64,
+    pixel_budget: int = 1 << 20,
+    step: float = 0.25,
+    max_log_ratio: float = 1.0,
+    multiple: int = 64,
+    order_segments: int = 256,
+):
+    """Aspect-ratio bucketing: assign every image to the nearest
+    log₂-aspect rung and assemble fixed-size training batches per rung —
+    the standard large-scale image-model prep step (mixed-aspect batches
+    waste pixels on padding; per-bucket batches train at native-ish
+    aspect).
+
+    Distribution shape (10¹²-row honest): rung assignment is
+    embarrassingly parallel. Batch assembly needs a per-rung GLOBAL rank
+    in deterministic-shuffle order — computed without ever gathering a
+    rung into one task by segmented two-phase ranking: the shuffle key's
+    top bits define ``order_segments`` contiguous ORDER segments per
+    rung; pass 1 exchanges only (rung, segment) COUNTS (a
+    rungs×segments int matrix, prefix-summed on the driver), pass 2
+    ranks each (rung, segment) group locally and adds its broadcast
+    offset. Only (id, rung, key) rows cross the exchange — image bytes
+    never move. Order is a hash of the id, so the SAME batches come out
+    regardless of input partitioning or cluster size: a resumed or
+    re-sharded run reproduces its batch assignment exactly.
+
+    Returns (id, bucket_id, target_w, target_h, batch_index, slot):
+    ``batch_index`` is dense per rung; every batch is full except each
+    rung's final partial batch.
+    """
+    import pandas as pd
+
+    import ray
+
+    from .aggregate import bucketed_groups
+    from .sketches import hash64, hash_strings
+
+    ratios, tws, ths = _aspect_ladder(
+        step, max_log_ratio, pixel_budget, multiple
+    )
+    n_rungs = len(ratios)
+    seg_shift = np.uint64(64 - int(np.log2(order_segments)))
+    if (1 << (64 - int(seg_shift))) != order_segments:
+        raise ValueError("order_segments must be a power of two")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        w = np.asarray(batch[w_column].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        h = np.asarray(batch[h_column].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        lr = np.log2(np.maximum(w, 1.0) / np.maximum(h, 1.0))
+        idx = np.clip(
+            np.round((lr + max_log_ratio) / step), 0, n_rungs - 1
+        ).astype(np.int64)
+        ids = batch[id_column]
+        if pa.types.is_integer(ids.type):
+            key = hash64(
+                ids.to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+        else:
+            key = hash_strings(ids.to_pylist())
+        return pa.table(
+            {
+                id_column: ids,
+                "bucket_id": pa.array(idx),
+                "__seg": pa.array((key >> seg_shift).astype(np.int64)),
+                "__k": pa.array(key.view(np.int64)),
+            }
+        )
+
+    tagged = ds.map_batches(assign, batch_format="pyarrow")
+
+    # pass 1: (rung, segment) counts — a tiny fixed-width matrix partial
+    def seg_counts(batch: pa.Table) -> pa.Table:
+        flat = (
+            batch["bucket_id"].to_numpy(zero_copy_only=False)
+            * order_segments
+            + batch["__seg"].to_numpy(zero_copy_only=False)
+        )
+        c = np.bincount(flat, minlength=n_rungs * order_segments)
+        return pa.table({"c": pa.array([c.tolist()], pa.list_(pa.int64()))})
+
+    parts = tagged.map_batches(seg_counts, batch_format="pyarrow").to_pandas()
+    totals = np.sum(np.stack(parts["c"].to_numpy()), axis=0).reshape(
+        n_rungs, order_segments
+    )
+    # per-rung exclusive prefix over segments = each segment's global rank
+    # offset within its rung
+    offsets = np.concatenate(
+        [np.zeros((n_rungs, 1), dtype=np.int64),
+         np.cumsum(totals, axis=1)[:, :-1]],
+        axis=1,
+    )
+    off_ref = ray.put(offsets)
+
+    # pass 2: rank locally within each (rung, segment) group + offset
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        outs = []
+        for (rung, seg), g in df.groupby(["bucket_id", "__seg"], sort=False):
+            # __k is uint64 viewed as int64; within ONE segment all keys
+            # share their top bits (incl. the sign bit), so int64 order
+            # equals uint64 order here — cross-segment order comes from
+            # the offsets, not this sort
+            order = np.lexsort(
+                (g[id_column].to_numpy(), g["__k"].to_numpy())
+            )
+            rank = np.empty(len(g), dtype=np.int64)
+            rank[order] = np.arange(len(g)) + off[rung, seg]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        id_column: g[id_column].to_numpy(),
+                        "bucket_id": np.int64(rung),
+                        "target_w": tws[rung],
+                        "target_h": ths[rung],
+                        "batch_index": rank // batch_size,
+                        "slot": rank % batch_size,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            {
+                id_column: [], "bucket_id": [], "target_w": [],
+                "target_h": [], "batch_index": [], "slot": [],
+            }
+        )
+
+    return bucketed_groups(
+        tagged, ["bucket_id", "__seg"], assemble,
+        num_buckets=min(256, order_segments),
+    )

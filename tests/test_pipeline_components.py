@@ -2027,3 +2027,78 @@ def test_simhash_ascii_whitespace_matches_duckdb_oracle():
     """
     theirs = con.execute(sql).df()["simhash"].tolist()
     assert ours == theirs
+
+
+def _aspect_input(n=500, seed=3):
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    w = rng.integers(64, 2048, size=n)
+    h = rng.integers(64, 2048, size=n)
+    return pd.DataFrame(
+        {"image_id": [f"img_{i:05d}" for i in range(n)], "w": w, "h": h}
+    )
+
+
+def test_aspect_bucket_batches_shape_and_determinism(ray_session):
+    """Batches are full (except one partial per rung), slots are dense,
+    target dims are multiples of 64 within the pixel budget, and the
+    assignment is IDENTICAL under different input partitionings
+    (cluster-size-independent resume invariant)."""
+    import ray.data as rd
+
+    from polars_genson_ray.stages.image import aspect_bucket_batches
+
+    df = _aspect_input()
+    a = (
+        aspect_bucket_batches(rd.from_pandas(df).repartition(2), batch_size=16)
+        .to_pandas().sort_values("image_id").reset_index(drop=True)
+    )
+    b = (
+        aspect_bucket_batches(rd.from_pandas(df).repartition(9), batch_size=16)
+        .to_pandas().sort_values("image_id").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == len(df)
+    assert set(a.image_id) == set(df.image_id)
+    assert (a.target_w % 64 == 0).all() and (a.target_h % 64 == 0).all()
+    assert (a.target_w * a.target_h <= (1 << 20)).all()
+    for rung, g in a.groupby("bucket_id"):
+        sizes = g.groupby("batch_index")["slot"].agg(["size", "min", "max"])
+        assert (sizes["min"] == 0).all()
+        assert (sizes["max"] == sizes["size"] - 1).all()  # dense slots
+        assert (sizes["size"].iloc[:-1] == 16).all() if len(sizes) > 1 else True
+        last = sizes["size"].iloc[-1]
+        assert 1 <= last <= 16
+        # batch_index dense from 0
+        assert sorted(sizes.index) == list(range(len(sizes)))
+
+
+def test_aspect_bucket_rung_assignment(ray_session):
+    """Known ratios land on the right rungs: square → middle rung,
+    2:1 → top rung, 1:2 → bottom rung (ladder ±1 in steps of 0.25)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from polars_genson_ray.stages.image import aspect_bucket_batches
+
+    df = pd.DataFrame(
+        {
+            "image_id": ["sq", "wide", "tall"],
+            "w": [512, 1024, 256],
+            "h": [512, 512, 512],
+        }
+    )
+    out = (
+        aspect_bucket_batches(rd.from_pandas(df), batch_size=4)
+        .to_pandas().set_index("image_id")
+    )
+    n_rungs = 9  # ladder -1..1 step .25
+    assert out.loc["sq", "bucket_id"] == (n_rungs - 1) // 2
+    assert out.loc["wide", "bucket_id"] == n_rungs - 1
+    assert out.loc["tall", "bucket_id"] == 0
+    assert out.loc["sq", "target_w"] == out.loc["sq", "target_h"]
+    assert out.loc["wide", "target_w"] > out.loc["wide", "target_h"]
+    assert out.loc["tall", "target_w"] < out.loc["tall", "target_h"]

@@ -221,6 +221,7 @@ _ROWS_ONLY_QUERIES = [
         "ann_topk_ivf_indexed",
         "image_features",
         "image_resize",
+        "aspect_buckets",
         "validation_image_table",
 ]
 
