@@ -323,6 +323,78 @@ def main() -> None:
         ray.kill(a)
     shutil.rmtree(spill_root, ignore_errors=True)
 
+    # --- round-3 session additions -------------------------------------
+    # embedding hot exact group: the pre-fix pathology (100k identical
+    # embeddings in one LSH bucket → 5e9-pair quadratic verify). Post-fix:
+    # exact collapse → 99,999 star pairs, seconds not OOM.
+    import pandas as pd
+
+    hot_n, dim = 100_000, 32
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(dim)
+    others = rng.standard_normal((5_000, dim))
+    emb = np.vstack([np.tile(base, (hot_n, 1)), others])
+    import pyarrow as pa
+
+    emb_tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(emb)), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in emb],
+                                  pa.list_(pa.float64())),
+        }
+    )
+    from polars_genson_ray.stages.similarity import embedding_near_duplicates
+
+    t0 = time.perf_counter()
+    hot_pairs = embedding_near_duplicates(
+        rd.from_arrow(emb_tbl).repartition(16), dim=dim, threshold=0.95,
+        approx_rows=len(emb), bucket_cap=4096,
+    ).count()
+    report["embedding_hot_group_s"] = round(time.perf_counter() - t0, 2)
+    # ≥ the 99,999 star pairs; incidental distinct-vector near-dups possible
+    assert hot_pairs >= hot_n - 1, hot_pairs
+    assert hot_pairs < hot_n + 50_000, hot_pairs  # linear, never quadratic
+    report["embedding_hot_group_pairs"] = int(hot_pairs)
+
+    # duplicated spans over the smoke corpus: every base doc shares the
+    # BOILER prefix → its windows are corpus-wide duplicated; exact dups
+    # are 100%-covered
+    from polars_genson_ray.stages.corpus import duplicated_spans
+
+    ds = rd.read_parquet(out_dir, columns=["doc_id", "text"])
+    t0 = time.perf_counter()
+    spans = duplicated_spans(ds, "text", "doc_id", ngram_words=8).to_pandas()
+    report["dup_spans_s"] = round(time.perf_counter() - t0, 2)
+    assert len(spans) == n_docs
+    exact_ids = set(range(n_base := n_docs - 2 * n_planted, n_base + n_planted))
+    full = spans[spans.doc_id.isin(exact_ids)]
+    assert (full.dup_fraction == 1.0).all(), "exact dups must be 100% covered"
+    report["dup_spans_mean_fraction"] = round(float(spans.dup_fraction.mean()), 4)
+
+    # bloom decontamination at size: filter built over 10% of the corpus,
+    # probed over the rest; must flag every exact dup of a benchmark doc
+    from polars_genson_ray.stages.decontam import bloom_decontaminate
+
+    def _mod10(eq: bool):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            m = df.doc_id % 10 == 0
+            return df[m if eq else ~m]
+
+        return f
+
+    bench_ds = rd.read_parquet(out_dir, columns=["doc_id", "text"]).map_batches(
+        _mod10(True), batch_format="pandas"
+    )
+    probe_ds = rd.read_parquet(out_dir, columns=["doc_id", "text"]).map_batches(
+        _mod10(False), batch_format="pandas"
+    )
+    t0 = time.perf_counter()
+    tagged = bloom_decontaminate(probe_ds, bench_ds, ngram_words=8).to_pandas()
+    report["bloom_decontam_s"] = round(time.perf_counter() - t0, 2)
+    # every doc shares BOILER with the benchmark side → all contaminated
+    assert bool(tagged.contaminated.all()), "BOILER prefix must contaminate all"
+    report["bloom_flagged"] = int(tagged.contaminated.sum())
+
     print(json.dumps(report))
     ray.shutdown()
 
