@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_cohorts": Q.q_weekly_cohorts,
         "dup_spans": Q.q_dup_spans,
         "bm25_docs": Q.q_bm25_docs,
+        "value_outliers": Q.q_value_outliers,
         # schema-inference / normalisation core (conformance-tested against
         # the reference snapshot corpus; outputs not SQL-expressible)
         "schema_infer_events_props": Q.r_schema_infer_events_props,
@@ -825,6 +826,27 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(pd.dup_words, 0) AS dup_words,
                    COALESCE(pd.dup_words, 0)::DOUBLE / d.nw AS dup_fraction
             FROM docw d LEFT JOIN perdoc pd USING (doc_id)
+        """,
+        # robust z-score outliers: median/MAD both computed as exact
+        # interpolated quantile_cont(0.5) on each side — IEEE-double
+        # arithmetic end-to-end, hash-exact
+        "value_outliers": """
+            WITH med AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.5) AS m
+                FROM events GROUP BY event_type
+            ), mad AS (
+                SELECT e.event_type,
+                       quantile_cont(ABS(e.value - med.m), 0.5) AS d
+                FROM events e JOIN med USING (event_type)
+                GROUP BY e.event_type
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   med.m AS group_median, mad.d AS group_mad
+            FROM events e
+            JOIN med USING (event_type)
+            JOIN mad USING (event_type)
+            WHERE ABS(e.value - med.m) > 3.0 * mad.d
         """,
         # BM25 with Robertson keep-positive idf; ROUND(…, 6) on both sides
         # absorbs libm/summation-order ulps (the doc_logprob convention)

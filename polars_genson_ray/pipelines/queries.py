@@ -879,6 +879,19 @@ def q_dup_spans(sf_dir: str, ngram_words: int = 5, min_docs: int = 2):
     )
 
 
+def q_value_outliers(sf_dir: str, threshold: float = 3.0):
+    """Robust per-type outlier constraint check: events whose value sits
+    more than ``threshold`` MADs from their event_type's median. Exact
+    medians/MADs from distributed value counts; broadcast filter pass."""
+    from ..stages.aggregate import robust_outliers
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return robust_outliers(
+        ds, "event_type", "value",
+        threshold=threshold, passthrough_columns=["event_id"],
+    )
+
+
 def q_bm25_docs(sf_dir: str, query: str = "hash join merge sort"):
     """BM25 relevance of every document against a query string: the
     statistics exchange is |query| df counters per batch (no

@@ -392,3 +392,60 @@ def exact_quantile_continuous(
         out_q.append(q)
         out_v.append(float(inside[local]))
     return pd.DataFrame({"q": out_q, "value": out_v})
+
+
+def robust_outliers(
+    ds,
+    key_column: str,
+    value_column: str,
+    *,
+    threshold: float = 3.0,
+    passthrough_columns: list | None = None,
+):
+    """Per-group robust outlier detection: flag rows where
+    ``|value − median(group)| > threshold × MAD(group)`` (MAD = median of
+    absolute deviations, the standard robust z-score constraint check —
+    mean/σ would let the outliers poison their own fence).
+
+    Three streamed passes, no payload exchange: group medians via
+    :func:`grouped_quantiles` (distributed value counts — the bounded
+    per-group-distinct contract; swap a per-group sketch-guided selection
+    in for unbounded continuous columns), a second value-counts pass over
+    the deviations for the MADs, then a broadcast (group → median, mad)
+    filter pass emitting only the outlier rows. All arithmetic is IEEE
+    double on both engine and SQL sides, so the comparison is
+    hash-exact."""
+    import numpy as np
+
+    med_df = grouped_quantiles(
+        ds, key_column, value_column, (0.5,)
+    ).to_pandas()
+    med_map = dict(zip(med_df[key_column], med_df["value"]))
+
+    def add_dev(df: pd.DataFrame) -> pd.DataFrame:
+        med = df[key_column].map(med_map).to_numpy(dtype=np.float64)
+        out = df[[key_column]].copy()
+        out["__dev"] = np.abs(
+            df[value_column].to_numpy(dtype=np.float64) - med
+        )
+        return out
+
+    mad_df = grouped_quantiles(
+        ds.map_batches(add_dev, batch_format="pandas"),
+        key_column, "__dev", (0.5,),
+    ).to_pandas()
+    mad_map = dict(zip(mad_df[key_column], mad_df["value"]))
+
+    cols = passthrough_columns or []
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        med = df[key_column].map(med_map).to_numpy(dtype=np.float64)
+        mad = df[key_column].map(mad_map).to_numpy(dtype=np.float64)
+        dev = np.abs(df[value_column].to_numpy(dtype=np.float64) - med)
+        keep = dev > threshold * mad
+        out = df.loc[keep, cols + [key_column, value_column]].copy()
+        out["group_median"] = med[keep]
+        out["group_mad"] = mad[keep]
+        return out
+
+    return ds.map_batches(flag, batch_format="pandas")

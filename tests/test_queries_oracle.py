@@ -189,6 +189,7 @@ _ORACLED_QUERIES = [
         "simhash_docs",
         "dup_spans",
         "bm25_docs",
+        "value_outliers",
 ]
 
 
