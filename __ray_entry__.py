@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": Q.q_dup_spans,
         "bm25_docs": Q.q_bm25_docs,
         "value_outliers": Q.q_value_outliers,
+        "lineitem_from_csv": Q.q_lineitem_from_csv,
         # schema-inference / normalisation core (conformance-tested against
         # the reference snapshot corpus; outputs not SQL-expressible)
         "schema_infer_events_props": Q.r_schema_infer_events_props,
@@ -826,6 +827,14 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(pd.dup_words, 0) AS dup_words,
                    COALESCE(pd.dup_words, 0)::DOUBLE / d.nw AS dup_fraction
             FROM docw d LEFT JOIN perdoc pd USING (doc_id)
+        """,
+        # oracle on the PARQUET view — hash-match proves the CSV
+        # round-trip lossless (float sums rounded to cents on both sides)
+        "lineitem_from_csv": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price
+            FROM lineitem GROUP BY l_returnflag
         """,
         # robust z-score outliers: median/MAD both computed as exact
         # interpolated quantile_cont(0.5) on each side — IEEE-double

@@ -715,6 +715,48 @@ def q_events_from_ndjson(sf_dir: str):
     return out
 
 
+def q_lineitem_from_csv(sf_dir: str):
+    """Source-format coverage: lineitem's pricing columns exported once to
+    CSV (cached under /tmp), read back with ``ray.data.read_csv``, and
+    fed through the same partial+combine aggregation — the oracle runs on
+    the PARQUET view, so a hash-match proves the CSV round-trip lossless
+    for these columns."""
+    import duckdb
+
+    import hashlib
+
+    cache = (
+        "/tmp/pgr_lineitem_csv_"
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    )
+    if not os.path.isdir(cache):
+        tmp = cache + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        duckdb.sql(
+            f"COPY (SELECT l_returnflag, l_quantity, l_extendedprice FROM "
+            f"read_parquet('{_t(sf_dir, 'lineitem')}')) TO "
+            f"'{tmp}/lineitem.csv' (FORMAT CSV, HEADER)"
+        )
+        os.rename(tmp, cache)
+    ds = rd.read_csv(os.path.join(cache, "lineitem.csv"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_returnflag", as_index=False).agg(
+            n=("l_quantity", "size"),
+            sum_qty=("l_quantity", "sum"),
+            sum_price=("l_extendedprice", "sum"),
+        )
+
+    out = combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag"],
+        {"n": "sum", "sum_qty": "sum", "sum_price": "sum"},
+    ).to_pandas()
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_price"] = out["sum_price"].round(2)
+    return out
+
+
 def q_sample_events(sf_dir: str, fraction: float = 0.1):
     """Deterministic Bernoulli sampling via the md5 hash predicate
     (``mix.hash_mix_sample`` with one global fraction): the SAME sample on

@@ -190,6 +190,7 @@ _ORACLED_QUERIES = [
         "dup_spans",
         "bm25_docs",
         "value_outliers",
+        "lineitem_from_csv",
 ]
 
 
