@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_docs": Q.q_bm25_docs,
         "value_outliers": Q.q_value_outliers,
         "lineitem_from_csv": Q.q_lineitem_from_csv,
+        "local_supplier_revenue": Q.q_local_supplier_revenue,
         # schema-inference / normalisation core (conformance-tested against
         # the reference snapshot corpus; outputs not SQL-expressible)
         "schema_infer_events_props": Q.r_schema_infer_events_props,
@@ -827,6 +828,20 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(pd.dup_words, 0) AS dup_words,
                    COALESCE(pd.dup_words, 0)::DOUBLE / d.nw AS dup_fraction
             FROM docw d LEFT JOIN perdoc pd USING (doc_id)
+        """,
+        # TPC-H Q5 shape (6-table join, same-nation condition)
+        "local_supplier_revenue": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM customer c
+            JOIN orders o ON c_custkey = o_custkey
+            JOIN lineitem l ON l_orderkey = o_orderkey
+            JOIN supplier s ON l_suppkey = s_suppkey
+            JOIN nation n ON s_nationkey = n_nationkey
+            JOIN region r ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+            GROUP BY n_name
         """,
         # oracle on the PARQUET view — hash-match proves the CSV
         # round-trip lossless (float sums rounded to cents on both sides)

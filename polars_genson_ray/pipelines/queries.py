@@ -282,6 +282,99 @@ def q_nation_revenue(sf_dir: str):
     return out
 
 
+def q_local_supplier_revenue(sf_dir: str, region: str = "ASIA"):
+    """TPC-H-Q5 shape — the 6-table composition: revenue by nation for
+    orders whose customer and line-supplier sit in the SAME nation of one
+    region. Distribution plan: region→nation→supplier collapse to tiny
+    broadcast maps (suppliers are ~1e4×SF — dimension-sized); customer
+    (large) joins orders (large) through the co-partitioned
+    ``hash_join``; lineitem (largest) never shuffles — its supplier
+    nation attaches map-side and the same-nation filter + partial
+    aggregate run inside the scan, so only (orderkey, nation partials)
+    reach the final join exchange."""
+    from ..stages.join import hash_join
+
+    nation = pq.read_table(_t(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    region_tbl = pq.read_table(_t(sf_dir, "region"),
+                               columns=["r_regionkey", "r_name"])
+    rkeys = {
+        k for k, nm in zip(region_tbl["r_regionkey"].to_pylist(),
+                           region_tbl["r_name"].to_pylist())
+        if nm == region
+    }
+    nk_name = {
+        k: nm
+        for k, nm, rk in zip(nation["n_nationkey"].to_pylist(),
+                             nation["n_name"].to_pylist(),
+                             nation["n_regionkey"].to_pylist())
+        if rk in rkeys
+    }
+    supp = pq.read_table(_t(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"])
+    supp_nk = {
+        s: nk
+        for s, nk in zip(supp["s_suppkey"].to_pylist(),
+                         supp["s_nationkey"].to_pylist())
+        if nk in nk_name
+    }
+    lookup_ref = ray.put((supp_nk, nk_name))
+
+    # large×large: customer nationkey rides through orders via hash_join
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cust_in_region(df: pd.DataFrame) -> pd.DataFrame:
+        _, nkn = ray.get(lookup_ref)
+        return df[df.c_nationkey.isin(nkn)]
+
+    ords = hash_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        cust.map_batches(cust_in_region, batch_format="pandas"),
+        on="o_custkey", right_on="c_custkey",
+        right_values=["c_nationkey"], how="inner",
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    # lineitem: supplier nation attaches map-side; pre-aggregate per
+    # (orderkey, nationkey) before the join exchange
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        snk, _ = ray.get(lookup_ref)
+        nk = df.l_suppkey.map(snk)
+        keep = nk.notna()
+        out = df.loc[keep, ["l_orderkey"]].copy()
+        out["s_nationkey"] = nk[keep].astype(np.int64)
+        out["rev"] = (
+            df.loc[keep, "l_extendedprice"].to_numpy()
+            * (1.0 - df.loc[keep, "l_discount"].to_numpy())
+        )
+        return out.groupby(["l_orderkey", "s_nationkey"], as_index=False).agg(
+            rev=("rev", "sum")
+        )
+
+    line = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_partial, batch_format="pandas")
+
+    joined = hash_join(
+        line, ords, on="l_orderkey", right_on="o_orderkey",
+        right_values=["c_nationkey"], how="inner",
+    )
+
+    def same_nation(df: pd.DataFrame) -> pd.DataFrame:
+        _, nkn = ray.get(lookup_ref)
+        df = df[df.s_nationkey == df.c_nationkey]
+        out = df.assign(n_name=df.s_nationkey.map(nkn))
+        return out.groupby("n_name", as_index=False).agg(revenue=("rev", "sum"))
+
+    out = combine_partials(
+        joined.map_batches(same_nation, batch_format="pandas"),
+        ["n_name"],
+        {"revenue": "sum"},
+    ).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
 def q_customer_order_join(sf_dir: str):
     """Large×large hash join via the engine's co-partitioned
     ``stages.join.hash_join`` (one narrow exchange per side, per-bucket

@@ -191,6 +191,7 @@ _ORACLED_QUERIES = [
         "bm25_docs",
         "value_outliers",
         "lineitem_from_csv",
+        "local_supplier_revenue",
 ]
 
 
