@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": Q.q_value_outliers,
         "lineitem_from_csv": Q.q_lineitem_from_csv,
         "local_supplier_revenue": Q.q_local_supplier_revenue,
+        "event_row_numbers": Q.q_event_row_numbers,
         # schema-inference / normalisation core (conformance-tested against
         # the reference snapshot corpus; outputs not SQL-expressible)
         "schema_infer_events_props": Q.r_schema_infer_events_props,
@@ -828,6 +829,13 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(pd.dup_words, 0) AS dup_words,
                    COALESCE(pd.dup_words, 0)::DOUBLE / d.nw AS dup_fraction
             FROM docw d LEFT JOIN perdoc pd USING (doc_id)
+        """,
+        # global total order: the row_number VALUES verify the order
+        "event_row_numbers": """
+            SELECT event_id, value,
+                   ROW_NUMBER() OVER (ORDER BY value, event_id)
+                       AS row_number
+            FROM events
         """,
         # TPC-H Q5 shape (6-table join, same-nation condition)
         "local_supplier_revenue": """

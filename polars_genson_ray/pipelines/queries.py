@@ -1014,6 +1014,17 @@ def q_dup_spans(sf_dir: str, ngram_words: int = 5, min_docs: int = 2):
     )
 
 
+def q_event_row_numbers(sf_dir: str):
+    """Exact global ROW_NUMBER over (value, event_id) — the distributed
+    total-order primitive (broadcast value-prefix + one narrow equal-value
+    exchange; no all-to-all Sort). The rank VALUES encode the global
+    order, so the order itself is hash-verified."""
+    from ..stages.shards import global_row_number
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return global_row_number(ds, "value", "event_id")
+
+
 def q_value_outliers(sf_dir: str, threshold: float = 3.0):
     """Robust per-type outlier constraint check: events whose value sits
     more than ``threshold`` MADs from their event_type's median. Exact

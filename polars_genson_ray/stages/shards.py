@@ -123,3 +123,75 @@ def range_partition_ids(
         return df.assign(**{out_column: pid.astype(np.int64)})
 
     return ds.map_batches(tag, batch_format="pandas")
+
+
+def global_row_number(
+    ds,
+    order_column: str,
+    id_column: str,
+    *,
+    max_distinct: int = 1_000_000,
+    out_column: str = "row_number",
+):
+    """Exact dense global ranking — ``ROW_NUMBER() OVER (ORDER BY value,
+    id)`` — without an all-to-all Sort: rank = (# rows with a smaller
+    value) + (# equal-valued rows with a smaller id) + 1.
+
+    The first term comes from distributed distinct-value counts (same
+    bounded-cardinality contract as :func:`range_partition_ids`; guarded
+    by ``max_distinct`` — continuous columns take a t-digest bracket
+    first), turned into an exclusive prefix and broadcast once. The
+    second term needs equal values co-located — ONE narrow bucketed
+    exchange of (value, id) rows, then a whole-frame lexsort + per-value
+    run-relative rank. Payload columns never move; join the result back
+    by id (or pass them through) for a globally ordered write."""
+    import ray
+
+    from .aggregate import bucketed_groups, combine_partials
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(order_column, as_index=False).agg(
+            __n=(order_column, "size")
+        )
+
+    counts = combine_partials(
+        ds.select_columns([order_column]).map_batches(
+            count_partial, batch_format="pandas"
+        ),
+        [order_column],
+        {"__n": "sum"},
+    ).to_pandas()
+    if len(counts) > max_distinct:
+        raise ValueError(
+            f"global_row_number: > {max_distinct} distinct values — "
+            "bracket continuous columns with the t-digest sketch first"
+        )
+    counts = counts.sort_values(order_column)
+    vals = counts[order_column].to_numpy()
+    prefix = np.concatenate(([0], np.cumsum(counts["__n"].to_numpy())[:-1]))
+    pre_ref = ray.put((vals, prefix))
+
+    def rank_frame(df: pd.DataFrame) -> pd.DataFrame:
+        vals_, prefix_ = ray.get(pre_ref)
+        v = df[order_column].to_numpy()
+        i = df[id_column].to_numpy()
+        order = np.lexsort((i, v))
+        sv = v[order]
+        # run-relative rank: position minus the first index of the run
+        starts = np.concatenate(([0], np.flatnonzero(sv[1:] != sv[:-1]) + 1))
+        run_id = np.cumsum(
+            np.concatenate(([0], (sv[1:] != sv[:-1]).astype(np.int64)))
+        )
+        local = np.arange(len(sv)) - starts[run_id]
+        base = prefix_[np.searchsorted(vals_, sv)]
+        rn = np.empty(len(sv), dtype=np.int64)
+        rn[order] = base + local + 1
+        out = df[[id_column, order_column]].copy()
+        out[out_column] = rn
+        return out
+
+    return bucketed_groups(
+        ds.select_columns([order_column, id_column]),
+        [order_column],
+        rank_frame,
+    )

@@ -192,6 +192,7 @@ _ORACLED_QUERIES = [
         "value_outliers",
         "lineitem_from_csv",
         "local_supplier_revenue",
+        "event_row_numbers",
 ]
 
 
