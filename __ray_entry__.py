@@ -785,8 +785,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        string_split_regex(trim(lower(text)), '\\s+') AS w
                 FROM documents WHERE trim(text) <> ''
-            ), wexp AS (
+            ), wexp0 AS (
                 SELECT doc_id, UNNEST(w) AS word FROM words
+            ), wexp AS (
+                SELECT doc_id, word FROM wexp0 WHERE word <> ''
             ), counts AS (
                 SELECT word, COUNT(*) AS c FROM wexp GROUP BY word
             ), tot AS (
@@ -804,7 +806,10 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": """
             WITH toks AS (
                 SELECT doc_id,
-                       string_split_regex(trim(lower(text)), '\\s+') AS w
+                       list_filter(
+                           string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> ''
+                       ) AS w
                 FROM documents WHERE trim(text) <> ''
             ), docw AS (
                 SELECT doc_id, w, len(w) AS nw FROM toks
@@ -885,7 +890,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_docs": """
             WITH toks AS (
                 SELECT doc_id,
-                       string_split_regex(trim(lower(text)), '\\s+') AS w
+                       list_filter(
+                           string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> ''
+                       ) AS w
                 FROM documents WHERE trim(text) <> ''
             ), dl AS (
                 SELECT doc_id, len(w) AS dl FROM toks

@@ -773,26 +773,13 @@ def q_events_from_ndjson(sf_dir: str):
     aggregated — proving the engine's operators are source-agnostic
     (Parquet is just the default). Oracle runs against the parquet view,
     so the hash-match also proves the NDJSON round-trip is lossless."""
-    import duckdb
-
-    import hashlib
-
-    # stable digest (builtin hash() is salted per process — the cache
-    # would never hit across runs and exports would pile up in /tmp)
-    cache = (
-        "/tmp/pgr_events_ndjson_"
-        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = _export_cache(
+        sf_dir, "events", "events_ndjson",
+        "COPY (SELECT event_id, event_type, value FROM "
+        "read_parquet('{src}')) TO '{out}' (FORMAT JSON)",
+        "events.jsonl",
     )
-    if not os.path.isdir(cache):
-        tmp = cache + ".tmp"
-        os.makedirs(tmp, exist_ok=True)
-        duckdb.sql(
-            f"COPY (SELECT event_id, event_type, value FROM "
-            f"read_parquet('{_t(sf_dir, 'events')}')) TO "
-            f"'{tmp}/events.jsonl' (FORMAT JSON)"
-        )
-        os.rename(tmp, cache)
-    ds = rd.read_json(os.path.join(cache, "events.jsonl"))
+    ds = rd.read_json(path)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("event_type", as_index=False).agg(
@@ -808,30 +795,50 @@ def q_events_from_ndjson(sf_dir: str):
     return out
 
 
+def _export_cache(sf_dir: str, table: str, tag: str, copy_sql: str,
+                  filename: str) -> str:
+    """One-time DuckDB export of a testdata table to /tmp, keyed on the
+    SOURCE PARQUET's identity (path + mtime + size): regenerating the
+    testdata in place gets a fresh export instead of silently serving a
+    stale one, and the two-phase rename tolerates concurrent first runs."""
+    import duckdb
+
+    import hashlib
+
+    src = _t(sf_dir, table)
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    cache = f"/tmp/pgr_{tag}_{key}"
+    out = os.path.join(cache, filename)
+    if not os.path.isdir(cache):
+        tmp = cache + f".tmp{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        duckdb.sql(copy_sql.format(src=src, out=os.path.join(tmp, filename)))
+        try:
+            os.rename(tmp, cache)
+        except OSError:
+            # a concurrent first run won the rename — use its export
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_lineitem_from_csv(sf_dir: str):
     """Source-format coverage: lineitem's pricing columns exported once to
     CSV (cached under /tmp), read back with ``ray.data.read_csv``, and
     fed through the same partial+combine aggregation — the oracle runs on
     the PARQUET view, so a hash-match proves the CSV round-trip lossless
     for these columns."""
-    import duckdb
-
-    import hashlib
-
-    cache = (
-        "/tmp/pgr_lineitem_csv_"
-        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = _export_cache(
+        sf_dir, "lineitem", "lineitem_csv",
+        "COPY (SELECT l_returnflag, l_quantity, l_extendedprice FROM "
+        "read_parquet('{src}')) TO '{out}' (FORMAT CSV, HEADER)",
+        "lineitem.csv",
     )
-    if not os.path.isdir(cache):
-        tmp = cache + ".tmp"
-        os.makedirs(tmp, exist_ok=True)
-        duckdb.sql(
-            f"COPY (SELECT l_returnflag, l_quantity, l_extendedprice FROM "
-            f"read_parquet('{_t(sf_dir, 'lineitem')}')) TO "
-            f"'{tmp}/lineitem.csv' (FORMAT CSV, HEADER)"
-        )
-        os.rename(tmp, cache)
-    ds = rd.read_csv(os.path.join(cache, "lineitem.csv"))
+    ds = rd.read_csv(path)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("l_returnflag", as_index=False).agg(

@@ -28,11 +28,14 @@ import pyarrow as pa
 
 from .aggregate import bucketed_groups
 from .setjoin import _gram_hashes_flat
-from .sketches import hash_strings
+from .sketches import hash_strings, re2_words
 
 
 def _doc_words(texts) -> list[list[str]]:
-    return [t.lower().split() if t else [] for t in texts]
+    # RE2-exact tokenization (sketches.re2_words): these operators' outputs
+    # are oracle-compared, and str.split()'s Unicode whitespace diverges
+    # from the SQL's string_split_regex('\s+') on NBSP/thin-space inputs
+    return [re2_words(t) for t in texts]
 
 
 def _flat_gram_windows(word_lists: list[list[str]], n: int):
@@ -174,6 +177,7 @@ def duplicated_spans(
     *,
     ngram_words: int = 8,
     min_docs: int = 2,
+    max_dup_grams: int = 5_000_000,
 ):
     """Substring-level exact duplication (the Lee et al. "Deduplicating
     Training Data Makes Language Models Better" shape, expressed over word
@@ -225,6 +229,13 @@ def duplicated_spans(
         ds.map_batches(partial_counts, batch_format="pyarrow"), ["gh"], combine
     )
     dup = counts.to_pandas()  # bounded by corpus_grams / min_docs
+    if len(dup) > max_dup_grams:
+        raise ValueError(
+            f"duplicated_spans: {len(dup):,} duplicated grams exceed the "
+            f"broadcast budget ({max_dup_grams:,}); raise min_docs / "
+            f"ngram_words (each dup gram costs 8 B broadcast — the guard "
+            f"mirrors grouped_quantiles.max_distinct)"
+        )
     dup_h = np.sort(dup["gh"].to_numpy().view(np.uint64))
     dup_ref = ray.put(dup_h)
 
@@ -333,9 +344,18 @@ def bm25_scores(
         )
 
     stats = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
-    df_tot = np.sum(np.stack(stats["df"].to_numpy()), axis=0).astype(np.float64)
-    n_docs = float(stats["n_docs"].sum())
-    avgdl = float(stats["total_words"].sum()) / max(1.0, n_docs)
+    if stats.empty:  # empty input: no partial rows at all
+        df_tot = np.zeros(nq, dtype=np.float64)
+        n_docs = 0.0
+    else:
+        df_tot = np.sum(
+            np.stack(stats["df"].to_numpy()), axis=0
+        ).astype(np.float64)
+        n_docs = float(stats["n_docs"].sum())
+    avgdl = (
+        float(stats["total_words"].sum()) / max(1.0, n_docs)
+        if not stats.empty else 1.0
+    )
     idf = np.log(1.0 + (n_docs - df_tot + 0.5) / (df_tot + 0.5))
     probe_ref = ray.put((q_h, idf, avgdl))
 

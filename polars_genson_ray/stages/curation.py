@@ -61,7 +61,13 @@ class CurationFilter:
         # redo t.lower().split() — 3x the tokenization cost of the scan
         # this stage exists to fuse)
         texts = batch[self._quality.column].to_pylist()
-        words = [t.lower().split() if t else [] for t in texts]
+        # RE2-exact tokenization: the contamination kernel must see the
+        # SAME word lists as standalone decontaminate (sketches.re2_words)
+        # or the fused and standalone verdicts could diverge on non-space
+        # whitespace; quality/repetition reuse the same lists
+        from .sketches import re2_words
+
+        words = [re2_words(t) for t in texts]
         q = self._quality(batch, words)
         r = self._rep(batch, words)
         c = self._tagger(batch, words)

@@ -32,9 +32,11 @@ def benchmark_ngram_hashes(texts, n: int = 5) -> np.ndarray:
     """Sorted distinct uint64 hashes of the word ``n``-grams of the
     benchmark corpus (lowercased, whitespace-tokenized — mirrors the SQL
     formulation ``string_split_regex(trim(lower(text)), '\\s+')``)."""
+    from .sketches import re2_words
+
     grams = []
     for t in texts:
-        words = t.lower().split() if t else []
+        words = re2_words(t)
         if len(words) >= n:
             grams.append(_gram_hashes_flat(hash_strings(words), n))
     if not grams:
@@ -66,9 +68,11 @@ class ContaminationTagger:
         bench = ray.get(self.bench_ref)
         texts = batch[self.column].to_pylist()
         n = self.n
+        from .sketches import re2_words
+
         word_lists = (
             words_lists if words_lists is not None
-            else [t.lower().split() if t else [] for t in texts]
+            else [re2_words(t) for t in texts]
         )
         counts = np.fromiter(
             (len(w) for w in word_lists), count=len(word_lists), dtype=np.int64
@@ -154,8 +158,7 @@ def build_bloom_filter(
     sees ≤ fanin blobs — OR is the idempotent-commutative monoid here).
     Returns the packed uint64 bitmap (length 2^bits_log2 / 64).
     """
-    import pandas as pd
-
+    from .corpus import _doc_words, _flat_gram_windows
     from .sketches import tree_reduce_blobs
 
     n = ngram_words
@@ -163,25 +166,11 @@ def build_bloom_filter(
 
     def partial(batch: pa.Table) -> pa.Table:
         bitmap = np.zeros(words_len, dtype=np.uint64)
-        texts = batch[column].to_pylist()
-        word_lists = [t.lower().split() if t else [] for t in texts]
-        counts = np.fromiter(
-            (len(w) for w in word_lists), count=len(word_lists),
-            dtype=np.int64,
-        )
-        all_words = [w for ws in word_lists for w in ws]
-        if all_words and (counts >= n).any():
-            flat = _gram_hashes_flat(hash_strings(all_words), n)
-            starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
-            vcounts = np.maximum(counts - n + 1, 0)
-            voffsets = np.concatenate(([0], np.cumsum(vcounts)))[:-1]
-            total = int(vcounts.sum())
-            idx = (
-                np.repeat(starts, vcounts)
-                + np.arange(total)
-                - np.repeat(voffsets, vcounts)
-            )
-            grams = np.unique(flat[idx])
+        word_lists = _doc_words(batch[column].to_pylist())
+        flat = _flat_gram_windows(word_lists, n)
+        if flat is not None:
+            _, grams_all, _, _ = flat
+            grams = np.unique(grams_all)
             for pos in _bloom_positions(grams, num_hashes, bits_log2):
                 np.bitwise_or.at(
                     bitmap, (pos >> np.uint64(6)).astype(np.int64),
@@ -195,9 +184,19 @@ def build_bloom_filter(
             acc |= np.frombuffer(b, dtype=np.uint64)
         return acc.tobytes()
 
+    # batch_size=None → ONE dense bitmap per BLOCK, not per default-sized
+    # batch: the build exchange ships #blocks × 2^bits_log2/8 bytes, which
+    # at the big-contamination-corpus scale this operator targets is the
+    # difference between GBs and the intended few-MiB-per-block
     blobs = tree_reduce_blobs(
-        contam_ds.map_batches(partial, batch_format="pyarrow"), combine
+        contam_ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ),
+        combine,
     )
+    if not blobs:
+        # empty contamination corpus → nothing is contaminated
+        return np.zeros(words_len, dtype=np.uint64)
     return np.frombuffer(combine(blobs), dtype=np.uint64).copy()
 
 
@@ -219,30 +218,21 @@ class BloomContaminationTagger:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import ray
 
+        from .corpus import _doc_words, _flat_gram_windows
+
         bitmap = ray.get(self.bloom_ref)
         texts = batch[self.column].to_pylist()
         n = self.n
-        word_lists = [t.lower().split() if t else [] for t in texts]
+        word_lists = _doc_words(texts)
         counts = np.fromiter(
             (len(w) for w in word_lists), count=len(word_lists),
             dtype=np.int64,
         )
         n_hits = np.zeros(len(texts), dtype=np.int64)
-        all_words = [w for ws in word_lists for w in ws]
-        if all_words and (counts >= n).any():
-            flat = _gram_hashes_flat(hash_strings(all_words), n)
-            starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
-            vcounts = np.maximum(counts - n + 1, 0)
-            voffsets = np.concatenate(([0], np.cumsum(vcounts)))[:-1]
-            total = int(vcounts.sum())
-            idx = (
-                np.repeat(starts, vcounts)
-                + np.arange(total)
-                - np.repeat(voffsets, vcounts)
-            )
-            doc_idx = np.repeat(np.arange(len(counts)), vcounts)
-            grams = flat[idx]
-            member = np.ones(total, dtype=bool)
+        flat = _flat_gram_windows(word_lists, n)
+        if flat is not None:
+            _, grams, _, doc_idx = flat
+            member = np.ones(len(grams), dtype=bool)
             for pos in _bloom_positions(
                 grams, self.num_hashes, self.bits_log2
             ):

@@ -17,15 +17,10 @@ original payload — so the wide steps stay narrow at 100 TB.
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pyarrow as pa
 
-from .sketches import hash64, hash_strings
-
-# ASCII-whitespace tokenizer shared with the SQL oracles' RE2 '\s+'
-_ASCII_WS = re.compile(r"\s+", re.ASCII)
+from .sketches import RE2_WS, hash64, hash_strings
 
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
@@ -464,9 +459,10 @@ class SimHasher:
     Word hashes are :func:`..sketches.md5_hash_strings` (md5 low-64) —
     unlike every other dedup operator, SimHash's hash IS the output, so
     it must be reproducible by the SQL oracle. Tokenization is therefore
-    ASCII-whitespace (``re.ASCII`` split), matching the oracle's RE2
-    ``string_split_regex('\\s+')`` — Python's Unicode-aware ``str.split``
-    would split on U+00A0/U+2009 etc. that RE2's ``\\s`` does not.
+    the exact RE2 class (``sketches.RE2_WS`` = [\\t\\n\\f\\r ]), matching
+    the oracle's ``string_split_regex('\\s+')`` — Python's ``str.split``
+    would split U+00A0/U+2009 etc., and even ``re.ASCII \\s`` would split
+    \\x0b, which RE2's ``\\s`` does not.
     (Remaining theoretical divergence: ``lower()`` on non-ASCII letters;
     the oracle comparison corpus is ASCII.)"""
 
@@ -478,7 +474,7 @@ class SimHasher:
     def _words(text: str) -> list[str]:
         if not text:
             return []
-        return [w for w in _ASCII_WS.split(text.lower()) if w]
+        return [w for w in RE2_WS.split(text.lower()) if w]
 
     def simhash(self, text: str) -> int:
         from .sketches import md5_hash_strings

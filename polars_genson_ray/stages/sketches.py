@@ -46,6 +46,25 @@ def hash_strings(values) -> np.ndarray:
     return hash64(out)
 
 
+# The RE2 whitespace class DuckDB's string_split_regex('\\s+') uses:
+# [\t\n\f\r ] — note NO \v (Python's \s, even with re.ASCII, includes
+# \x0b) and NO Unicode spaces (str.split() splits NBSP etc.). Every
+# operator whose OUTPUT is compared against a SQL oracle tokenizes with
+# THIS class so engine and oracle agree on arbitrary input, not just the
+# space-only test corpus.
+import re as _re
+
+RE2_WS = _re.compile(r"[\t\n\f\r ]+")
+
+
+def re2_words(text) -> list:
+    """Lowercased RE2-'\\s+'-split word list, empties dropped (the SQL
+    oracles' ``WHERE word <> ''`` / trim() edge behavior)."""
+    if not text:
+        return []
+    return [w for w in RE2_WS.split(text.lower()) if w]
+
+
 def md5_hash_strings(values) -> np.ndarray:
     """64-bit word hashes as the FIRST 8 md5 bytes (big-endian). Slower
     than :func:`hash_strings` but exactly reproducible in ANSI SQL —

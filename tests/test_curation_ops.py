@@ -373,3 +373,141 @@ def test_bloom_filter_build_is_order_independent(ray_session):
     a = build_bloom_filter(rd.from_pandas(docs).repartition(1), bits_log2=20)
     b = build_bloom_filter(rd.from_pandas(docs).repartition(7), bits_log2=20)
     assert (a == b).all()
+
+
+def test_re2_tokenizer_matches_duckdb_exactly():
+    """sketches.re2_words must agree with DuckDB's
+    string_split_regex('\\s+') + empty-drop on hostile whitespace: NBSP
+    and thin space stay inside tokens, \\x0b stays inside tokens (RE2 \\s
+    has no \\v), \\t\\n\\f\\r and space all split."""
+    import duckdb
+
+    from polars_genson_ray.stages.sketches import re2_words
+
+    cases = [
+        "foo bar baz",      # NBSP inside token
+        "a b c",            # thin space inside token
+        "a\x0bb c",              # vertical tab inside token (RE2 keeps it)
+        "x\ty\nz\fq\rw e",       # every RE2 ws char splits
+        "  leading and trailing  ",
+        "",
+    ]
+    con = duckdb.connect()
+    for t in cases:
+        ours = re2_words(t)
+        theirs = [
+            r[0]
+            for r in con.execute(
+                "SELECT UNNEST(string_split_regex(lower(?), '\\s+')) AS w",
+                [t],
+            ).fetchall()
+            if r[0] != ""
+        ]
+        assert ours == theirs, (t, ours, theirs)
+
+
+def test_dup_spans_and_bm25_oracle_hostile_whitespace(ray_session):
+    """End-to-end engine-vs-DuckDB parity for the two new corpus operators
+    on documents containing NBSP / tabs / trailing newlines — the exact
+    divergence class the RE2 tokenizer + hardened SQL close."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from polars_genson_ray.stages.corpus import bm25_scores, duplicated_spans
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "alpha beta gamma delta epsilon zeta eta",
+                "alpha beta gamma delta epsilon zeta theta\n",
+                "\talpha beta gamma delta epsilon zeta iota",
+                "plain words only here now",
+            ],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+
+    spans = (
+        duplicated_spans(rd.from_pandas(docs), ngram_words=5, min_docs=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    sql = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split_regex(trim(lower(text)), '\\s+'),
+                       x -> x <> ''
+                   ) AS w
+            FROM documents WHERE trim(text) <> ''
+        ), docw AS (
+            SELECT doc_id, w, len(w) AS nw FROM toks
+        ), wins AS (
+            SELECT doc_id, g.s AS s,
+                   array_to_string(w[g.s : g.s + 4], ' ') AS gram
+            FROM docw, UNNEST(range(1, nw - 5 + 2)) AS g(s)
+        ), dupg AS (
+            SELECT gram FROM wins GROUP BY gram
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ), hits AS (
+            SELECT doc_id, s FROM wins WHERE gram IN (SELECT gram FROM dupg)
+        ), cov AS (
+            SELECT DISTINCT doc_id, p.p
+            FROM hits, UNNEST(range(s, s + 5)) AS p(p)
+        ), perdoc AS (
+            SELECT doc_id, COUNT(*) AS dup_words FROM cov GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.nw AS n_words,
+               COALESCE(pd.dup_words, 0) AS dup_words,
+               COALESCE(pd.dup_words, 0)::DOUBLE / d.nw AS dup_fraction
+        FROM docw d LEFT JOIN perdoc pd USING (doc_id)
+        ORDER BY d.doc_id
+    """
+    oracle = con.execute(sql).fetchdf()
+    assert spans.n_words.tolist() == oracle.n_words.tolist()
+    assert spans.dup_words.tolist() == oracle.dup_words.tolist()
+    assert spans.dup_fraction.tolist() == oracle.dup_fraction.tolist()
+    # docs 0/1 share their first FIVE tokens (the NBSP fuses beta+gamma
+    # into one token on both sides), i.e. exactly one duplicated 5-gram
+    assert spans.loc[0, "dup_words"] == 5
+
+
+def test_bloom_and_bm25_empty_inputs(ray_session):
+    """Empty contamination corpus → all-zero filter (nothing flagged);
+    empty bm25 corpus → empty result, no crash."""
+    import pandas as pd
+    import ray.data as rd
+
+    from polars_genson_ray.stages.corpus import bm25_scores
+    from polars_genson_ray.stages.decontam import bloom_decontaminate
+
+    docs = pd.DataFrame({"doc_id": [0, 1], "text": ["a b c d e f", "g h"]})
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype=int),
+                          "text": pd.Series([], dtype=str)})
+    tagged = bloom_decontaminate(
+        rd.from_pandas(docs), rd.from_pandas(empty)
+    ).to_pandas()
+    assert not tagged.contaminated.any()
+
+    out = bm25_scores(rd.from_pandas(empty), "a b").to_pandas()
+    assert len(out) == 0
+
+
+def test_dup_spans_broadcast_guard(ray_session):
+    """The dup-gram broadcast guard raises with a diagnostic instead of
+    silently materializing an unbounded set on the driver."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from polars_genson_ray.stages.corpus import duplicated_spans
+
+    docs = pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["a b c d e f g h", "a b c d e f g h"]}
+    )
+    with pytest.raises(ValueError, match="broadcast budget"):
+        duplicated_spans(
+            rd.from_pandas(docs), ngram_words=2, min_docs=2, max_dup_grams=2
+        )
