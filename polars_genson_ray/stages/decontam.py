@@ -74,26 +74,28 @@ class ContaminationTagger:
             words_lists if words_lists is not None
             else [re2_words(t) for t in texts]
         )
-        counts = np.fromiter(
-            (len(w) for w in word_lists), count=len(word_lists), dtype=np.int64
-        )
-        all_words = [w for ws in word_lists for w in ws]
-        wh = hash_strings(all_words)
-        flat = _gram_hashes_flat(wh, n)
-        starts = np.concatenate(([0], np.cumsum(counts)))
-        vcounts = np.maximum(counts - n + 1, 0)
         n_contam = np.zeros(len(texts), dtype=np.int64)
-        for i, vc in enumerate(vcounts.tolist()):
-            if vc == 0:
-                continue
-            doc_grams = np.unique(flat[starts[i] : starts[i] + vc])
-            # membership via searchsorted on the sorted benchmark array —
-            # O(g log B) per doc, fully vectorized
-            pos = np.searchsorted(bench, doc_grams)
-            pos[pos == len(bench)] = 0
-            n_contam[i] = int(
-                np.count_nonzero(bench[pos] == doc_grams) if len(bench) else 0
+        from .corpus import _flat_gram_windows
+
+        flat = _flat_gram_windows(word_lists, n) if len(bench) else None
+        if flat is not None:
+            # ONE flat pass for the whole batch (the per-doc loop this
+            # replaces paid a numpy-dispatch round per document on a
+            # 100%-of-corpus stage): lexsort → per-doc distinct grams →
+            # one searchsorted membership probe
+            _, grams, _, doc_idx = flat
+            order = np.lexsort((grams, doc_idx))
+            fd, fg = doc_idx[order], grams[order]
+            keep = np.concatenate(
+                ([True], (fd[1:] != fd[:-1]) | (fg[1:] != fg[:-1]))
             )
+            dd, dg = fd[keep], fg[keep]
+            pos = np.searchsorted(bench, dg)
+            pos[pos == len(bench)] = 0
+            hit = bench[pos] == dg
+            n_contam = np.bincount(
+                dd[hit], minlength=len(texts)
+            ).astype(np.int64)
         return pa.table(
             {
                 self.id_column: batch[self.id_column],
