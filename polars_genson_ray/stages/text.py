@@ -12,6 +12,8 @@ import re
 import numpy as np
 import pyarrow as pa
 
+from .sketches import hash_strings
+
 
 class TokenCounter:
     """Whitespace token count + BPE-ish subword estimate.
@@ -50,26 +52,57 @@ class QualityScorer:
 
     def __init__(self, column: str = "text"):
         self.column = column
-        self.punct_re = re.compile(r"[.!?,;:]")
+        self._stop_hashes = np.sort(hash_strings(sorted(self.STOPWORDS)))
 
     def __call__(self, batch: pa.Table, words_lists=None) -> pa.Table:
         # ``words_lists``: precomputed lowercase word lists per row —
         # fused callers (CurationFilter) tokenize ONCE for all kernels
-        texts = batch[self.column].to_pylist()
-        n = len(texts)
-        length = np.zeros(n, dtype=np.int64)
-        punct = np.zeros(n, dtype=np.int64)
-        stop_ratio = np.zeros(n)
-        mean_wlen = np.zeros(n)
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            length[i] = len(t)
-            punct[i] = len(self.punct_re.findall(t))
-            words = words_lists[i] if words_lists is not None else t.lower().split()
-            if words:
-                stop_ratio[i] = sum(w in self.STOPWORDS for w in words) / len(words)
-                mean_wlen[i] = sum(len(w) for w in words) / len(words)
+        import pyarrow.compute as pc
+
+        col = batch[self.column]
+        n = len(col)
+        # length/punct: Arrow C kernels over the whole column (the per-doc
+        # Python re.findall loop this replaces dominated the stage)
+        length = pc.fill_null(
+            pc.utf8_length(col), 0
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        punct = pc.fill_null(
+            pc.count_substring_regex(col, "[.!?,;:]"), 0
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        word_lists = (
+            words_lists
+            if words_lists is not None
+            else [
+                t.lower().split() if t else []
+                for t in col.to_pylist()
+            ]
+        )
+        counts = np.fromiter(
+            (len(ws) for ws in word_lists), count=n, dtype=np.int64
+        )
+        all_words = [w for ws in word_lists for w in ws]
+        stop_counts = np.zeros(n, dtype=np.int64)
+        wlen_sums = np.zeros(n, dtype=np.int64)
+        if all_words:
+            # ONE flat pass: hashed stopword membership + word lengths,
+            # segment-summed via cumsum differences (reduceat mishandles
+            # empty segments)
+            wh = hash_strings(all_words)
+            pos = np.searchsorted(self._stop_hashes, wh)
+            pos[pos == len(self._stop_hashes)] = 0
+            is_stop = (self._stop_hashes[pos] == wh).astype(np.int64)
+            wlen = np.fromiter(
+                (len(w) for w in all_words), count=len(all_words),
+                dtype=np.int64,
+            )
+            bounds = np.concatenate(([0], np.cumsum(counts)))
+            cs = np.concatenate(([0], np.cumsum(is_stop)))
+            cl = np.concatenate(([0], np.cumsum(wlen)))
+            stop_counts = cs[bounds[1:]] - cs[bounds[:-1]]
+            wlen_sums = cl[bounds[1:]] - cl[bounds[:-1]]
+        nz = np.maximum(counts, 1)
+        stop_ratio = np.where(counts > 0, stop_counts / nz, 0.0)
+        mean_wlen = np.where(counts > 0, wlen_sums / nz, 0.0)
         score = (
             np.clip(length / 500.0, 0, 1) * 0.3
             + np.clip(stop_ratio * 3.0, 0, 1) * 0.4
