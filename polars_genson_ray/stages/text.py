@@ -172,30 +172,68 @@ class RepetitionScorer:
         self.column = column
         self.id_column = id_column
 
+    @staticmethod
+    def _per_doc_run_stats(doc_idx, keys, n_docs):
+        """Per-doc (#distinct keys, max key multiplicity) in ONE flat
+        lexsort pass — replaces a per-doc ``np.unique`` loop."""
+        order = np.lexsort((keys, doc_idx))
+        d, k = doc_idx[order], keys[order]
+        newrun = np.concatenate(([True], (d[1:] != d[:-1]) | (k[1:] != k[:-1])))
+        run_ids = np.cumsum(newrun) - 1
+        run_doc = d[newrun]
+        run_len = np.bincount(run_ids)
+        distinct = np.bincount(run_doc, minlength=n_docs)
+        doc_start = np.concatenate(([True], run_doc[1:] != run_doc[:-1]))
+        idxs = np.flatnonzero(doc_start)
+        max_run = np.zeros(n_docs, dtype=np.int64)
+        if len(idxs):
+            max_run[run_doc[idxs]] = np.maximum.reduceat(run_len, idxs)
+        return distinct, max_run
+
     def __call__(self, batch: pa.Table, words_lists=None) -> pa.Table:
+        from .setjoin import _gram_hashes_flat
+
         texts = batch[self.column].to_pylist()
         n = len(texts)
-        n_words = np.zeros(n, dtype=np.int64)
+        word_lists = (
+            words_lists if words_lists is not None
+            else [t.lower().split() if t else [] for t in texts]
+        )
+        counts = np.fromiter(
+            (len(ws) for ws in word_lists), count=n, dtype=np.int64
+        )
+        n_words = counts.copy()
         dup_frac = np.zeros(n)
         top_word = np.zeros(n)
         top_bigram = np.zeros(n)
-        for i, t in enumerate(texts):
-            words = (
-                words_lists[i] if words_lists is not None
-                else (t.lower().split() if t else [])
-            )
-            if not words:
-                continue
-            n_words[i] = len(words)
-            _, counts = np.unique(words, return_counts=True)
-            dup_frac[i] = 1.0 - len(counts) / len(words)
-            top_word[i] = counts.max() / len(words)
-            if len(words) >= 2:
-                bigrams = [
-                    words[j] + " " + words[j + 1] for j in range(len(words) - 1)
-                ]
-                _, bcounts = np.unique(bigrams, return_counts=True)
-                top_bigram[i] = bcounts.max() / len(bigrams)
+        all_words = [w for ws in word_lists for w in ws]
+        if all_words:
+            # word identity travels as 64-bit hashes (collision odds
+            # ~words²/2⁶⁵ per doc — the same documented argument as every
+            # gram-hash operator; the sf0.01 oracle would surface one)
+            wh = hash_strings(all_words)
+            doc_idx = np.repeat(np.arange(n), counts)
+            nz = np.maximum(counts, 1)
+            distinct, max_run = self._per_doc_run_stats(doc_idx, wh, n)
+            has = counts > 0
+            dup_frac = np.where(has, 1.0 - distinct / nz, 0.0)
+            top_word = np.where(has, max_run / nz, 0.0)
+            # bigrams: flat 2-gram hash windows, doc-straddlers discarded
+            vcounts = np.maximum(counts - 1, 0)
+            if vcounts.any():
+                starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+                voffsets = np.concatenate(([0], np.cumsum(vcounts)))[:-1]
+                total = int(vcounts.sum())
+                idx = (
+                    np.repeat(starts, vcounts)
+                    + np.arange(total)
+                    - np.repeat(voffsets, vcounts)
+                )
+                bi = _gram_hashes_flat(wh, 2)[idx]
+                bdoc = np.repeat(np.arange(n), vcounts)
+                _, bmax = self._per_doc_run_stats(bdoc, bi, n)
+                nzb = np.maximum(vcounts, 1)
+                top_bigram = np.where(vcounts > 0, bmax / nzb, 0.0)
         return pa.table(
             {
                 self.id_column: batch[self.id_column],
