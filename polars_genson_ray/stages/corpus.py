@@ -38,7 +38,8 @@ def _doc_words(texts) -> list[list[str]]:
     return [re2_words(t) for t in texts]
 
 
-def _flat_gram_windows(word_lists: list[list[str]], n: int):
+def _flat_gram_windows(word_lists: list[list[str]], n: int,
+                       word_hashes=None):
     """Flat gram-window index over a batch's word lists: hash every word
     ONCE, one gram-hash window sweep over the concatenation; windows
     straddling doc boundaries are discarded. Returns ``(all_words, grams,
@@ -52,7 +53,9 @@ def _flat_gram_windows(word_lists: list[list[str]], n: int):
     if not len(counts) or not (counts >= n).any():
         return None
     all_words = [w for ws in word_lists for w in ws]
-    flat_all = _gram_hashes_flat(hash_strings(all_words), n)
+    flat_all = _gram_hashes_flat(
+        hash_strings(all_words) if word_hashes is None else word_hashes, n
+    )
     starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
     vcounts = np.maximum(counts - n + 1, 0)
     voffsets = np.concatenate(([0], np.cumsum(vcounts)))[:-1]

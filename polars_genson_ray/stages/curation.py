@@ -65,12 +65,14 @@ class CurationFilter:
         # SAME word lists as standalone decontaminate (sketches.re2_words)
         # or the fused and standalone verdicts could diverge on non-space
         # whitespace; quality/repetition reuse the same lists
-        from .sketches import re2_words
+        from .sketches import hash_strings, re2_words
 
         words = [re2_words(t) for t in texts]
-        q = self._quality(batch, words)
-        r = self._rep(batch, words)
-        c = self._tagger(batch, words)
+        # hash once too: all three kernels consume the same flat array
+        wh = hash_strings([w for ws in words for w in ws])
+        q = self._quality(batch, words, wh)
+        r = self._rep(batch, words, wh)
+        c = self._tagger(batch, words, wh)
         q_len = q.column("q_len").to_numpy()
         dup = r.column("dup_word_frac").to_numpy()
         top = r.column("top_word_frac").to_numpy()

@@ -61,7 +61,8 @@ class ContaminationTagger:
         self.id_column = id_column
         self.n = n
 
-    def __call__(self, batch: pa.Table, words_lists=None) -> pa.Table:
+    def __call__(self, batch: pa.Table, words_lists=None,
+                 word_hashes=None) -> pa.Table:
         import ray
 
         # zero-copy shared-memory read of the broadcast array per task
@@ -77,7 +78,10 @@ class ContaminationTagger:
         n_contam = np.zeros(len(texts), dtype=np.int64)
         from .corpus import _flat_gram_windows
 
-        flat = _flat_gram_windows(word_lists, n) if len(bench) else None
+        flat = (
+            _flat_gram_windows(word_lists, n, word_hashes)
+            if len(bench) else None
+        )
         if flat is not None:
             # ONE flat pass for the whole batch (the per-doc loop this
             # replaces paid a numpy-dispatch round per document on a

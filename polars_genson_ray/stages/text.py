@@ -54,9 +54,11 @@ class QualityScorer:
         self.column = column
         self._stop_hashes = np.sort(hash_strings(sorted(self.STOPWORDS)))
 
-    def __call__(self, batch: pa.Table, words_lists=None) -> pa.Table:
-        # ``words_lists``: precomputed lowercase word lists per row —
-        # fused callers (CurationFilter) tokenize ONCE for all kernels
+    def __call__(self, batch: pa.Table, words_lists=None,
+                 word_hashes=None) -> pa.Table:
+        # ``words_lists`` / ``word_hashes``: precomputed lowercase word
+        # lists (and their flat hash array) — fused callers
+        # (CurationFilter) tokenize AND hash once for all kernels
         import pyarrow.compute as pc
 
         col = batch[self.column]
@@ -87,7 +89,7 @@ class QualityScorer:
             # ONE flat pass: hashed stopword membership + word lengths,
             # segment-summed via cumsum differences (reduceat mishandles
             # empty segments)
-            wh = hash_strings(all_words)
+            wh = hash_strings(all_words) if word_hashes is None else word_hashes
             pos = np.searchsorted(self._stop_hashes, wh)
             pos[pos == len(self._stop_hashes)] = 0
             is_stop = (self._stop_hashes[pos] == wh).astype(np.int64)
@@ -190,7 +192,8 @@ class RepetitionScorer:
             max_run[run_doc[idxs]] = np.maximum.reduceat(run_len, idxs)
         return distinct, max_run
 
-    def __call__(self, batch: pa.Table, words_lists=None) -> pa.Table:
+    def __call__(self, batch: pa.Table, words_lists=None,
+                 word_hashes=None) -> pa.Table:
         from .setjoin import _gram_hashes_flat
 
         texts = batch[self.column].to_pylist()
@@ -211,7 +214,7 @@ class RepetitionScorer:
             # word identity travels as 64-bit hashes (collision odds
             # ~words²/2⁶⁵ per doc — the same documented argument as every
             # gram-hash operator; the sf0.01 oracle would surface one)
-            wh = hash_strings(all_words)
+            wh = hash_strings(all_words) if word_hashes is None else word_hashes
             doc_idx = np.repeat(np.arange(n), counts)
             nz = np.maximum(counts, 1)
             distinct, max_run = self._per_doc_run_stats(doc_idx, wh, n)
