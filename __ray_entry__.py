@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "aspect_buckets": Q.r_aspect_buckets,
         # flagship validation pipeline
         "validation_image_table": Q.r_validation_image_table,
+        "validation_violations": Q.r_validation_violations,
     }
 
 

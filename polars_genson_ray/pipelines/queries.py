@@ -2178,3 +2178,37 @@ def r_validation_image_table(sf_dir: str):
         return pd.DataFrame(frag_rows)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def r_validation_violations(sf_dir: str):
+    """The per-ROW violation surface the north rule names: run the
+    flagship validation, then read back the annotated parquet it wrote
+    and return the violating rows (image_id, fragment, violation kind,
+    psnr) — the record a downstream repair/quarantine job consumes.
+    The corpus plants deterministic corruptions, so this is non-empty
+    and stable."""
+    from ..pipelines.validation import run_validation
+
+    img_dir = _image_table_dir(_rows_for_sf(sf_dir))
+    import shutil, tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="pgr_valrows_")
+    try:
+        run_validation(img_dir, out_dir)
+        ann = rd.read_parquet(
+            os.path.join(out_dir, "annotated"),
+            columns=["image_id", "violation", "psnr_db"],
+        )
+
+        def keep_violations(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df.violation != ""]
+
+        out = (
+            ann.map_batches(keep_violations, batch_format="pandas")
+            .to_pandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

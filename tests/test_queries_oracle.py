@@ -227,6 +227,7 @@ _ROWS_ONLY_QUERIES = [
         "image_resize",
         "aspect_buckets",
         "validation_image_table",
+        "validation_violations",
 ]
 
 
