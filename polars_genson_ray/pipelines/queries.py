@@ -2197,11 +2197,13 @@ def r_validation_violations(sf_dir: str):
         run_validation(img_dir, out_dir)
         ann = rd.read_parquet(
             os.path.join(out_dir, "annotated"),
-            columns=["image_id", "violation", "psnr_db"],
+            columns=["image_id", "path", "violation", "psnr_db"],
         )
 
         def keep_violations(df: pd.DataFrame) -> pd.DataFrame:
-            return df[df.violation != ""]
+            out = df[df.violation != ""].copy()
+            out["fragment"] = out.pop("path").map(os.path.basename)
+            return out
 
         out = (
             ann.map_batches(keep_violations, batch_format="pandas")

@@ -38,6 +38,18 @@ def _doc_words(texts) -> list[list[str]]:
     return [re2_words(t) for t in texts]
 
 
+def distinct_doc_keys(doc_idx: np.ndarray, keys: np.ndarray):
+    """(doc, key) pairs deduplicated to one row per DISTINCT pair (lexsort
+    + run-head mask) — the single definition of the distinct-grams-per-doc
+    semantics every df-counting oracle depends on."""
+    order = np.lexsort((keys, doc_idx))
+    fd, fg = doc_idx[order], keys[order]
+    keep = np.concatenate(
+        ([True], (fd[1:] != fd[:-1]) | (fg[1:] != fg[:-1]))
+    )
+    return fd[keep], fg[keep]
+
+
 def _flat_gram_windows(word_lists: list[list[str]], n: int,
                        word_hashes=None):
     """Flat gram-window index over a batch's word lists: hash every word
@@ -101,13 +113,8 @@ def boilerplate_ngrams(
         flat = _flat_gram_windows(word_lists, n)
         if flat is not None:
             _, grams, _, doc_idx = flat
-            # distinct per doc: sort by (doc, gram), keep run heads
-            order = np.lexsort((grams, doc_idx))
-            fd, fg = doc_idx[order], grams[order]
-            keep = np.concatenate(
-                ([True], (fd[1:] != fd[:-1]) | (fg[1:] != fg[:-1]))
-            )
-            h, c = np.unique(fg[keep], return_counts=True)
+            _, dg = distinct_doc_keys(doc_idx, grams)
+            h, c = np.unique(dg, return_counts=True)
         else:
             h = np.zeros(0, dtype=np.uint64)
             c = np.zeros(0, dtype=np.int64)
@@ -211,12 +218,8 @@ def duplicated_spans(
         flat = _flat_gram_windows(word_lists, n)
         if flat is not None:
             _, grams, _, doc_idx = flat
-            order = np.lexsort((grams, doc_idx))
-            fd, fg = doc_idx[order], grams[order]
-            keep = np.concatenate(
-                ([True], (fd[1:] != fd[:-1]) | (fg[1:] != fg[:-1]))
-            )
-            h, c = np.unique(fg[keep], return_counts=True)
+            _, dg = distinct_doc_keys(doc_idx, grams)
+            h, c = np.unique(dg, return_counts=True)
         else:
             h = np.zeros(0, dtype=np.uint64)
             c = np.zeros(0, dtype=np.int64)

@@ -88,12 +88,9 @@ class ContaminationTagger:
             # 100%-of-corpus stage): lexsort → per-doc distinct grams →
             # one searchsorted membership probe
             _, grams, _, doc_idx = flat
-            order = np.lexsort((grams, doc_idx))
-            fd, fg = doc_idx[order], grams[order]
-            keep = np.concatenate(
-                ([True], (fd[1:] != fd[:-1]) | (fg[1:] != fg[:-1]))
-            )
-            dd, dg = fd[keep], fg[keep]
+            from .corpus import distinct_doc_keys
+
+            dd, dg = distinct_doc_keys(doc_idx, grams)
             pos = np.searchsorted(bench, dg)
             pos[pos == len(bench)] = 0
             hit = bench[pos] == dg
@@ -249,14 +246,11 @@ class BloomContaminationTagger:
             if member.any():
                 # distinct matching grams per doc (mirror the exact
                 # tagger's join-on-distinct semantics)
-                hd, hg = doc_idx[member], grams[member]
-                order = np.lexsort((hg, hd))
-                hd, hg = hd[order], hg[order]
-                keep = np.concatenate(
-                    ([True], (hd[1:] != hd[:-1]) | (hg[1:] != hg[:-1]))
-                )
+                from .corpus import distinct_doc_keys
+
+                hd, _ = distinct_doc_keys(doc_idx[member], grams[member])
                 n_hits = np.bincount(
-                    hd[keep], minlength=len(counts)
+                    hd, minlength=len(counts)
                 ).astype(np.int64)
         return pa.table(
             {

@@ -56,20 +56,29 @@ import re as _re
 
 RE2_WS = _re.compile(r"[\t\n\f\r ]+")
 
+# ASCII chars where str.split() and RE2 '\s' DISAGREE: \x0b (VT) plus
+# \x1c-\x1f (FS/GS/RS/US) are Python str whitespace but not RE2 \s —
+# the fast-path guard below rejects exactly these (chained `in` scans)
+
 
 def re2_words(text) -> list:
     """Lowercased RE2-'\\s+'-split word list, empties dropped (the SQL
     oracles' ``WHERE word <> ''`` / trim() edge behavior).
 
-    Fast path: for ASCII text without \\x0b, C-level ``str.split()`` is
-    IDENTICAL to the RE2 split (ASCII ws minus \\v is the only ASCII
-    divergence; Unicode ws needs non-ASCII) and ~2.3× faster — the two
-    guard scans are C-speed, so hot 100%-of-corpus stages keep their
-    throughput while hostile input still takes the exact regex."""
+    Fast path: for ASCII text without the divergent control chars
+    (VT/FS/GS/RS/US, which Python ``str.split`` treats as whitespace but
+    RE2's ``\\s`` does not; Unicode spaces need non-ASCII), C-level ``str.split()`` is IDENTICAL to the RE2 split and
+    ~2.3× faster — the guard scans are C-speed, so hot 100%-of-corpus
+    stages keep their throughput while hostile input takes the exact
+    regex."""
     if not text:
         return []
     t = text.lower()
-    if t.isascii() and "\x0b" not in t:
+    if t.isascii() and not (
+        "\x0b" in t or "\x1c" in t or "\x1d" in t
+        or "\x1e" in t or "\x1f" in t
+    ):
+        # chained C-level memchr scans beat one regex scan ~3× here
         return t.split()
     return [w for w in RE2_WS.split(t) if w]
 

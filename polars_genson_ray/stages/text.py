@@ -194,8 +194,6 @@ class RepetitionScorer:
 
     def __call__(self, batch: pa.Table, words_lists=None,
                  word_hashes=None) -> pa.Table:
-        from .setjoin import _gram_hashes_flat
-
         texts = batch[self.column].to_pylist()
         n = len(texts)
         word_lists = (
@@ -222,18 +220,13 @@ class RepetitionScorer:
             dup_frac = np.where(has, 1.0 - distinct / nz, 0.0)
             top_word = np.where(has, max_run / nz, 0.0)
             # bigrams: flat 2-gram hash windows, doc-straddlers discarded
+            # (the shared window helper owns the straddle arithmetic)
+            from .corpus import _flat_gram_windows
+
             vcounts = np.maximum(counts - 1, 0)
-            if vcounts.any():
-                starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
-                voffsets = np.concatenate(([0], np.cumsum(vcounts)))[:-1]
-                total = int(vcounts.sum())
-                idx = (
-                    np.repeat(starts, vcounts)
-                    + np.arange(total)
-                    - np.repeat(voffsets, vcounts)
-                )
-                bi = _gram_hashes_flat(wh, 2)[idx]
-                bdoc = np.repeat(np.arange(n), vcounts)
+            bflat = _flat_gram_windows(word_lists, 2, wh)
+            if bflat is not None:
+                _, bi, _, bdoc = bflat
                 _, bmax = self._per_doc_run_stats(bdoc, bi, n)
                 nzb = np.maximum(vcounts, 1)
                 top_bigram = np.where(vcounts > 0, bmax / nzb, 0.0)

@@ -388,6 +388,8 @@ def test_re2_tokenizer_matches_duckdb_exactly():
         "foo bar baz",      # NBSP inside token
         "a b c",            # thin space inside token
         "a\x0bb c",              # vertical tab inside token (RE2 keeps it)
+        "a\x1cb\x1dc d",           # FS/GS inside tokens (str.split would split)
+        "a\x1eb\x1fc d",           # RS/US inside tokens
         "x\ty\nz\fq\rw e",       # every RE2 ws char splits
         "  leading and trailing  ",
         "",
