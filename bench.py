@@ -47,6 +47,11 @@ BENCH_QUERIES = [
     "decontaminate_docs",
     "ann_topk",
     "nation_revenue",
+    # round-3 second-session additions
+    "dup_spans",
+    "bm25_docs",
+    "value_outliers",
+    "local_supplier_revenue",
 ]
 
 
