@@ -1090,7 +1090,7 @@ def r_heavy_hitter_tokens(sf_dir: str, k: int = 20):
     wide to shuffle. count − error ≤ true ≤ count per returned row."""
     import pickle
 
-    from ..stages.sketches import SpaceSaving, tree_reduce_blobs
+    from ..stages.sketches import SpaceSaving, re2_words, tree_reduce_blobs
 
     ds = _read(sf_dir, "documents", ["text"])
 
@@ -1101,7 +1101,7 @@ def r_heavy_hitter_tokens(sf_dir: str, k: int = 20):
                 w
                 for t in df["text"]
                 if isinstance(t, str) and t
-                for w in t.lower().split()
+                for w in re2_words(t)
             ]
         )
         return pd.DataFrame({"blob": [pickle.dumps(sk)]})

@@ -20,12 +20,12 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .sketches import RE2_WS, hash64, hash_strings
+from .sketches import RE2_WS, hash64, hash_strings, re2_words
 
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """Hashes of character k-shingles of lowercased text."""
-    t = " ".join(text.lower().split()) if text else ""
+    t = " ".join(re2_words(text)) if text else ""
     if len(t) < k:
         t = t.ljust(k, "_")
     data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
@@ -84,7 +84,7 @@ class MinHasher:
         k = self.shingle_k
         parts = []
         for t in texts:
-            s = " ".join(t.lower().split()) if t else ""
+            s = " ".join(re2_words(t)) if t else ""
             if len(s) < k:
                 s = s.ljust(k, "_")
             parts.append(s.encode("utf-8"))

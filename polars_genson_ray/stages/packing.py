@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .sketches import hash64
+from .sketches import hash64, re2_tokens
 
 
 def pack_batch(counts: np.ndarray, max_tokens: int) -> np.ndarray:
@@ -140,10 +140,11 @@ def chunk_documents(
     consecutive chunks, preserving cross-boundary context).
 
     Chunk starts are ``0, stride, 2·stride, …`` while < the document's
-    token count; ``chunk_id = start // stride``; tokens are
-    ``str.split()`` whitespace runs (the engine's token-count
-    convention, reproducible as ``string_split_regex(trim(text),
-    '\\s+')`` in SQL). Pure per-batch flat expansion inside
+    token count; ``chunk_id = start // stride``; tokens follow the
+    engine-wide contract (``sketches.re2_tokens``: RE2 '\\s+' runs,
+    empties dropped, case preserved — reproducible as
+    ``list_filter(string_split_regex(text, '\\s+'), x -> x <> '')`` in
+    SQL on any input). Pure per-batch flat expansion inside
     ``map_batches`` — no shuffle; empty/whitespace-only documents emit
     no chunks. Output: (id, chunk_id, chunk, n_tokens).
     """
@@ -155,7 +156,7 @@ def chunk_documents(
     def expand(df: pd.DataFrame) -> pd.DataFrame:
         ids, cids, chunks, lens = [], [], [], []
         for did, t in zip(df[id_column], df[text_column]):
-            toks = t.split() if isinstance(t, str) else []
+            toks = re2_tokens(t) if isinstance(t, str) else []
             for ci, s in enumerate(range(0, len(toks), stride)):
                 w = toks[s : s + chunk_tokens]
                 ids.append(did)

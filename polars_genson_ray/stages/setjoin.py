@@ -45,7 +45,7 @@ import numpy as np
 import pyarrow as pa
 
 from .dedup import _derive_num_buckets, dedup_pair_dataset
-from .sketches import hash_strings
+from .sketches import hash_strings, re2_words
 
 
 # Horner multiplier combining consecutive word hashes into a gram hash:
@@ -74,7 +74,7 @@ def word_ngram_hashes(text: str | None, n: int = 3) -> np.ndarray:
     """Sorted unique uint64 hashes of lowercased word n-grams. Docs with
     fewer than ``n`` words have no shingles (empty array) and never join —
     mirrors the SQL formulation ``WHERE len(words) >= n``."""
-    words = text.lower().split() if text else []
+    words = re2_words(text)
     if len(words) < n:
         return np.zeros(0, dtype=np.uint64)
     return np.unique(_gram_hashes_flat(hash_strings(words), n))
@@ -92,7 +92,7 @@ class ShingleTokens:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.column].to_pylist()
         n = self.n
-        word_lists = [t.lower().split() if t else [] for t in texts]
+        word_lists = [re2_words(t) for t in texts]
         counts = np.fromiter(
             (len(w) for w in word_lists), count=len(word_lists), dtype=np.int64
         )

@@ -150,6 +150,17 @@ def global_row_number(
     from .aggregate import bucketed_groups, combine_partials
 
     def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # null/NaN order values would silently vanish from the distinct-value
+        # counts (pandas groupby drops them) while their rows still reach the
+        # rank exchange, where searchsorted(NaN) lands past the prefix array —
+        # refuse them up front with a clear message (SQL ROW_NUMBER orders
+        # NULLs deterministically; this operator's broadcast prefix cannot)
+        if df[order_column].isna().any():
+            raise ValueError(
+                f"global_row_number: null/NaN values in order column "
+                f"{order_column!r} are not supported — filter or fill them "
+                "first (e.g. fillna / dropna) so ranks are well-defined"
+            )
         return df.groupby(order_column, as_index=False).agg(
             __n=(order_column, "size")
         )

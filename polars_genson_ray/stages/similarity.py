@@ -290,6 +290,19 @@ def embedding_near_duplicates(ds, *, id_column="vec_id", column="embedding",
         similarity allocation;
       * duplicate pairs across tables/buckets are dropped by
         ``dedup_pair_dataset`` (size-adaptive exchange).
+
+    Output contract (``id_a``, ``id_b``, ``cosine``): the pair list is the
+    complete ≥-threshold set EXCEPT inside a bucket that is still oversized
+    at the maximum refinement depth (a dense near-collinear clique, after
+    byte-identical vectors have been exact-collapsed to min-id star pairs).
+    Such a bucket takes a bounded STAR SWEEP: pivot→member pairs are
+    emitted and member↔member pairs within one sweep are represented only
+    through the shared pivot (logged with a warning each time). That is
+    sufficient for dedup / connected-components consumers — the pivot links
+    the clique — but a consumer that needs the literal exhaustive pair list
+    must treat star-swept buckets as reduced-pair semantics. A clique of k
+    mutually-similar rows is inherently Θ(k²) pairs; the sweep keeps output
+    linear by design rather than OOMing.
     """
     import math
 

@@ -61,26 +61,33 @@ RE2_WS = _re.compile(r"[\t\n\f\r ]+")
 # the fast-path guard below rejects exactly these (chained `in` scans)
 
 
-def re2_words(text) -> list:
-    """Lowercased RE2-'\\s+'-split word list, empties dropped (the SQL
-    oracles' ``WHERE word <> ''`` / trim() edge behavior).
+def re2_tokens(text) -> list:
+    """Case-PRESERVING RE2-'\\s+'-split token list, empties dropped (the
+    SQL oracles' ``WHERE word <> ''`` / trim() edge behavior). Used by
+    token counting / chunking, where chunk text must keep its case.
 
     Fast path: for ASCII text without the divergent control chars
     (VT/FS/GS/RS/US, which Python ``str.split`` treats as whitespace but
-    RE2's ``\\s`` does not; Unicode spaces need non-ASCII), C-level ``str.split()`` is IDENTICAL to the RE2 split and
+    RE2's ``\\s`` does not; Unicode spaces need non-ASCII),
+    C-level ``str.split()`` is IDENTICAL to the RE2 split and
     ~2.3× faster — the guard scans are C-speed, so hot 100%-of-corpus
     stages keep their throughput while hostile input takes the exact
     regex."""
     if not text:
         return []
-    t = text.lower()
-    if t.isascii() and not (
-        "\x0b" in t or "\x1c" in t or "\x1d" in t
-        or "\x1e" in t or "\x1f" in t
+    if text.isascii() and not (
+        "\x0b" in text or "\x1c" in text or "\x1d" in text
+        or "\x1e" in text or "\x1f" in text
     ):
         # chained C-level memchr scans beat one regex scan ~3× here
-        return t.split()
-    return [w for w in RE2_WS.split(t) if w]
+        return text.split()
+    return [w for w in RE2_WS.split(text) if w]
+
+
+def re2_words(text) -> list:
+    """Lowercased :func:`re2_tokens` — the canonical tokenizer for every
+    hash-emitting / oracle-compared operator."""
+    return re2_tokens(text.lower()) if text else []
 
 
 def md5_hash_strings(values) -> np.ndarray:

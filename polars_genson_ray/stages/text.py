@@ -12,15 +12,17 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from .sketches import hash_strings
+from .sketches import hash_strings, re2_tokens, re2_words
 
 
 class TokenCounter:
     """Whitespace token count + BPE-ish subword estimate.
 
-    ``n_tokens`` matches ``str.split()`` semantics (runs of whitespace,
-    ignore leading/trailing) so a SQL oracle can reproduce it; ``n_subwords``
-    is a GPT-style approximation (word-piece regex) for budget estimation.
+    ``n_tokens`` follows the engine-wide tokenization contract
+    (``sketches.re2_tokens``: RE2 '\\s+' runs, empties dropped) so the
+    SQL oracle reproduces it on ANY input — identical to ``str.split()``
+    on ASCII text without VT/FS/GS/RS/US; ``n_subwords`` is a GPT-style
+    approximation (word-piece regex) for budget estimation.
     """
 
     def __init__(self, column: str = "text"):
@@ -30,7 +32,7 @@ class TokenCounter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.column].to_pylist()
         n_tokens = np.fromiter(
-            (len(t.split()) if t else 0 for t in texts), dtype=np.int64, count=len(texts)
+            (len(re2_tokens(t)) for t in texts), dtype=np.int64, count=len(texts)
         )
         n_subwords = np.fromiter(
             (len(self.bpe_re.findall(t)) if t else 0 for t in texts),
@@ -71,13 +73,13 @@ class QualityScorer:
         punct = pc.fill_null(
             pc.count_substring_regex(col, "[.!?,;:]"), 0
         ).to_numpy(zero_copy_only=False).astype(np.int64)
+        # tokenization contract: sketches.re2_words (RE2 '\s+' class) —
+        # the canonical tokenizer for every oracle-compared operator;
+        # str.split() diverges on NBSP/VT/FS-class whitespace
         word_lists = (
             words_lists
             if words_lists is not None
-            else [
-                t.lower().split() if t else []
-                for t in col.to_pylist()
-            ]
+            else [re2_words(t) for t in col.to_pylist()]
         )
         counts = np.fromiter(
             (len(ws) for ws in word_lists), count=n, dtype=np.int64
@@ -196,9 +198,10 @@ class RepetitionScorer:
                  word_hashes=None) -> pa.Table:
         texts = batch[self.column].to_pylist()
         n = len(texts)
+        # tokenization contract: sketches.re2_words, same as QualityScorer
         word_lists = (
             words_lists if words_lists is not None
-            else [t.lower().split() if t else [] for t in texts]
+            else [re2_words(t) for t in texts]
         )
         counts = np.fromiter(
             (len(ws) for ws in word_lists), count=n, dtype=np.int64
@@ -251,14 +254,16 @@ class Fingerprinter:
     def __init__(self, column: str = "text", out_column: str = "fingerprint"):
         self.column = column
         self.out_column = out_column
-        self.ws_re = re.compile(r"\s+")
 
     def fingerprint(self, t: str) -> int:
         # polynomial rolling hash mod 2^64, fully vectorized:
         #   h = offset * P^n + Σ code_i * P^(n-1-i)   (≡ Horner h = h·P + cᵢ)
         # (the per-char chain is sequential by construction and would cost a
         # Python iteration per char)
-        norm = self.ws_re.sub(" ", t.strip().lower()) if t else ""
+        # normalization follows the engine-wide RE2 tokenization contract
+        # (Python \s+ / str.strip are Unicode-aware and would diverge from
+        # the SQL oracle on NBSP / VT / tab-edge input)
+        norm = " ".join(re2_words(t)) if t else ""
         data = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32).astype(
             np.uint64
         )

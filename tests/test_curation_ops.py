@@ -409,71 +409,79 @@ def test_re2_tokenizer_matches_duckdb_exactly():
 
 
 def test_dup_spans_and_bm25_oracle_hostile_whitespace(ray_session):
-    """End-to-end engine-vs-DuckDB parity for the two new corpus operators
-    on documents containing NBSP / tabs / trailing newlines — the exact
-    divergence class the RE2 tokenizer + hardened SQL close."""
+    """End-to-end engine-vs-DuckDB parity for the two corpus operators on
+    documents containing NBSP / tabs / trailing newlines AND docs whose
+    text is non-space whitespace only (trim() strips spaces only, so such
+    docs survive a trim(text) <> '' filter with an empty word list) —
+    runs the SHIPPED oracle_sql() against the hostile frame so the test
+    pins the exact SQL the driver executes."""
     import duckdb
     import pandas as pd
     import ray.data as rd
 
+    import __ray_entry__ as entry
     from polars_genson_ray.stages.corpus import bm25_scores, duplicated_spans
 
     docs = pd.DataFrame(
         {
-            "doc_id": [0, 1, 2, 3],
+            "doc_id": [0, 1, 2, 3, 4, 5],
             "text": [
                 "alpha beta gamma delta epsilon zeta eta",
                 "alpha beta gamma delta epsilon zeta theta\n",
                 "\talpha beta gamma delta epsilon zeta iota",
                 "plain words only here now",
+                "\t\n\f\r",  # non-space whitespace only: zero words
+                "",
             ],
         }
     )
     con = duckdb.connect()
     con.register("documents", docs)
+    oracles = entry.oracle_sql()
 
+    # dup_spans: the shipped oracle must drop the zero-word docs exactly
+    # like the engine (no nw=0 row with a NULL 0/0 dup_fraction)
     spans = (
         duplicated_spans(rd.from_pandas(docs), ngram_words=5, min_docs=2)
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
-    sql = """
-        WITH toks AS (
-            SELECT doc_id,
-                   list_filter(
-                       string_split_regex(trim(lower(text)), '\\s+'),
-                       x -> x <> ''
-                   ) AS w
-            FROM documents WHERE trim(text) <> ''
-        ), docw AS (
-            SELECT doc_id, w, len(w) AS nw FROM toks
-        ), wins AS (
-            SELECT doc_id, g.s AS s,
-                   array_to_string(w[g.s : g.s + 4], ' ') AS gram
-            FROM docw, UNNEST(range(1, nw - 5 + 2)) AS g(s)
-        ), dupg AS (
-            SELECT gram FROM wins GROUP BY gram
-            HAVING COUNT(DISTINCT doc_id) >= 2
-        ), hits AS (
-            SELECT doc_id, s FROM wins WHERE gram IN (SELECT gram FROM dupg)
-        ), cov AS (
-            SELECT DISTINCT doc_id, p.p
-            FROM hits, UNNEST(range(s, s + 5)) AS p(p)
-        ), perdoc AS (
-            SELECT doc_id, COUNT(*) AS dup_words FROM cov GROUP BY doc_id
-        )
-        SELECT d.doc_id, d.nw AS n_words,
-               COALESCE(pd.dup_words, 0) AS dup_words,
-               COALESCE(pd.dup_words, 0)::DOUBLE / d.nw AS dup_fraction
-        FROM docw d LEFT JOIN perdoc pd USING (doc_id)
-        ORDER BY d.doc_id
-    """
-    oracle = con.execute(sql).fetchdf()
+    oracle = (
+        con.execute(oracles["dup_spans"]).fetchdf()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert spans.doc_id.tolist() == oracle.doc_id.tolist() == [0, 1, 2, 3]
     assert spans.n_words.tolist() == oracle.n_words.tolist()
     assert spans.dup_words.tolist() == oracle.dup_words.tolist()
     assert spans.dup_fraction.tolist() == oracle.dup_fraction.tolist()
     # docs 0/1 share their first FIVE tokens (the NBSP fuses beta+gamma
     # into one token on both sides), i.e. exactly one duplicated 5-gram
     assert spans.loc[0, "dup_words"] == 5
+
+    # bm25: the zero-word doc must not count into n_docs/avgdl on either
+    # side (the shipped oracle's dl CTE filters len(w) > 0)
+    bdocs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "hash join merge sort hash",
+                "\tsort merge\n",
+                "no query terms here",
+                "\t\n",  # zero words: shifts avgdl/n_docs if miscounted
+            ],
+        }
+    )
+    con2 = duckdb.connect()
+    con2.register("documents", bdocs)
+    scores = (
+        bm25_scores(rd.from_pandas(bdocs), "hash join merge sort")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    boracle = (
+        con2.execute(oracles["bm25_docs"]).fetchdf()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert scores.doc_id.tolist() == boracle.doc_id.tolist()
+    assert scores.bm25.tolist() == boracle.bm25.tolist()
 
 
 def test_bloom_and_bm25_empty_inputs(ray_session):
@@ -513,3 +521,98 @@ def test_dup_spans_broadcast_guard(ray_session):
         duplicated_spans(
             rd.from_pandas(docs), ngram_words=2, min_docs=2, max_dup_grams=2
         )
+
+def test_repetition_and_token_oracles_hostile_whitespace(ray_session):
+    """RepetitionScorer / TokenCounter / chunk_documents now follow the
+    engine-wide RE2 tokenization contract — engine output must match the
+    SHIPPED oracle_sql() on NBSP / VT / tab-edge / whitespace-only docs
+    (exactly where str.split() used to diverge)."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    import __ray_entry__ as entry
+    from polars_genson_ray.stages.packing import chunk_documents
+    from polars_genson_ray.stages.text import RepetitionScorer, TokenCounter
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "one two two three three three",  # NBSP fuses a token
+                "\ta B a\x0bB c\n",  # tab edge + VT inside a token
+                "plain words only",
+                "\t\n\f\r",  # zero words after RE2 split
+                "",
+            ],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    oracles = entry.oracle_sql()
+
+    rep = (
+        rd.from_pandas(docs)
+        .map_batches(RepetitionScorer(), batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    orep = (
+        con.execute(oracles["doc_repetition"]).fetchdf()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert rep.doc_id.tolist() == orep.doc_id.tolist()
+    assert rep.n_words.tolist() == orep.n_words.tolist()
+    assert rep.dup_word_frac.tolist() == orep.dup_word_frac.tolist()
+    assert rep.top_word_frac.tolist() == orep.top_word_frac.tolist()
+    assert rep.top_bigram_frac.tolist() == orep.top_bigram_frac.tolist()
+    # NBSP doc: 6 visual words but 5 RE2 tokens ("two\xa0two" is ONE)
+    assert rep.loc[0, "n_words"] == 5
+
+    tok = (
+        rd.from_pandas(docs)
+        .map_batches(TokenCounter(), batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    otok = (
+        con.execute(oracles["token_counts"]).fetchdf()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert tok.n_tokens.tolist() == otok.n_tokens.tolist()
+    assert tok.n_tokens.tolist() == [5, 4, 3, 0, 0]
+
+    chunks = (
+        chunk_documents(rd.from_pandas(docs), chunk_tokens=3, stride=2)
+        .to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    )
+    osql = oracles["chunk_documents"].replace(", 48", ", 2").replace(
+        "s + 64", "s + 3").replace("LEAST(64", "LEAST(3").replace(
+        "s // 48", "s // 2")
+    ochunks = (
+        con.execute(osql).fetchdf()
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    )
+    assert chunks.doc_id.tolist() == ochunks.doc_id.tolist()
+    assert chunks.chunk.tolist() == ochunks.chunk.tolist()
+    assert chunks.n_tokens.tolist() == ochunks.n_tokens.tolist()
+    # case preserved in chunk text (re2_tokens, not re2_words)
+    assert any("B" in c for c in chunks.chunk)
+
+
+def test_global_row_number_rejects_nan_order_values(ray_session):
+    """Null/NaN order values would vanish from the distinct-value counts
+    while their rows still hit the rank exchange — the operator must
+    refuse them with a clear message instead of misranking."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from polars_genson_ray.stages.shards import global_row_number
+
+    df = pd.DataFrame(
+        {"event_id": [1, 2, 3, 4], "value": [1.0, np.nan, 2.0, 0.5]}
+    )
+    with pytest.raises(Exception, match="null/NaN"):
+        global_row_number(
+            rd.from_pandas(df), "value", "event_id"
+        ).materialize()

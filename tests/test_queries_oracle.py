@@ -104,14 +104,33 @@ def test_oracle_keys_subset_of_queries(entry_module):
         assert key in qs, f"oracle_sql key {key} missing from queries()"
 
 
-def test_driver_window_all_oracled(entry_module):
+# The flagship parity surface: rows-only under the driver (outputs not
+# SQL-expressible) but deliberately kept INSIDE the 50-entry window so
+# external verification exercises the schema-inference core and the
+# validation pipeline (round-3 advice), not just known-passing SQL checks.
+_WINDOW_ROWS_ONLY = {
+    "schema_infer_events_props",
+    "schema_infer_props_by_type",
+    "avro_schema_events_props",
+    "normalise_events_props",
+    "validation_image_table",
+}
+
+
+def test_driver_window_composition(entry_module):
     """The graft driver checks only the first 50 queries() entries — every
-    one of those slots must carry a SQL oracle (see COVERAGE.md
+    one of those slots must either carry a SQL oracle or be one of the
+    flagship rows-only entries listed above (see COVERAGE.md
     'Driver-window policy')."""
     qs = list(entry_module.queries())
     oracles = entry_module.oracle_sql()
-    missing = [q for q in qs[:50] if q not in oracles]
-    assert not missing, f"un-oracled queries inside the driver window: {missing}"
+    missing = [
+        q for q in qs[:50] if q not in oracles and q not in _WINDOW_ROWS_ONLY
+    ]
+    assert not missing, f"unexpected un-oracled queries in the window: {missing}"
+    inside = set(qs[:50])
+    absent = _WINDOW_ROWS_ONLY - inside
+    assert not absent, f"flagship entries fell out of the driver window: {absent}"
 
 
 def test_every_query_covered_by_a_harness_list(entry_module):
