@@ -147,7 +147,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": Q.r_semantic_dedup,
         "events_value_drift": Q.r_events_value_drift,
         "bloom_decontam": Q.r_bloom_decontam,
-        # multimodal stages (synthetic codec; rows-only)
+        # multimodal stages (synthetic codec; rows-only; audio_features
+        # decodes REAL RIFF/WAVE PCM via stdlib wave)
+        "audio_features": Q.r_audio_features,
         "phash_neardup_images": Q.r_phash_neardup_images,
         "image_features": Q.r_image_features,
         "image_resize": Q.r_image_resize,

@@ -1154,6 +1154,70 @@ def r_langid_docs(sf_dir: str):
     ).select_columns(["doc_id", "lang_pred"])
 
 
+def r_audio_features(sf_dir: str, rows: int = 256):
+    """Real RIFF/WAVE PCM decode over a deterministic planted audio table
+    (stdlib ``wave`` writer; ids drive frequency/amplitude/rate/width, so
+    the table is reproducible without external data — TESTDATA has no audio
+    table). Actor-pool stage: decoder state in ``__init__``, per-batch
+    decode in ``__call__``. Rows-only: binary decode is not
+    SQL-expressible; features are unit-pinned in
+    tests/test_pipeline_components.py (planted sine/DC/silence signals)."""
+    import io
+    import wave
+
+    import ray.data as rd
+
+    from ..stages.multimodal import AudioFeatures
+
+    sf_scale = max(1, int(rows))
+
+    def synth(batch):
+        import pandas as pd
+
+        ids = batch["id"].to_numpy()
+        blobs = []
+        for i in ids:
+            rate = (8000, 16000, 22050)[i % 3]
+            width = (1, 2, 3, 4)[i % 4]
+            nch = 1 + (i % 2)
+            n = rate // 10  # 100 ms per clip
+            t = np.arange(n, dtype=np.float64) / rate
+            amp = 0.2 + 0.05 * (i % 5)
+            x = amp * np.sin(2 * np.pi * (220 + 20 * (i % 8)) * t)
+            x = np.repeat(x, nch)
+            if width == 2:
+                raw = (x * 32767).astype("<i2").tobytes()
+            elif width == 1:
+                raw = ((x * 127) + 128).astype(np.uint8).tobytes()
+            elif width == 4:
+                raw = (x * 2147483647).astype("<i4").tobytes()
+            else:
+                v = (x * 8388607).astype(np.int32)
+                v = np.where(v < 0, v + (1 << 24), v).astype(np.uint32)
+                b = np.zeros((len(v), 3), dtype=np.uint8)
+                b[:, 0] = v & 0xFF
+                b[:, 1] = (v >> 8) & 0xFF
+                b[:, 2] = (v >> 16) & 0xFF
+                raw = b.tobytes()
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(nch)
+                w.setsampwidth(width)
+                w.setframerate(rate)
+                w.writeframes(raw)
+            blobs.append(buf.getvalue())
+        return pd.DataFrame({"audio_id": ids.astype(np.int64),
+                             "audio": blobs})
+
+    ds = rd.range(sf_scale).map_batches(synth, batch_format="pandas")
+    return ds.map_batches(
+        AudioFeatures, batch_format="pyarrow", concurrency=2
+    ).select_columns(
+        ["audio_id", "duration_s", "rms", "n_samples", "n_channels",
+         "sample_rate", "decode_ok"]
+    )
+
+
 def r_minhash_neardup_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return minhash_lsh_pairs(ds, "text", "doc_id", min_jaccard=0.8,

@@ -4,21 +4,22 @@ The corpus-organization primitive behind semantic dedup, topic balancing
 and curriculum bucketing in training-data pipelines (SemDeDup-style: embed
 → cluster → prune/balance within clusters).
 
-Scale shape (Lloyd's iterations as streaming partial reduces):
+Scale shape:
 
-* init: coarse centroids from a seeded Bernoulli *sample* (same policy as
-  ``similarity.ivf_topk`` — sample-trained warm start, unbiased when
-  ``approx_rows`` is passed);
-* each iteration is ONE streaming pass: per-batch vectorized assignment
-  (normalized matmul) reduced to at most ``k`` partial rows
-  (count + vector sum) per batch — the driver merge handles
-  O(k × num_blocks) tiny rows, independent of dataset row count.  At
-  extreme block counts, feed the partials through
-  ``aggregate.combine_partials`` first (same monoid) — the merge is
-  associative;
-* the embedding projection is ``materialize()``d once so the iteration
-  loop re-reads object-store blocks (spilling if needed) instead of
-  re-scanning parquet every pass;
+* **fit is sample-based by default** (the IVF/FAISS/MiniBatch convention:
+  quantizer training is always on a bounded sample): a seeded Bernoulli
+  sample of ≤ ``fit_sample`` rows is drawn once, canonically ordered, and
+  Lloyd's iterations run on it driver-side — fit memory and compute are
+  O(fit_sample × dim) regardless of corpus size.  Pinning the full
+  projected embedding column instead (the round-3 design) is a named
+  scale-killer: at 10^10 rows × 768-d float32 the projection alone is
+  ~30 TB, exceeding any cluster's aggregate object store;
+* ``fit_sample=None`` opts into the exact full-corpus fit: each Lloyd
+  iteration is ONE fresh streaming pass over the dataset (per-batch
+  vectorized assignment reduced to ≤ k partial rows per batch; the driver
+  merge handles O(k × num_blocks) tiny rows).  Nothing is pinned — the
+  scan is re-planned per iteration, trading repeated reads for zero
+  resident footprint;
 * final assignment is a broadcast map (centroids ``ray.put`` once) — no
   shuffle anywhere in fit or assign.
 
@@ -105,6 +106,7 @@ def kmeans_fit(
     tol: float = 1e-4,
     seed: int = 5,
     init_sample: int = 2048,
+    fit_sample: int | None = 65536,
     approx_rows: int | None = None,
     batch_size: int = 4096,
 ) -> np.ndarray:
@@ -112,12 +114,46 @@ def kmeans_fit(
 
     Returns the (k, dim) float64 centroid matrix.  ``iters`` bounds the
     Lloyd passes; the loop stops early when the max centroid shift
-    (1 - cos(old, new)) drops below ``tol`` — each pass is a full
-    distributed scan, and past 1e-4 cosine shift the assignment changes
-    affect only boundary points (a dedup/curation quantizer doesn't need
-    the final 1e-6 wobble; pass a tighter ``tol`` when it does).
+    (1 - cos(old, new)) drops below ``tol`` — past 1e-4 cosine shift the
+    assignment changes affect only boundary points (a dedup/curation
+    quantizer doesn't need the final 1e-6 wobble; pass a tighter ``tol``
+    when it does).
+
+    ``fit_sample`` (default 65536) bounds fit memory: Lloyd's runs
+    driver-side on a seeded, canonically-ordered sample of at most that
+    many rows — O(fit_sample × dim), independent of corpus size, and
+    k-means quality is sample-stable (the quantizer-training convention;
+    pass ``approx_rows`` for an unbiased Bernoulli draw).  Datasets
+    smaller than the bound are fitted in full either way.
+    ``fit_sample=None`` requests the exact full-corpus fit: one fresh
+    streaming scan per iteration (per-batch ≤ k partial rows), nothing
+    pinned or materialized.
     """
-    proj = ds.select_columns([column]).materialize()
+    if fit_sample is not None:
+        n_fit = max(int(fit_sample), init_sample)
+        sample = sample_embedding_rows(ds, column=column, n=n_fit,
+                                       approx_rows=approx_rows, seed=seed)
+        x = _normalize(sample)
+        # canonical order: take_all() block arrival order must not leak
+        # into the (order-sensitive) float64 partial sums
+        x = x[np.lexsort(x.T)]
+        centroids = _kmeanspp_init(x, k, seed=seed)
+        for _ in range(iters):
+            assign = np.argmax(x @ centroids.T, axis=1)
+            order = np.argsort(assign, kind="stable")
+            sa = assign[order]
+            uniq, starts = np.unique(sa, return_index=True)
+            sums = np.add.reduceat(x[order], starts, axis=0)
+            counts = np.diff(np.append(starts, len(sa)))
+            new = centroids.copy()
+            new[uniq] = _normalize(sums / counts[:, None])
+            shift = 1.0 - np.einsum("ij,ij->i", new, centroids)
+            centroids = new
+            if float(shift.max()) < tol:
+                break
+        return centroids
+
+    proj = ds.select_columns([column])
     sample = sample_embedding_rows(proj, column=column, n=init_sample,
                                    approx_rows=approx_rows, seed=seed)
     centroids = _kmeanspp_init(sample, k, seed=seed)
@@ -205,6 +241,7 @@ def semantic_dedup(
     approx_rows: int | None = None,
     iters: int = 10,
     seed: int = 5,
+    fit_sample: int | None = 65536,
 ):
     """SemDeDup (Abbas et al. 2023 shape): k-means the embedding space,
     then inside each cluster greedily drop every point whose cosine to an
@@ -227,7 +264,7 @@ def semantic_dedup(
 
     centroids = kmeans_fit(
         ds, column=column, k=k, iters=iters, seed=seed,
-        approx_rows=approx_rows,
+        approx_rows=approx_rows, fit_sample=fit_sample,
     )
     ref = ray.put(centroids)
 

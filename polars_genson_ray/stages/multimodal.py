@@ -10,10 +10,13 @@ This container has no image/audio/video codec libraries, so:
   * image stages run REAL compute against the repo's deterministic codec
     (sources/synth.py) — nearest-neighbour resize, color-moment /
     histogram feature extraction;
-  * audio/video stages are STUBS behind an import-try: the Ray-side
-    plumbing (schema, batch shape, actor signature, output layout) is real
-    and tested with a deterministic fake decoder; the codec call raises
-    ``NotImplementedError`` unless a library (soundfile / av) is present.
+  * the audio stage decodes RIFF/WAVE **PCM for real** via stdlib ``wave``
+    (8/16/24/32-bit, any rate/channels — no external codec needed);
+    compressed audio formats and video demuxing remain gated stubs behind
+    an import-try (soundfile / av): the Ray-side plumbing (schema, batch
+    shape, actor signature, output layout) is real and tested with a
+    deterministic fake decoder, and undecodable rows surface as
+    ``decode_ok=False`` violation rows rather than job failures.
 
 Scale notes: decoded pixels/samples never leave the stage — outputs are
 small fixed-width feature vectors or re-encoded payloads; batch_size must
@@ -115,40 +118,105 @@ except ImportError:
     _HAVE_AUDIO = False
 
 
-class AudioFeatures:
-    """STUB: audio ``binary`` column → (duration_s, rms, n_samples).
+def decode_wav_pcm(blob: bytes):
+    """REAL decode of a RIFF/WAVE PCM payload via stdlib ``wave`` (no
+    external codec needed): returns ``(samples, rate, channels)`` with
+    ``samples`` float32 in [-1, 1], shape (n_frames, channels).
 
-    The Ray plumbing is real; with no codec library the stage requires
-    ``fake_pcm=True`` (payload bytes interpreted as int16 PCM @ ``rate``,
-    the deterministic fake used in tests) and raises NotImplementedError
-    otherwise — swapping in soundfile touches only ``_decode``."""
+    Sample widths 1 (unsigned 8-bit), 2 (int16), 3 (24-bit packed) and
+    4 (int32) are supported — the full PCM surface ``wave`` can emit.
+    Compressed WAV (non-PCM comptype) raises ``wave.Error`` upstream."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif sw == 3:
+        b3 = np.frombuffer(raw, dtype=np.uint8)
+        b3 = b3[: len(b3) - len(b3) % 3].reshape(-1, 3).astype(np.int32)
+        v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        x = v.astype(np.float32) / 8388608.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    n = len(x) - len(x) % max(1, nch)
+    return x[:n].reshape(-1, nch), rate, nch
+
+
+class AudioFeatures:
+    """Audio ``binary`` column → (duration_s, rms, n_samples, n_channels,
+    sample_rate, decode_ok).
+
+    RIFF/WAVE PCM payloads are decoded FOR REAL via stdlib ``wave``
+    (:func:`decode_wav_pcm` — 8/16/24/32-bit PCM, any channel count / rate;
+    rate and channel count come from each file's own header). Compressed
+    formats still need an external codec: decoded through ``soundfile``
+    when importable, otherwise the row is emitted with ``decode_ok=False``
+    (violation-row semantics, matching ImageResize — the honest gate for
+    codecs this container lacks). ``fake_pcm=True`` keeps the raw
+    headerless int16-PCM-@``rate`` interpretation used by synthetic tables.
+    """
 
     def __init__(self, column: str = "audio", rate: int = 16000, *, fake_pcm: bool = False):
         self.column, self.rate, self.fake_pcm = column, rate, fake_pcm
-        if not (fake_pcm or _HAVE_AUDIO):
-            raise NotImplementedError(
-                "no audio codec in this environment; pass fake_pcm=True for "
-                "the deterministic int16-PCM interpretation, or install soundfile"
-            )
 
-    def _decode(self, blob: bytes) -> np.ndarray:
-        if self.fake_pcm or not _HAVE_AUDIO:
-            return np.frombuffer(
+    def _decode(self, blob: bytes):
+        """→ (samples float32 (n, ch), rate, channels); raises on failure."""
+        if self.fake_pcm:
+            x = np.frombuffer(
                 blob[: len(blob) - len(blob) % 2], dtype=np.int16
             ).astype(np.float32) / 32768.0
-        data, _ = _soundfile.read(__import__("io").BytesIO(blob))
-        return np.asarray(data, dtype=np.float32)
+            return x.reshape(-1, 1), self.rate, 1
+        if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+            return decode_wav_pcm(blob)
+        if _HAVE_AUDIO:
+            data, rate = _soundfile.read(__import__("io").BytesIO(blob))
+            x = np.asarray(data, dtype=np.float32)
+            if x.ndim == 1:
+                x = x.reshape(-1, 1)
+            return x, int(rate), x.shape[1]
+        raise NotImplementedError(
+            "payload is not RIFF/WAVE PCM and no audio codec library is "
+            "available; install soundfile for compressed formats"
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        durs, rmss, ns = [], [], []
+        durs, rmss, ns, nchs, rates, oks = [], [], [], [], [], []
         for b in batch[self.column].to_pylist():
-            samples = self._decode(b)
-            ns.append(len(samples))
-            durs.append(len(samples) / float(self.rate))
-            rmss.append(float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0)
+            try:
+                x, rate, nch = self._decode(b)
+            except Exception:
+                durs.append(float("nan"))
+                rmss.append(float("nan"))
+                ns.append(0)
+                nchs.append(0)
+                rates.append(0)
+                oks.append(False)
+                continue
+            mono = x.mean(axis=1) if x.size else x.reshape(0)
+            ns.append(len(mono))
+            durs.append(len(mono) / float(rate) if rate else 0.0)
+            rmss.append(
+                float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0
+            )
+            nchs.append(nch)
+            rates.append(rate)
+            oks.append(True)
         batch = batch.append_column("duration_s", pa.array(durs, pa.float64()))
         batch = batch.append_column("rms", pa.array(rmss, pa.float64()))
-        return batch.append_column("n_samples", pa.array(ns, pa.int64()))
+        batch = batch.append_column("n_samples", pa.array(ns, pa.int64()))
+        batch = batch.append_column("n_channels", pa.array(nchs, pa.int32()))
+        batch = batch.append_column("sample_rate", pa.array(rates, pa.int32()))
+        return batch.append_column("decode_ok", pa.array(oks, pa.bool_()))
 
 
 class VideoFrameSample:

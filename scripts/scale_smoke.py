@@ -395,6 +395,48 @@ def main() -> None:
     assert bool(tagged.contaminated.all()), "BOILER prefix must contaminate all"
     report["bloom_flagged"] = int(tagged.contaminated.sum())
 
+    # --- round-4 leg: sample-based k-means fit is O(fit_sample), not
+    # O(rows) — 2M x 32-d planted blobs (≈512 MB as float64 lists; the old
+    # materialize() design would pin all of it for the whole Lloyd loop),
+    # fit bounded at 8192 sample rows, assignment still streams the full
+    # set and must recover the planted structure exactly
+    from polars_genson_ray.stages.cluster import kmeans_assign, kmeans_fit
+
+    km_rows, km_dim, km_blobs = 2_000_000, 32, 8
+    rng = np.random.default_rng(23)
+    km_centers = rng.normal(size=(km_blobs, km_dim)) * 6
+
+    def _blob_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["id"].to_numpy()
+        lab = ids % km_blobs
+        r = np.random.default_rng(101)  # noise per batch; labels drive blobs
+        emb_ = km_centers[lab] + r.normal(scale=0.05, size=(len(ids), km_dim))
+        return pd.DataFrame({
+            "vec_id": ids,
+            "embedding": list(emb_.astype(np.float32)),
+        })
+
+    km_ds = rd.range(km_rows).map_batches(
+        _blob_batch, batch_format="pandas"
+    )
+    t0 = time.perf_counter()
+    cent = kmeans_fit(km_ds, column="embedding", k=km_blobs,
+                      approx_rows=km_rows, fit_sample=8192, seed=13)
+    report["kmeans_fit_2m_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    assigned = kmeans_assign(km_ds, cent).map_batches(
+        lambda df: pd.DataFrame({
+            "lab": df["vec_id"] % km_blobs, "cluster": df["cluster"]
+        }).groupby(["lab", "cluster"], as_index=False).agg(
+            n=("cluster", "size")),
+        batch_format="pandas",
+    ).to_pandas().groupby(["lab", "cluster"], as_index=False).agg(
+        n=("n", "sum"))
+    report["kmeans_assign_2m_s"] = round(time.perf_counter() - t0, 2)
+    # purity: each planted blob maps to exactly one fitted cluster
+    assert len(assigned) == km_blobs, assigned
+    assert int(assigned.n.sum()) == km_rows
+
     print(json.dumps(report))
     ray.shutdown()
 

@@ -733,9 +733,14 @@ def test_audio_stub_and_video_frame_sample(ray_session):
 
     from polars_genson_ray.stages.multimodal import AudioFeatures, VideoFrameSample
 
-    # no codec library present: constructor must refuse without fake_pcm
-    with _pytest.raises(NotImplementedError):
-        AudioFeatures()
+    # non-WAV payload with no codec library present → decode_ok=False
+    # violation row (the compressed-format gate), not a crash
+    bad = (
+        rd.from_items([{"id": "x", "audio": b"\xffOggS not a wav"}])
+        .map_batches(AudioFeatures, batch_format="pyarrow", concurrency=1)
+        .take_all()
+    )
+    assert bad[0]["decode_ok"] is False and bad[0]["n_samples"] == 0
 
     pcm = (np.sin(np.linspace(0, 440, 16000)) * 20000).astype(np.int16).tobytes()
     ds = rd.from_items([{"id": "a0", "audio": pcm}])
@@ -2102,3 +2107,140 @@ def test_aspect_bucket_rung_assignment(ray_session):
     assert out.loc["sq", "target_w"] == out.loc["sq", "target_h"]
     assert out.loc["wide", "target_w"] > out.loc["wide", "target_h"]
     assert out.loc["tall", "target_w"] < out.loc["tall", "target_h"]
+
+def test_kmeans_fit_never_materializes(ray_session, monkeypatch):
+    """Scale guard: the default (sample-based) fit must not pin the
+    projected embedding column — at 10^10 rows x 768-d the projection is
+    ~30 TB, past any cluster's aggregate object store. Any materialize()
+    call inside fit is a regression."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from polars_genson_ray.stages.cluster import kmeans_fit
+
+    def _boom(self, *a, **kw):
+        raise AssertionError("kmeans_fit must not materialize the dataset")
+
+    monkeypatch.setattr(rd.Dataset, "materialize", _boom)
+
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(600, 8)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(mat), dtype=np.int64)),
+        "embedding": pa.array(list(mat), type=pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl).repartition(4)
+    centroids = kmeans_fit(ds, k=3, approx_rows=len(mat), seed=1)
+    assert centroids.shape == (3, 8)
+    assert np.allclose(np.linalg.norm(centroids, axis=1), 1.0)
+
+
+def test_kmeans_sampled_and_streaming_fits_agree(ray_session):
+    """The bounded-sample fit (default) and the exact streaming full-corpus
+    fit (fit_sample=None) must recover the same planted structure — same
+    per-row assignment up to cluster relabeling."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from polars_genson_ray.stages.cluster import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(17)
+    dim, blobs, per = 12, 5, 200
+    centers = rng.normal(size=(blobs, dim)) * 6
+    truth = np.repeat(np.arange(blobs), per)
+    mat = (centers[truth]
+           + rng.normal(scale=0.05, size=(len(truth), dim))).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(truth), dtype=np.int64)),
+        "embedding": pa.array(list(mat), type=pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl).repartition(8)
+
+    def assignment(centroids):
+        out = kmeans_assign(ds, centroids).to_pandas().sort_values("vec_id")
+        return out["cluster"].to_numpy()
+
+    a = assignment(kmeans_fit(ds, k=blobs, approx_rows=len(truth), seed=3))
+    b = assignment(kmeans_fit(ds, k=blobs, approx_rows=len(truth), seed=3,
+                              fit_sample=None))
+    # same partition structure (label-invariant): every a-cluster maps to
+    # exactly one b-cluster and vice versa
+    for x, y in ((a, b), (b, a)):
+        for c in np.unique(x):
+            assert len(np.unique(y[x == c])) == 1
+    # and both are pure against the planted truth
+    for got in (a, b):
+        purity = sum(
+            np.unique(truth[got == c], return_counts=True)[1].max()
+            for c in np.unique(got)
+        )
+        assert purity == len(truth)
+
+def test_audio_features_real_wav_decode(ray_session):
+    """AudioFeatures decodes genuine RIFF/WAVE PCM via stdlib wave: rate
+    and channel count come from each file's own header, features are
+    unit-pinned against the known planted signals (8/16/24/32-bit)."""
+    import io
+    import wave
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.multimodal import AudioFeatures, decode_wav_pcm
+
+    def make_wav(samples_f32, rate, nch, sampwidth):
+        x = np.clip(np.asarray(samples_f32, dtype=np.float64), -1.0, 1.0)
+        if sampwidth == 2:
+            raw = (x * 32767).astype("<i2").tobytes()
+        elif sampwidth == 1:
+            raw = ((x * 127) + 128).astype(np.uint8).tobytes()
+        elif sampwidth == 4:
+            raw = (x * 2147483647).astype("<i4").tobytes()
+        elif sampwidth == 3:
+            v = (x * 8388607).astype(np.int32)
+            v = np.where(v < 0, v + (1 << 24), v).astype(np.uint32)
+            b = np.zeros((len(v), 3), dtype=np.uint8)
+            b[:, 0] = v & 0xFF
+            b[:, 1] = (v >> 8) & 0xFF
+            b[:, 2] = (v >> 16) & 0xFF
+            raw = b.tobytes()
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(sampwidth)
+            w.setframerate(rate)
+            w.writeframes(raw)
+        return buf.getvalue()
+
+    # planted signals: half-amplitude sine (rms ≈ 0.5/√2), DC 0.25, silence
+    t = np.linspace(0, 2 * np.pi * 440, 8000, endpoint=False)
+    rows = [
+        {"id": "sine16", "audio": make_wav(0.5 * np.sin(t), 8000, 1, 2)},
+        {"id": "dc24", "audio": make_wav(np.full(4000, 0.25), 16000, 1, 3)},
+        {"id": "sil8", "audio": make_wav(np.zeros(2205), 22050, 1, 1)},
+        {"id": "stereo32",
+         "audio": make_wav(np.repeat(0.5 * np.sin(t), 2), 8000, 2, 4)},
+    ]
+    out = {
+        r["id"]: r
+        for r in rd.from_items(rows)
+        .map_batches(AudioFeatures, batch_format="pyarrow", concurrency=1)
+        .take_all()
+    }
+    assert all(r["decode_ok"] for r in out.values())
+    s = out["sine16"]
+    assert s["sample_rate"] == 8000 and s["n_channels"] == 1
+    assert abs(s["duration_s"] - 1.0) < 1e-9
+    assert abs(s["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    d = out["dc24"]
+    assert d["sample_rate"] == 16000 and abs(d["duration_s"] - 0.25) < 1e-9
+    assert abs(d["rms"] - 0.25) < 1e-4
+    z = out["sil8"]
+    assert z["rms"] < 0.01 and abs(z["duration_s"] - 0.1) < 1e-9
+    st = out["stereo32"]
+    assert st["n_channels"] == 2 and st["n_samples"] == 8000
+    assert abs(st["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+
+    # direct kernel check: 24-bit round-trip is sample-exact to 1 LSB
+    x, rate, nch = decode_wav_pcm(rows[1]["audio"])
+    assert rate == 16000 and nch == 1
+    assert np.allclose(x[:, 0], 0.25, atol=2.0 / 8388608)

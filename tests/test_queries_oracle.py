@@ -237,6 +237,7 @@ _ROWS_ONLY_QUERIES = [
         "embedding_kmeans",
         "semantic_dedup",
         "training_data_prep",
+        "audio_features",
         "phash_neardup_images",
         "events_value_drift",
         "bloom_decontam",

@@ -207,8 +207,7 @@ _ALL_SNAPS = (
 )
 
 
-@pytest.mark.parametrize("snap", _ALL_SNAPS, ids=lambda p: p.stem)
-def test_snapshot_conformance(snap):
+def _replay_snapshot(snap):
     header, payload = _parse_snap(snap)
     info = header.get("info") or {}
     args = info.get("args")
@@ -225,3 +224,50 @@ def test_snapshot_conformance(snap):
     assert _key_orders(actual) == _key_orders(expected), (
         f"key-order mismatch for {snap.name}"
     )
+
+
+@pytest.mark.parametrize("snap", _ALL_SNAPS, ids=lambda p: p.stem)
+def test_snapshot_conformance(snap):
+    _replay_snapshot(snap)
+
+
+# The reference also keeps HUMAN-VERIFIED ("blessed") snapshots in
+# tests/verified/ (the approval mechanics live at
+# genson-cli/tests/map_max_required_keys_snapshots.rs:20-60: a snapshot is
+# approved when its payload matches the blessed copy). Same on-disk format
+# as the active snapshots (extra `blessing:`/`reason:` header keys), so the
+# same replay applies — this is the higher-trust oracle.
+VERIFIED_DIR = REF / "tests" / "verified"
+_BLESSED_SNAPS = (
+    sorted(VERIFIED_DIR.glob("*.snap")) if VERIFIED_DIR.is_dir() else []
+)
+
+
+@pytest.mark.parametrize(
+    "snap", _BLESSED_SNAPS, ids=lambda p: f"verified_{p.stem}"
+)
+def test_blessed_snapshot_conformance(snap):
+    active = SNAP_DIR / snap.name
+    if active.is_file():
+        ah, ap = _parse_snap(active)
+        bh, bp = _parse_snap(snap)
+        if (ah.get("info") or {}).get("approved") is False:
+            # the reference's CURRENT engine itself fails this blessed copy
+            # (its active snapshot records approved: false); we conform to
+            # the current engine, so the blessed divergence is expected
+            pytest.skip(
+                "reference's own current output diverges from this blessed "
+                "copy (active snapshot has approved: false)"
+            )
+        a_args = (ah.get("info") or {}).get("args")
+        b_args = (bh.get("info") or {}).get("args")
+        if a_args != b_args and ap.strip() == bp.strip():
+            # the test was re-parameterized after blessing (e.g.
+            # map_of_unified_records now runs --map-max-rk 0, the blessed
+            # file recorded 1) — the blessed PAYLOAD is identical to the
+            # active snapshot, which the active replay already covers
+            pytest.skip(
+                "blessed args stale (test re-parameterized); payload "
+                "identical to the already-replayed active snapshot"
+            )
+    _replay_snapshot(snap)
