@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_value": Q.q_user_running_value,
         "cumulative_new_users": Q.q_cumulative_new_users,
         "weekly_cohorts": Q.q_weekly_cohorts,
+        "dup_spans_chars": Q.q_dup_spans_chars,
         # rows-only extension ops
         "training_data_prep": Q.r_training_data_prep,
         "heavy_hitter_tokens": Q.r_heavy_hitter_tokens,
@@ -882,6 +883,43 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(pd.dup_words, 0) AS dup_words,
                    COALESCE(pd.dup_words, 0)::DOUBLE / d.nw AS dup_fraction
             FROM docw d LEFT JOIN perdoc pd USING (doc_id)
+        """,
+        # char-level dup spans: windows are substr() over the SAME
+        # normalization doc_fingerprints uses; the engine ships rolling
+        # codepoint hashes, the oracle the literal substrings — a hash
+        # collision would surface as a mismatch here (odds ~windows²/2⁶⁵)
+        "dup_spans_chars": """
+            WITH norm AS (
+                SELECT doc_id,
+                       array_to_string(
+                           list_filter(
+                               string_split_regex(lower(COALESCE(text, '')),
+                                                  '\\s+'),
+                               x -> x <> ''), ' ') AS s
+                FROM documents
+            ), docs_ AS (
+                SELECT doc_id, s, length(s) AS nc FROM norm
+                WHERE length(s) > 0
+            ), wins AS (
+                SELECT doc_id, g.i AS i, substr(s, g.i, 24) AS gram
+                FROM docs_, UNNEST(range(1, nc - 24 + 2)) AS g(i)
+            ), dupg AS (
+                SELECT gram FROM wins
+                GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+            ), hits AS (
+                SELECT doc_id, i FROM wins
+                WHERE gram IN (SELECT gram FROM dupg)
+            ), cov AS (
+                SELECT DISTINCT doc_id, p.p
+                FROM hits, UNNEST(range(i, i + 24)) AS p(p)
+            ), perdoc AS (
+                SELECT doc_id, COUNT(*) AS dup_chars FROM cov GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   d.nc AS n_chars,
+                   COALESCE(pd.dup_chars, 0) AS dup_chars,
+                   COALESCE(pd.dup_chars, 0)::DOUBLE / d.nc AS dup_fraction
+            FROM docs_ d LEFT JOIN perdoc pd USING (doc_id)
         """,
         # global total order: the row_number VALUES verify the order
         "event_row_numbers": """

@@ -1021,6 +1021,21 @@ def q_dup_spans(sf_dir: str, ngram_words: int = 5, min_docs: int = 2):
     )
 
 
+def q_dup_spans_chars(sf_dir: str, ngram_chars: int = 24, min_docs: int = 2):
+    """Character-level duplicated-span coverage (the fidelity step toward
+    Lee et al.'s suffix-array formulation): per-document count/fraction of
+    codepoints covered by a ``ngram_chars``-codepoint window of the
+    whitespace-normalized text occurring in ≥ ``min_docs`` distinct docs.
+    Catches sub-word / cross-token duplication the word-gram ``dup_spans``
+    misses; same two-pass df-exchange → broadcast-probe shape."""
+    from ..stages.corpus import duplicated_char_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return duplicated_char_spans(
+        ds, "text", "doc_id", ngram_chars=ngram_chars, min_docs=min_docs
+    )
+
+
 def q_event_row_numbers(sf_dir: str):
     """Exact global ROW_NUMBER over (value, event_id) — the distributed
     total-order primitive (broadcast value-prefix + one narrow equal-value

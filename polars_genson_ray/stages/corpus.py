@@ -28,7 +28,7 @@ import pyarrow as pa
 
 from .aggregate import bucketed_groups
 from .setjoin import _gram_hashes_flat
-from .sketches import hash_strings, re2_words
+from .sketches import hash64, hash_strings, re2_words
 
 
 def _doc_words(texts) -> list[list[str]]:
@@ -282,6 +282,150 @@ def duplicated_spans(
                 "n_words": pa.array(nw),
                 "dup_words": pa.array(dw),
                 "dup_fraction": pa.array(dw / nw),
+            }
+        )
+
+    return ds.map_batches(coverage, batch_format="pyarrow")
+
+
+
+# odd FNV prime → invertible mod 2^64, so rolling window hashes come from
+# one prefix-sum pass: h(i) = (ps[i+k] - ps[i]) * P^(i+k-1), all uint64
+# wraparound arithmetic
+_CP_P = np.uint64(1099511628211)
+_CP_PINV = np.uint64(pow(1099511628211, -1, 1 << 64))
+
+
+def _flat_codepoint_windows(texts, k: int):
+    """Flat char-gram window index over a batch's texts, in CODEPOINT space
+    (SQL ``substr``/``length`` semantics). Normalization is the
+    ``doc_fingerprints`` contract: lowercased, RE2-whitespace-collapsed,
+    single-space-joined. Returns ``(char_counts, gram_hashes, local_pos,
+    doc_idx)`` — ``gram_hashes[j]`` is the mixed hash of the ``k``-codepoint
+    window starting at in-doc position ``local_pos[j]`` of document
+    ``doc_idx[j]`` — with the last three ``None`` when no document has a
+    full window. Windows never straddle documents (per-doc window counts
+    drive the gather). One rolling-hash pass over the batch concatenation;
+    O(total chars)."""
+    norms = [" ".join(re2_words(t)) for t in texts]
+    counts = np.fromiter(
+        (len(s) for s in norms), count=len(norms), dtype=np.int64
+    )
+    if not len(counts) or not (counts >= k).any():
+        return counts, None, None, None
+    codes = np.frombuffer(
+        "".join(norms).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.uint64)
+    n_tot = len(codes)
+    pw = np.full(n_tot, _CP_P, dtype=np.uint64)
+    pw[0] = np.uint64(1)
+    np.cumprod(pw, out=pw)
+    pwi = np.full(n_tot, _CP_PINV, dtype=np.uint64)
+    pwi[0] = np.uint64(1)
+    np.cumprod(pwi, out=pwi)
+    ps = np.concatenate(([np.uint64(0)], np.cumsum(codes * pwi)))
+    all_h = (ps[k:] - ps[:-k]) * pw[k - 1:]
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    vcounts = np.maximum(counts - k + 1, 0)
+    voffsets = np.concatenate(([0], np.cumsum(vcounts)))[:-1]
+    total = int(vcounts.sum())
+    rep_starts = np.repeat(starts, vcounts)
+    gidx = rep_starts + np.arange(total) - np.repeat(voffsets, vcounts)
+    doc_idx = np.repeat(np.arange(len(counts)), vcounts)
+    return counts, hash64(all_h[gidx]), gidx - rep_starts, doc_idx
+
+
+def duplicated_char_spans(
+    ds,
+    column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    ngram_chars: int = 24,
+    min_docs: int = 2,
+    max_dup_grams: int = 5_000_000,
+):
+    """Character-level variant of :func:`duplicated_spans` (the fidelity
+    step toward Lee et al.'s suffix-array formulation): a ``ngram_chars``-
+    codepoint window of the whitespace-normalized text occurring in ≥
+    ``min_docs`` DISTINCT documents marks every codepoint it covers as
+    duplicated. Catches sub-word and cross-token duplication the word-gram
+    pass cannot (hyphenation, concatenation, partial-word edits) at the
+    cost of ~chars/words × more windows — same two-pass df-exchange →
+    bounded broadcast → vectorized interval-union shape, so the 100-TB
+    scale argument carries over unchanged.
+
+    Emits per-document ``(id, n_chars, dup_chars, dup_fraction)`` over
+    documents with non-empty normalized text; ``dup_fraction`` is the
+    exact IEEE quotient (never rounded — rational ties diverge half-even
+    vs half-away across engines)."""
+    import ray
+
+    k = ngram_chars
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        _, grams, _, doc_idx = _flat_codepoint_windows(
+            batch[column].to_pylist(), k
+        )
+        if grams is not None:
+            _, dg = distinct_doc_keys(doc_idx, grams)
+            h, c = np.unique(dg, return_counts=True)
+        else:
+            h = np.zeros(0, dtype=np.uint64)
+            c = np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {"gh": pa.array(h.view(np.int64)),
+             "df": pa.array(c.astype(np.int64))}
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("gh", as_index=False).agg(df=("df", "sum"))
+        return out[out["df"] >= min_docs]
+
+    counts = bucketed_groups(
+        ds.map_batches(partial_counts, batch_format="pyarrow"), ["gh"], combine
+    )
+    dup = counts.to_pandas()  # bounded by corpus_grams / min_docs
+    if len(dup) > max_dup_grams:
+        raise ValueError(
+            f"duplicated_char_spans: {len(dup):,} duplicated grams exceed "
+            f"the broadcast budget ({max_dup_grams:,}); raise min_docs / "
+            f"ngram_chars (each dup gram costs 8 B broadcast)"
+        )
+    dup_h = np.sort(dup["gh"].to_numpy().view(np.uint64))
+    dup_ref = ray.put(dup_h)
+
+    def coverage(batch: pa.Table) -> pa.Table:
+        dh = ray.get(dup_ref)
+        counts_, grams, local, doc_idx = _flat_codepoint_windows(
+            batch[column].to_pylist(), k
+        )
+        dup_chars = np.zeros(len(counts_), dtype=np.int64)
+        if grams is not None and len(dh):
+            pos = np.searchsorted(dh, grams)
+            pos[pos == len(dh)] = 0
+            hit = dh[pos] == grams
+            if hit.any():
+                h_doc = doc_idx[hit]
+                h_pos = local[hit]  # ascending within each doc
+                contrib = np.full(len(h_pos), k, dtype=np.int64)
+                if len(h_pos) > 1:
+                    same = h_doc[1:] == h_doc[:-1]
+                    gaps = h_pos[1:] - h_pos[:-1]
+                    head = contrib[:-1]
+                    head[same] = np.minimum(k, gaps[same])
+                dup_chars = np.bincount(
+                    h_doc, weights=contrib, minlength=len(counts_)
+                ).astype(np.int64)
+        keep = counts_ > 0
+        ids = batch[id_column].to_numpy(zero_copy_only=False)[keep]
+        dc = dup_chars[keep]
+        nc = counts_[keep]
+        return pa.table(
+            {
+                id_column: pa.array(ids),
+                "n_chars": pa.array(nc),
+                "dup_chars": pa.array(dc),
+                "dup_fraction": pa.array(dc / nc),
             }
         )
 

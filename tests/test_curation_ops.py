@@ -616,3 +616,70 @@ def test_global_row_number_rejects_nan_order_values(ray_session):
         global_row_number(
             rd.from_pandas(df), "value", "event_id"
         ).materialize()
+
+def test_char_spans_catch_subword_duplication_words_miss(ray_session):
+    """duplicated_char_spans vs duplicated_spans on a planted corpus:
+    both see verbatim duplication, but only the char-level pass catches
+    duplication broken by sub-word edits (every Nth word perturbed, so no
+    full word n-gram survives while long char runs still repeat), and the
+    shipped char oracle agrees with the engine on the same frame."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    import __ray_entry__ as entry
+    from polars_genson_ray.stages.corpus import (
+        duplicated_char_spans,
+        duplicated_spans,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:03d}" for i in range(200)]
+    base = " ".join(rng.choice(vocab, 40))
+    # doc1 = verbatim copy of doc0; doc2 = copy with every 4th word's last
+    # char flipped (kills every 5-word gram, keeps long char runs);
+    # doc3 = unrelated
+    words = base.split()
+    perturbed = [
+        (w[:-1] + "x") if i % 4 == 0 else w for i, w in enumerate(words)
+    ]
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [base, base, " ".join(perturbed),
+                 " ".join(rng.choice(vocab, 40))],
+    })
+    ds = rd.from_pandas(docs)
+
+    wspans = (
+        duplicated_spans(ds, ngram_words=5, min_docs=2)
+        .to_pandas().set_index("doc_id")
+    )
+    cspans = (
+        duplicated_char_spans(ds, ngram_chars=12, min_docs=2)
+        .to_pandas().set_index("doc_id")
+    )
+    # verbatim copies: both passes see full coverage
+    assert wspans.loc[0, "dup_fraction"] == 1.0
+    assert cspans.loc[0, "dup_fraction"] == 1.0
+    # sub-word-perturbed copy: invisible to word grams, visible to chars
+    assert wspans.loc[2, "dup_words"] == 0
+    assert cspans.loc[2, "dup_fraction"] > 0.4
+    # unrelated doc: clean in both
+    assert wspans.loc[3, "dup_words"] == 0
+    assert cspans.loc[3, "dup_chars"] == 0
+
+    # shipped oracle agreement on this frame (ngram_chars=24 contract)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    eng = (
+        duplicated_char_spans(ds, ngram_chars=24, min_docs=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    ora = (
+        con.execute(entry.oracle_sql()["dup_spans_chars"]).fetchdf()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert eng.doc_id.tolist() == ora.doc_id.tolist()
+    assert eng.n_chars.tolist() == ora.n_chars.tolist()
+    assert eng.dup_chars.tolist() == ora.dup_chars.tolist()
+    assert eng.dup_fraction.tolist() == ora.dup_fraction.tolist()

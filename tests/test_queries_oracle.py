@@ -165,6 +165,7 @@ _ORACLED_QUERIES = [
         "doc_quality",
         "exact_dedup_docs",
         "ann_topk",
+        "dup_spans_chars",
         "event_windows_hourly",
         "event_windows_sliding",
         "jaccard_neardup_docs",
