@@ -683,3 +683,30 @@ def test_char_spans_catch_subword_duplication_words_miss(ray_session):
     assert eng.n_chars.tolist() == ora.n_chars.tolist()
     assert eng.dup_chars.tolist() == ora.dup_chars.tolist()
     assert eng.dup_fraction.tolist() == ora.dup_fraction.tolist()
+
+def test_char_spans_partitioning_invariant(ray_session):
+    """duplicated_char_spans output must not depend on block layout: the
+    df exchange + broadcast probe are partials over distinct-(doc, gram)
+    pairs, so 1-block and 7-block runs must agree exactly."""
+    import pandas as pd
+    import ray.data as rd
+
+    from polars_genson_ray.stages.corpus import duplicated_char_spans
+
+    rng = np.random.default_rng(29)
+    vocab = [f"tok{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, 25)) for _ in range(60)]
+    texts += texts[:15]  # planted full duplicates
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    def run(parts):
+        return (
+            duplicated_char_spans(
+                rd.from_pandas(docs).repartition(parts), ngram_chars=16
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+
+    a, b = run(1), run(7)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.set_index("doc_id").loc[0, "dup_fraction"] == 1.0)
