@@ -371,6 +371,24 @@ def main() -> None:
     assert (full.dup_fraction == 1.0).all(), "exact dups must be 100% covered"
     report["dup_spans_mean_fraction"] = round(float(spans.dup_fraction.mean()), 4)
 
+    # char-level dup spans over the same corpus: ~chars/words x more
+    # windows than the word pass, same two-pass exchange; exact dups must
+    # be 100% covered at char level too
+    from polars_genson_ray.stages.corpus import duplicated_char_spans
+
+    t0 = time.perf_counter()
+    cspans = duplicated_char_spans(
+        rd.read_parquet(out_dir, columns=["doc_id", "text"]),
+        "text", "doc_id", ngram_chars=24,
+    ).to_pandas()
+    report["dup_spans_chars_s"] = round(time.perf_counter() - t0, 2)
+    assert len(cspans) == n_docs
+    cfull = cspans[cspans.doc_id.isin(exact_ids)]
+    assert (cfull.dup_fraction == 1.0).all(), "exact dups 100% char-covered"
+    report["dup_spans_chars_mean_fraction"] = round(
+        float(cspans.dup_fraction.mean()), 4
+    )
+
     # bloom decontamination at size: filter built over 10% of the corpus,
     # probed over the rest; must flag every exact dup of a benchmark doc
     from polars_genson_ray.stages.decontam import bloom_decontaminate
