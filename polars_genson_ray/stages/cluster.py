@@ -38,16 +38,22 @@ import ray
 from .similarity import _embedding_matrix, _normalize, sample_embedding_rows
 
 
-def _kmeanspp_init(sample: np.ndarray, k: int, seed: int) -> np.ndarray:
+def _kmeanspp_init(sample: np.ndarray, k: int, seed: int,
+                   *, canonical: bool = False) -> np.ndarray:
     """k-means++ seeding on the (normalized, canonically ordered) sample.
 
     The sample is lexsorted first: ``take_all()`` block order is not
     deterministic across runs, and the init must not depend on it.
     kmeans++ (farthest-point-biased) seeding also avoids the
     two-seeds-in-one-blob local optimum plain random init falls into.
+    ``canonical=True`` asserts the caller already normalized + lexsorted
+    (the sampled-fit path canonicalizes once for init AND Lloyd's).
     """
-    x = _normalize(sample)
-    x = x[np.lexsort(x.T)]
+    if canonical:
+        x = sample
+    else:
+        x = _normalize(sample)
+        x = x[np.lexsort(x.T)]
     rng = np.random.default_rng(seed)
     k = min(k, len(x))
     centroids = [x[int(rng.integers(len(x)))]]
@@ -122,22 +128,28 @@ def kmeans_fit(
     ``fit_sample`` (default 65536) bounds fit memory: Lloyd's runs
     driver-side on a seeded, canonically-ordered sample of at most that
     many rows — O(fit_sample × dim), independent of corpus size, and
-    k-means quality is sample-stable (the quantizer-training convention;
-    pass ``approx_rows`` for an unbiased Bernoulli draw).  Datasets
-    smaller than the bound are fitted in full either way.
-    ``fit_sample=None`` requests the exact full-corpus fit: one fresh
-    streaming scan per iteration (per-batch ≤ k partial rows), nothing
-    pinned or materialized.
+    k-means quality is sample-stable (the quantizer-training convention).
+    Datasets smaller than the bound are fitted in full either way.
+
+    The sampled path REQUIRES ``approx_rows`` (it sets the Bernoulli
+    sampling rate; without it ``sample_embedding_rows`` would fall back
+    to the positional head of the dataset — a badly biased quantizer on
+    position-clustered corpora). When ``approx_rows`` is omitted, or
+    ``fit_sample=None`` is passed explicitly, the fit is the exact
+    full-corpus one: one fresh streaming scan per Lloyd iteration
+    (per-batch ≤ k partial rows), nothing pinned or materialized — always
+    unbiased, scale-safe either way.
     """
-    if fit_sample is not None:
+    if fit_sample is not None and approx_rows is not None:
         n_fit = max(int(fit_sample), init_sample)
         sample = sample_embedding_rows(ds, column=column, n=n_fit,
                                        approx_rows=approx_rows, seed=seed)
         x = _normalize(sample)
-        # canonical order: take_all() block arrival order must not leak
-        # into the (order-sensitive) float64 partial sums
+        # canonical order ONCE for init and Lloyd's: take_all() block
+        # arrival order must not leak into the (order-sensitive) float64
+        # partial sums
         x = x[np.lexsort(x.T)]
-        centroids = _kmeanspp_init(x, k, seed=seed)
+        centroids = _kmeanspp_init(x, k, seed=seed, canonical=True)
         for _ in range(iters):
             assign = np.argmax(x @ centroids.T, axis=1)
             order = np.argsort(assign, kind="stable")

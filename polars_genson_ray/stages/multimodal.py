@@ -177,7 +177,14 @@ class AudioFeatures:
             ).astype(np.float32) / 32768.0
             return x.reshape(-1, 1), self.rate, 1
         if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
-            return decode_wav_pcm(blob)
+            try:
+                return decode_wav_pcm(blob)
+            except Exception:
+                # RIFF containers stdlib wave can't parse (IEEE-float WAV,
+                # WAVE_FORMAT_EXTENSIBLE, ADPCM): fall through to soundfile
+                # when available rather than shadowing it with the sniff
+                if not _HAVE_AUDIO:
+                    raise
         if _HAVE_AUDIO:
             data, rate = _soundfile.read(__import__("io").BytesIO(blob))
             x = np.asarray(data, dtype=np.float32)

@@ -16,11 +16,29 @@ from .aggregate import combine_partials
 
 
 def _bucket_ticks(col, time_bucket: str):
-    """(epoch ticks int64, bucket step in the column's own unit)."""
+    """(epoch ticks int64, bucket step in the column's own unit).
+
+    Refuses null timestamps and sub-unit buckets up front: a null would
+    round-trip through float64 (Arrow null → NaN → INT64_MIN → a garbage
+    year-2262 bucket) and drag every valid ns-tick in the batch through
+    float64 rounding; a ``time_bucket`` finer than the column unit would
+    floor-divide by zero and collapse all rows into the epoch bucket."""
     unit = col.type.unit
     div = {"ns": 1, "us": 1_000, "ms": 1_000_000, "s": 1_000_000_000}[unit]
     step = np.int64(pd.Timedelta(time_bucket).value // div)
-    ticks = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+    if step <= 0:
+        raise ValueError(
+            f"time_bucket {time_bucket!r} is finer than the timestamp "
+            f"column's unit ({unit!r}) — bucket step rounds to zero"
+        )
+    if col.null_count:
+        raise ValueError(
+            "null timestamps cannot be window-bucketed — filter or fill "
+            "them first so every row has a defined bucket"
+        )
+    # no nulls → Arrow gives the int64 ticks directly (no float64 detour)
+    ticks = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    assert ticks.dtype == np.int64
     return ticks, step
 
 

@@ -451,8 +451,11 @@ def main() -> None:
     ).to_pandas().groupby(["lab", "cluster"], as_index=False).agg(
         n=("n", "sum"))
     report["kmeans_assign_2m_s"] = round(time.perf_counter() - t0, 2)
-    # purity: each planted blob maps to exactly one fitted cluster
+    # purity: each planted blob maps to exactly one fitted cluster AND
+    # the 8 blobs land on 8 DISTINCT clusters (8 rows alone would also
+    # pass a merged-blob fit with an empty centroid)
     assert len(assigned) == km_blobs, assigned
+    assert assigned.cluster.nunique() == km_blobs, assigned
     assert int(assigned.n.sum()) == km_rows
 
     print(json.dumps(report))

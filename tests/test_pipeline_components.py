@@ -2244,3 +2244,73 @@ def test_audio_features_real_wav_decode(ray_session):
     x, rate, nch = decode_wav_pcm(rows[1]["audio"])
     assert rate == 16000 and nch == 1
     assert np.allclose(x[:, 0], 0.25, atol=2.0 / 8388608)
+
+def test_window_bucket_rejects_null_ts_and_subunit_bucket(ray_session):
+    """_bucket_ticks guards: a null timestamp must raise (the float64
+    round-trip would fabricate a year-2262 bucket and cost precision on
+    valid ns ticks); a time_bucket finer than the column unit must raise
+    (step would floor to 0 and collapse all rows into the epoch bucket)."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from polars_genson_ray.stages.windows import session_windows
+
+    ts = pa.array(
+        [1_700_000_000_000_000, None, 1_700_000_360_000_000],
+        pa.timestamp("us"),
+    )
+    tbl = pa.table({"user_id": pa.array([1, 2, 3]), "ts": ts})
+    with pytest.raises(Exception, match="null timestamps"):
+        session_windows(
+            rd.from_arrow(tbl), "ts", "user_id"
+        ).materialize()
+
+    ok = pa.table({
+        "user_id": pa.array([1, 2]),
+        "ts": pa.array(
+            [1_700_000_000_000_000, 1_700_000_360_000_000],
+            pa.timestamp("us"),
+        ),
+    })
+    with pytest.raises(Exception, match="finer than the timestamp"):
+        session_windows(
+            rd.from_arrow(ok), "ts", "user_id", time_bucket="500ns"
+        ).materialize()
+
+
+def test_kmeans_fit_without_approx_rows_uses_exact_streaming(ray_session):
+    """Without approx_rows the sampled path would fit on the positional
+    head of the dataset (sample_embedding_rows' documented fallback bias)
+    — kmeans_fit must route to the exact streaming full-corpus fit
+    instead. Planted position-contiguous blobs larger than any prefix
+    sample must all be recovered."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from polars_genson_ray.stages.cluster import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(31)
+    dim, blobs, per = 8, 4, 300
+    centers = rng.normal(size=(blobs, dim)) * 6
+    truth = np.repeat(np.arange(blobs), per)  # position-contiguous
+    mat = (centers[truth]
+           + rng.normal(scale=0.05, size=(len(truth), dim))).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(truth), dtype=np.int64)),
+        "embedding": pa.array(list(mat), type=pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl).repartition(8)
+    # no approx_rows + a fit_sample SMALLER than one blob: the prefix
+    # fallback would see only blob 0; the streaming path sees everything
+    centroids = kmeans_fit(ds, k=blobs, seed=5, fit_sample=200)
+    got = (
+        kmeans_assign(ds, centroids).to_pandas()
+        .sort_values("vec_id")["cluster"].to_numpy()
+    )
+    purity = sum(
+        np.unique(truth[got == c], return_counts=True)[1].max()
+        for c in np.unique(got)
+    )
+    assert purity == len(truth)
+    assert len(np.unique(got)) == blobs
