@@ -330,16 +330,19 @@ def q_local_supplier_revenue(sf_dir: str, region: str = "ASIA"):
     # footer schemas declared explicitly: each omitted side schema costs a
     # limit-1 probe that EXECUTES the upstream read+map (~0.5 s per probe,
     # re-paid EVERY pass — 4 probes roughly doubled this query's bench
-    # time: 3.7-4.2 s → 2.0 s warm once declared)
+    # time: 3.7-4.2 s → 2.0 s warm once declared). One footer read per
+    # table; both joins derive from these.
+    orders_schema = _footer_schema(sf_dir, "orders",
+                                   ["o_orderkey", "o_custkey"])
+    cust_schema = _footer_schema(sf_dir, "customer",
+                                 ["c_custkey", "c_nationkey"])
     ords = hash_join(
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
         cust.map_batches(cust_in_region, batch_format="pandas"),
         on="o_custkey", right_on="c_custkey",
         right_values=["c_nationkey"], how="inner",
-        left_schema=_footer_schema(sf_dir, "orders",
-                                   ["o_orderkey", "o_custkey"]),
-        right_schema=_footer_schema(sf_dir, "customer",
-                                    ["c_custkey", "c_nationkey"]),
+        left_schema=orders_schema,
+        right_schema=cust_schema,
     ).select_columns(["o_orderkey", "c_nationkey"])
 
     # lineitem: supplier nation attaches map-side; pre-aggregate per
@@ -372,8 +375,8 @@ def q_local_supplier_revenue(sf_dir: str, region: str = "ASIA"):
             ("rev", pa.float64()),
         ]),
         right_schema=pa.schema([
-            _footer_schema(sf_dir, "orders", ["o_orderkey"]).field(0),
-            _footer_schema(sf_dir, "customer", ["c_nationkey"]).field(0),
+            orders_schema.field("o_orderkey"),
+            cust_schema.field("c_nationkey"),
         ]),
     )
 

@@ -131,16 +131,20 @@ def kmeans_fit(
     k-means quality is sample-stable (the quantizer-training convention).
     Datasets smaller than the bound are fitted in full either way.
 
-    The sampled path REQUIRES ``approx_rows`` (it sets the Bernoulli
-    sampling rate; without it ``sample_embedding_rows`` would fall back
-    to the positional head of the dataset — a badly biased quantizer on
-    position-clustered corpora). When ``approx_rows`` is omitted, or
-    ``fit_sample=None`` is passed explicitly, the fit is the exact
-    full-corpus one: one fresh streaming scan per Lloyd iteration
-    (per-batch ≤ k partial rows), nothing pinned or materialized — always
-    unbiased, scale-safe either way.
+    Every sampling draw in this function requires ``approx_rows`` (it
+    sets the Bernoulli rate; without it ``sample_embedding_rows`` falls
+    back to the positional head of the dataset — a badly biased quantizer
+    on position-clustered corpora). When the caller omits it, the row
+    count is derived once via ``ds.count()`` — a metadata lookup on plain
+    reads, at worst one streaming pass on mapped datasets, and strictly
+    cheaper than the biased alternative or ``iters`` extra scans.
+    ``fit_sample=None`` requests the exact full-corpus fit: one fresh
+    streaming scan per Lloyd iteration (per-batch ≤ k partial rows),
+    nothing pinned or materialized.
     """
-    if fit_sample is not None and approx_rows is not None:
+    if approx_rows is None:
+        approx_rows = ds.count()
+    if fit_sample is not None:
         n_fit = max(int(fit_sample), init_sample)
         sample = sample_embedding_rows(ds, column=column, n=n_fit,
                                        approx_rows=approx_rows, seed=seed)

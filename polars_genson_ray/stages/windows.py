@@ -25,12 +25,14 @@ def _bucket_ticks(col, time_bucket: str):
     floor-divide by zero and collapse all rows into the epoch bucket."""
     unit = col.type.unit
     div = {"ns": 1, "us": 1_000, "ms": 1_000_000, "s": 1_000_000_000}[unit]
-    step = np.int64(pd.Timedelta(time_bucket).value // div)
-    if step <= 0:
+    tdv = pd.Timedelta(time_bucket).value
+    if tdv <= 0 or tdv % div:
         raise ValueError(
-            f"time_bucket {time_bucket!r} is finer than the timestamp "
-            f"column's unit ({unit!r}) — bucket step rounds to zero"
+            f"time_bucket {time_bucket!r} is not a positive whole multiple "
+            f"of the timestamp column's unit ({unit!r}) — the bucket width "
+            "would silently truncate"
         )
+    step = np.int64(tdv // div)
     if col.null_count:
         raise ValueError(
             "null timestamps cannot be window-bucketed — filter or fill "

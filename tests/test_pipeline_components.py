@@ -2273,18 +2273,24 @@ def test_window_bucket_rejects_null_ts_and_subunit_bucket(ray_session):
             pa.timestamp("us"),
         ),
     })
-    with pytest.raises(Exception, match="finer than the timestamp"):
+    with pytest.raises(Exception, match="whole multiple of the timestamp"):
         session_windows(
             rd.from_arrow(ok), "ts", "user_id", time_bucket="500ns"
         ).materialize()
+    # non-integral multiples of the unit must ALSO raise (1500ns on a us
+    # column would silently truncate the bucket width to 1us)
+    with pytest.raises(Exception, match="whole multiple of the timestamp"):
+        session_windows(
+            rd.from_arrow(ok), "ts", "user_id", time_bucket="1500ns"
+        ).materialize()
 
 
-def test_kmeans_fit_without_approx_rows_uses_exact_streaming(ray_session):
-    """Without approx_rows the sampled path would fit on the positional
-    head of the dataset (sample_embedding_rows' documented fallback bias)
-    — kmeans_fit must route to the exact streaming full-corpus fit
-    instead. Planted position-contiguous blobs larger than any prefix
-    sample must all be recovered."""
+def test_kmeans_fit_without_approx_rows_is_unbiased(ray_session):
+    """Without approx_rows, kmeans_fit derives the row count via
+    ds.count() so the Bernoulli draw stays unbiased — it must NOT fall
+    back to sample_embedding_rows' positional-head sampling. Planted
+    position-contiguous blobs with a fit_sample smaller than one blob
+    must all be recovered (the head fallback would see only blob 0)."""
     import pyarrow as pa
     import ray.data as rd
 
