@@ -710,3 +710,39 @@ def test_char_spans_partitioning_invariant(ray_session):
     a, b = run(1), run(7)
     pd.testing.assert_frame_equal(a, b)
     assert (a.set_index("doc_id").loc[0, "dup_fraction"] == 1.0)
+
+def test_re2_tokenizer_hypothesis_differential():
+    """Property fuzz of the tokenization contract: for ARBITRARY text
+    (ASCII controls, Unicode spaces, surrogate-adjacent codepoints),
+    re2_words must equal DuckDB's string_split_regex('\\s+') + empty-drop
+    on lower(text), and re2_tokens the same case-preserved."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from polars_genson_ray.stages.sketches import re2_tokens, re2_words
+
+    con = duckdb.connect()
+
+    def duck_split(t: str) -> list:
+        return [
+            r[0]
+            for r in con.execute(
+                "SELECT UNNEST(string_split_regex(?, '\\s+')) AS w", [t]
+            ).fetchall()
+            if r[0] != ""
+        ]
+
+    alphabet = st.one_of(
+        st.characters(min_codepoint=0, max_codepoint=0x7F),
+        st.sampled_from("\xa0 　 \x85\x0b\x1c\x1f"),
+        st.characters(min_codepoint=0x80, max_codepoint=0x2FFF),
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=40))
+    def check(t):
+        assert re2_tokens(t) == duck_split(t), repr(t)
+        assert re2_words(t) == duck_split(t.lower()), repr(t)
+
+    check()
