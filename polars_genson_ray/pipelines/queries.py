@@ -1657,10 +1657,11 @@ def r_ann_topk_ivf_indexed(sf_dir: str, k: int = 10, nprobe: int = 4):
 def r_embedding_kmeans(sf_dir: str, k: int = 10):
     """Distributed spherical k-means over the embeddings table (SemDeDup-
     style corpus organization: embed → cluster → prune/balance).  Fit is
-    Lloyd's as streaming partial reduces (≤k tiny rows per batch cross to
-    the driver per pass); assignment is a broadcast map — no shuffle
-    anywhere.  Returns (vec_id, cluster, cosine); rows-only check
-    (iterative — not SQL-expressible)."""
+    Lloyd's on a bounded unbiased sample (O(fit_sample × dim) driver
+    memory — the quantizer-training convention; ``fit_sample=None``
+    selects the exact streaming per-iteration fit); assignment is a
+    broadcast map — no shuffle anywhere.  Returns (vec_id, cluster,
+    cosine); rows-only check (iterative — not SQL-expressible)."""
     from ..stages.cluster import kmeans_assign, kmeans_fit
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
