@@ -31,6 +31,21 @@ from .setjoin import _gram_hashes_flat
 from .sketches import hash64, hash_strings, re2_words
 
 
+def _typed_combine_frame(counts, cols: dict) -> pd.DataFrame:
+    """``to_pandas()`` of a bucketed combine result, schema-safe when the
+    combine filtered EVERY row out: Ray drops the pandas block schema on
+    zero-row outputs, so e.g. a corpus with no duplicated grams yields a
+    columnless empty frame — rebuild the typed empty frame instead of
+    KeyError'ing on the first column access."""
+    df = counts.to_pandas()
+    if not set(cols) <= set(df.columns):
+        assert df.empty, f"schema loss on non-empty frame: {df.columns}"
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=t) for c, t in cols.items()}
+        )
+    return df
+
+
 def _doc_words(texts) -> list[list[str]]:
     # RE2-exact tokenization (sketches.re2_words): these operators' outputs
     # are oracle-compared, and str.split()'s Unicode whitespace diverges
@@ -131,7 +146,7 @@ def boilerplate_ngrams(
     )
     # the frequent set is small by construction (≤ total grams / min_df):
     # driver materialization here is the broadcast build, not a data scan
-    freq = counts.to_pandas()
+    freq = _typed_combine_frame(counts, {"gh": np.int64, "df": np.int64})
     order = np.argsort(freq["gh"].to_numpy().view(np.uint64))
     freq_h = freq["gh"].to_numpy().view(np.uint64)[order]
     freq_df = freq["df"].to_numpy()[order]
@@ -234,7 +249,8 @@ def duplicated_spans(
     counts = bucketed_groups(
         ds.map_batches(partial_counts, batch_format="pyarrow"), ["gh"], combine
     )
-    dup = counts.to_pandas()  # bounded by corpus_grams / min_docs
+    dup = _typed_combine_frame(counts, {"gh": np.int64, "df": np.int64})
+    # bounded by corpus_grams / min_docs
     if len(dup) > max_dup_grams:
         raise ValueError(
             f"duplicated_spans: {len(dup):,} duplicated grams exceed the "
@@ -384,7 +400,8 @@ def duplicated_char_spans(
     counts = bucketed_groups(
         ds.map_batches(partial_counts, batch_format="pyarrow"), ["gh"], combine
     )
-    dup = counts.to_pandas()  # bounded by corpus_grams / min_docs
+    dup = _typed_combine_frame(counts, {"gh": np.int64, "df": np.int64})
+    # bounded by corpus_grams / min_docs
     if len(dup) > max_dup_grams:
         raise ValueError(
             f"duplicated_char_spans: {len(dup):,} duplicated grams exceed "
@@ -644,9 +661,13 @@ def unigram_logprob(
         out = df.groupby("wh", as_index=False).agg(c=("c", "sum"))
         return out[out["c"] >= min_count]
 
-    vocab = bucketed_groups(
-        ds.map_batches(partial_counts, batch_format="pyarrow"), ["wh"], combine
-    ).to_pandas()
+    vocab = _typed_combine_frame(
+        bucketed_groups(
+            ds.map_batches(partial_counts, batch_format="pyarrow"),
+            ["wh"], combine,
+        ),
+        {"wh": np.int64, "c": np.int64},
+    )
     total = float(vocab["c"].sum())
     order = np.argsort(vocab["wh"].to_numpy().view(np.uint64))
     vh = vocab["wh"].to_numpy().view(np.uint64)[order]

@@ -746,3 +746,68 @@ def test_re2_tokenizer_hypothesis_differential():
         assert re2_words(t) == duck_split(t.lower()), repr(t)
 
     check()
+
+def test_corpus_ops_randomized_oracle_differential(ray_session):
+    """Randomized engine-vs-shipped-oracle differential: small random
+    corpora (tiny vocab → heavy accidental duplication, 0/1-word docs,
+    high tie density) across seeds, comparing dup_spans, dup_spans_chars
+    and doc_repetition against the exact SQL the driver runs."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    import __ray_entry__ as entry
+    from polars_genson_ray.stages.corpus import (
+        duplicated_char_spans,
+        duplicated_spans,
+    )
+    from polars_genson_ray.stages.text import RepetitionScorer
+
+    oracles = entry.oracle_sql()
+    for seed in (3, 11, 42):
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{i}" for i in range(12)]  # tiny vocab → collisions
+        texts = [
+            " ".join(rng.choice(vocab, rng.integers(0, 12)))
+            for _ in range(50)
+        ]
+        docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        con = duckdb.connect()
+        con.register("documents", docs)
+        ds = rd.from_pandas(docs)
+
+        spans = (
+            duplicated_spans(ds, ngram_words=5, min_docs=2)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        ora = (
+            con.execute(oracles["dup_spans"]).fetchdf()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        assert spans.doc_id.tolist() == ora.doc_id.tolist(), seed
+        assert spans.dup_words.tolist() == ora.dup_words.tolist(), seed
+        assert spans.dup_fraction.tolist() == ora.dup_fraction.tolist(), seed
+
+        cs = (
+            duplicated_char_spans(ds, ngram_chars=24, min_docs=2)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        cora = (
+            con.execute(oracles["dup_spans_chars"]).fetchdf()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        assert cs.doc_id.tolist() == cora.doc_id.tolist(), seed
+        assert cs.dup_chars.tolist() == cora.dup_chars.tolist(), seed
+        assert cs.dup_fraction.tolist() == cora.dup_fraction.tolist(), seed
+
+        rep = (
+            ds.map_batches(RepetitionScorer(), batch_format="pyarrow")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        rora = (
+            con.execute(oracles["doc_repetition"]).fetchdf()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        assert rep.n_words.tolist() == rora.n_words.tolist(), seed
+        assert rep.dup_word_frac.tolist() == rora.dup_word_frac.tolist(), seed
+        assert rep.top_bigram_frac.tolist() == rora.top_bigram_frac.tolist(), seed
