@@ -163,11 +163,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # money/quantity sums in EXACT integer units (cents; price×(1−d)
+        # in hundredths-of-cents), emitted as the exact quotient:
+        # ROUND(float_sum, 2) can straddle a rounding cliff when the two
+        # engines' float sums differ by an ulp around x.xx5
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)
+                       AS sum_qty,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+                       AS sum_base_price,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                       / 10000.0 AS sum_disc_price,
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -213,7 +221,8 @@ def oracle_sql() -> dict[str, str]:
                        ('high', 25, 39), ('bulk', 40, 50)
             )
             SELECT t.tier, COUNT(*) AS n,
-                   ROUND(SUM(l.l_extendedprice), 2) AS revenue
+                   SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) / 100.0
+                       AS revenue
             FROM lineitem l
             JOIN tiers t ON l.l_quantity BETWEEN t.lo AND t.hi
             GROUP BY t.tier
@@ -229,7 +238,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "nation_revenue": """
             SELECT n.n_name AS nation, COUNT(*) AS n_orders,
-                   ROUND(SUM(o.o_totalprice), 2) AS revenue
+                   SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0
+                       AS revenue
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -247,7 +257,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_from_ndjson": """
             SELECT event_type, COUNT(*) AS n,
-                   ROUND(SUM(value), 2) AS sum_value
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0
+                       AS sum_value
             FROM events GROUP BY event_type
         """,
         "salted_user_counts": """
@@ -474,8 +485,11 @@ def oracle_sql() -> dict[str, str]:
                 JOIN exploded e2 ON e1.g = e2.g AND e1.doc_id < e2.doc_id
             )
             SELECT c.id_a, c.id_b,
-                   ROUND(len(list_intersect(a.s, b.s))::DOUBLE
-                         / len(list_distinct(list_concat(a.s, b.s))), 4)
+                   -- exact rational quotient, never rounded (power-of-two
+                   -- denominators are representable -> rounding ties
+                   -- diverge half-even vs half-away)
+                   len(list_intersect(a.s, b.s))::DOUBLE
+                       / len(list_distinct(list_concat(a.s, b.s)))
                        AS jaccard
             FROM cand c
             JOIN sh a ON c.id_a = a.doc_id
@@ -588,26 +602,32 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id
             LIMIT 10
         """,
+        # value aggregates in exact integer cents (2-decimal by
+        # generation), emitted as exact quotients — the money convention
         "event_windows_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    COUNT(*) AS n,
-                   ROUND(SUM(value), 2) AS sum_value,
-                   ROUND(MIN(value), 2) AS min_value,
-                   ROUND(MAX(value), 2) AS max_value
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0
+                       AS sum_value,
+                   MIN(CAST(ROUND(value * 100) AS BIGINT)) / 100.0
+                       AS min_value,
+                   MAX(CAST(ROUND(value * 100) AS BIGINT)) / 100.0
+                       AS max_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
         "event_windows_sliding": """
             WITH exp AS (
-                SELECT event_type, value,
+                SELECT event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS vi,
                        UNNEST([time_bucket(INTERVAL 30 MINUTE, ts),
                                time_bucket(INTERVAL 30 MINUTE, ts)
                                    - INTERVAL 30 MINUTE]) AS window_start
                 FROM events
             )
             SELECT event_type, window_start, COUNT(*) AS n,
-                   ROUND(SUM(value), 2) AS sum_value,
-                   ROUND(MIN(value), 2) AS min_value,
-                   ROUND(MAX(value), 2) AS max_value
+                   SUM(vi) / 100.0 AS sum_value,
+                   MIN(vi) / 100.0 AS min_value,
+                   MAX(vi) / 100.0 AS max_value
             FROM exp GROUP BY event_type, window_start
         """,
         "quantity_stats_by_flag": """
@@ -627,8 +647,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "shipping_priority": """
             SELECT o.o_orderkey,
-                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
-                       AS revenue,
+                   SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                       / 10000.0 AS revenue,
                    o.o_orderdate, o.o_orderpriority
             FROM customer c
             JOIN orders o ON c.c_custkey = o.o_custkey
@@ -768,11 +789,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": """
             WITH norm AS (
                 SELECT doc_id,
-                       array_to_string(
+                       -- COALESCE: array_to_string of an EMPTY list (all-
+                       -- whitespace text) returns NULL, which would slip
+                       -- past the s = '' zero-fingerprint guard below
+                       COALESCE(array_to_string(
                            list_filter(
                                string_split_regex(lower(COALESCE(text, '')),
                                                   '\\s+'),
-                               x -> x <> ''), ' ') AS s
+                               x -> x <> ''), ' '), '') AS s
                 FROM documents
             )
             SELECT doc_id,
@@ -931,8 +955,9 @@ def oracle_sql() -> dict[str, str]:
         # TPC-H Q5 shape (6-table join, same-nation condition)
         "local_supplier_revenue": """
             SELECT n_name,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
-                       AS revenue
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                       / 10000.0 AS revenue
             FROM customer c
             JOIN orders o ON c_custkey = o_custkey
             JOIN lineitem l ON l_orderkey = o_orderkey
@@ -946,8 +971,10 @@ def oracle_sql() -> dict[str, str]:
         # round-trip lossless (float sums rounded to cents on both sides)
         "lineitem_from_csv": """
             SELECT l_returnflag, COUNT(*) AS n,
-                   ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 2) AS sum_price
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)
+                       AS sum_qty,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+                       AS sum_price
             FROM lineitem GROUP BY l_returnflag
         """,
         # robust z-score outliers: median/MAD both computed as exact

@@ -86,7 +86,14 @@ def _read(sf_dir: str, table: str, columns=None):
 # ---------------------------------------------------------------------------
 
 def q_pricing_summary(sf_dir: str):
-    """TPC-H-Q1-style pricing summary over lineitem."""
+    """TPC-H-Q1-style pricing summary over lineitem.
+
+    Money/quantity aggregates run in EXACT integer units (cents /
+    hundredths-of-cents for price×(1−discount)) and emit the exact
+    integer÷scale quotient: a ROUND(float_sum, 2) on both sides can
+    straddle a rounding cliff when the two engines' float sums differ by
+    an ulp around x.xx5 (found by the randomized-tables differential on
+    shipping_priority); identical integers divide to identical doubles."""
     ds = _read(
         sf_dir,
         "lineitem",
@@ -94,27 +101,37 @@ def q_pricing_summary(sf_dir: str):
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(disc_price=df.l_extendedprice * (1 - df.l_discount))
-        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            count_order=("l_quantity", "size"),
+        cents = np.rint(df.l_extendedprice.to_numpy() * 100).astype(np.int64)
+        dpct = np.rint(df.l_discount.to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame({
+            "l_returnflag": df.l_returnflag.to_numpy(),
+            "l_linestatus": df.l_linestatus.to_numpy(),
+            "qty_i": np.rint(df.l_quantity.to_numpy()).astype(np.int64),
+            "base_i": cents,
+            "disc_i": cents * (100 - dpct),
+        })
+        return g.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            qty_i=("qty_i", "sum"),
+            base_i=("base_i", "sum"),
+            disc_i=("disc_i", "sum"),
+            count_order=("qty_i", "size"),
         )
 
     out = combine_partials(
         ds.map_batches(partial, batch_format="pandas"),
         ["l_returnflag", "l_linestatus"],
         {
-            "sum_qty": "sum",
-            "sum_base_price": "sum",
-            "sum_disc_price": "sum",
+            "qty_i": "sum",
+            "base_i": "sum",
+            "disc_i": "sum",
             "count_order": "sum",
         },
     ).to_pandas()
-    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-        out[c] = out[c].round(2)
-    return out
+    out["sum_qty"] = out.pop("qty_i").astype(np.float64)
+    out["sum_base_price"] = out.pop("base_i") / 100.0
+    out["sum_disc_price"] = out.pop("disc_i") / 10000.0
+    return out[["l_returnflag", "l_linestatus", "sum_qty",
+                "sum_base_price", "sum_disc_price", "count_order"]]
 
 
 def q_doc_lang_counts(sf_dir: str):
@@ -267,18 +284,23 @@ def q_nation_revenue(sf_dir: str):
         # pool here paid ~2 s of spawn for <1 s of useful work)
         cust_map, nation_map = ray.get(lookup_ref)
         nk = df.o_custkey.map(cust_map)
-        df = df.assign(nation=nk.map(nation_map))
+        df = df.assign(
+            nation=nk.map(nation_map),
+            rev_i=np.rint(df.o_totalprice.to_numpy() * 100).astype(np.int64),
+        )
         return df.groupby("nation", as_index=False).agg(
-            n_orders=("o_orderkey", "size"), revenue=("o_totalprice", "sum")
+            n_orders=("o_orderkey", "size"), rev_i=("rev_i", "sum")
         )
 
     out = combine_partials(
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
         .map_batches(add_nation, batch_format="pandas"),
         ["nation"],
-        {"n_orders": "sum", "revenue": "sum"},
+        {"n_orders": "sum", "rev_i": "sum"},
     ).to_pandas()
-    out["revenue"] = out["revenue"].round(2)
+    # exact cents quotient (the engine-wide money convention — see
+    # q_pricing_summary): identical integers divide to identical doubles
+    out["revenue"] = out.pop("rev_i") / 100.0
     return out
 
 
@@ -353,12 +375,16 @@ def q_local_supplier_revenue(sf_dir: str, region: str = "ASIA"):
         keep = nk.notna()
         out = df.loc[keep, ["l_orderkey"]].copy()
         out["s_nationkey"] = nk[keep].astype(np.int64)
-        out["rev"] = (
-            df.loc[keep, "l_extendedprice"].to_numpy()
-            * (1.0 - df.loc[keep, "l_discount"].to_numpy())
-        )
+        cents = np.rint(
+            df.loc[keep, "l_extendedprice"].to_numpy() * 100
+        ).astype(np.int64)
+        dpct = np.rint(
+            df.loc[keep, "l_discount"].to_numpy() * 100
+        ).astype(np.int64)
+        # exact hundredths-of-cents (engine-wide money convention)
+        out["rev_i"] = cents * (100 - dpct)
         return out.groupby(["l_orderkey", "s_nationkey"], as_index=False).agg(
-            rev=("rev", "sum")
+            rev_i=("rev_i", "sum")
         )
 
     line = _read(
@@ -372,7 +398,7 @@ def q_local_supplier_revenue(sf_dir: str, region: str = "ASIA"):
         left_schema=pa.schema([
             ("l_orderkey", pa.int64()),
             ("s_nationkey", pa.int64()),
-            ("rev", pa.float64()),
+            ("rev_i", pa.int64()),
         ]),
         right_schema=pa.schema([
             orders_schema.field("o_orderkey"),
@@ -384,14 +410,21 @@ def q_local_supplier_revenue(sf_dir: str, region: str = "ASIA"):
         _, nkn = ray.get(lookup_ref)
         df = df[df.s_nationkey == df.c_nationkey]
         out = df.assign(n_name=df.s_nationkey.map(nkn))
-        return out.groupby("n_name", as_index=False).agg(revenue=("rev", "sum"))
+        return out.groupby("n_name", as_index=False).agg(rev_i=("rev_i", "sum"))
 
     out = combine_partials(
         joined.map_batches(same_nation, batch_format="pandas"),
         ["n_name"],
-        {"revenue": "sum"},
+        {"rev_i": "sum"},
     ).to_pandas()
-    out["revenue"] = out["revenue"].round(2)
+    if "rev_i" not in out.columns:
+        # empty result (e.g. no customer/supplier in the region): Ray
+        # loses the pandas block schema on zero-row combines — hand back
+        # the typed empty frame instead of KeyError'ing
+        return pd.DataFrame({"n_name": pd.Series([], dtype=object),
+                             "revenue": pd.Series([], dtype=np.float64)})
+    # exact hundredths-of-cents quotient (engine-wide money convention)
+    out["revenue"] = out.pop("rev_i") / 10000.0
     return out
 
 
@@ -802,16 +835,21 @@ def q_events_from_ndjson(sf_dir: str):
     ds = rd.read_json(path)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            val_i=np.rint(df.value.to_numpy() * 100).astype(np.int64)
+        )
         return df.groupby("event_type", as_index=False).agg(
-            n=("event_id", "size"), sum_value=("value", "sum")
+            n=("event_id", "size"), val_i=("val_i", "sum")
         )
 
     out = combine_partials(
         ds.map_batches(partial, batch_format="pandas"),
         ["event_type"],
-        {"n": "sum", "sum_value": "sum"},
+        {"n": "sum", "val_i": "sum"},
     ).to_pandas()
-    out["sum_value"] = out["sum_value"].round(2)
+    # exact integer-cent quotient (engine-wide money convention; events
+    # value is 2-decimal by generation)
+    out["sum_value"] = out.pop("val_i") / 100.0
     return out
 
 
@@ -861,19 +899,26 @@ def q_lineitem_from_csv(sf_dir: str):
     ds = rd.read_csv(path)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            qty_i=np.rint(df.l_quantity.to_numpy()).astype(np.int64),
+            price_i=np.rint(
+                df.l_extendedprice.to_numpy() * 100
+            ).astype(np.int64),
+        )
         return df.groupby("l_returnflag", as_index=False).agg(
             n=("l_quantity", "size"),
-            sum_qty=("l_quantity", "sum"),
-            sum_price=("l_extendedprice", "sum"),
+            qty_i=("qty_i", "sum"),
+            price_i=("price_i", "sum"),
         )
 
     out = combine_partials(
         ds.map_batches(partial, batch_format="pandas"),
         ["l_returnflag"],
-        {"n": "sum", "sum_qty": "sum", "sum_price": "sum"},
+        {"n": "sum", "qty_i": "sum", "price_i": "sum"},
     ).to_pandas()
-    out["sum_qty"] = out["sum_qty"].round(2)
-    out["sum_price"] = out["sum_price"].round(2)
+    # exact integer-unit quotients (engine-wide money convention)
+    out["sum_qty"] = out.pop("qty_i").astype(np.float64)
+    out["sum_price"] = out.pop("price_i") / 100.0
     return out
 
 
@@ -1505,8 +1550,13 @@ def q_shipping_priority(sf_dir: str, segment: str = "BUILDING",
 
     def li_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df.l_shipdate > cutoff_ts]
-        df = df.assign(revenue=df.l_extendedprice * (1 - df.l_discount))
-        return df.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum"))
+        cents = np.rint(df.l_extendedprice.to_numpy() * 100).astype(np.int64)
+        dpct = np.rint(df.l_discount.to_numpy() * 100).astype(np.int64)
+        # exact hundredths-of-cents (engine-wide money convention — see
+        # q_pricing_summary): the final revenue is the exact i/10000
+        # quotient, bit-identical to the oracle's integer formulation
+        df = df.assign(rev_i=cents * (100 - dpct))
+        return df.groupby("l_orderkey", as_index=False).agg(rev_i=("rev_i", "sum"))
 
     # orderkey cardinality scales with the data → the per-batch partials
     # feed the JOIN directly (right_agg fuses the keyed sum into the join's
@@ -1529,27 +1579,28 @@ def q_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         rev,
         on="o_orderkey",
         right_on="l_orderkey",
-        right_values=["revenue"],
-        right_agg={"revenue": "sum"},
+        right_values=["rev_i"],
+        right_agg={"rev_i": "sum"},
         left_schema=ofs,
         right_schema=pa.schema(
-            [pa.field("l_orderkey", pa.int64()), pa.field("revenue", pa.float64())]
+            [pa.field("l_orderkey", pa.int64()), pa.field("rev_i", pa.int64())]
         ),
         approx_rows=_table_rows(sf_dir, "orders"),
-    ).select_columns(["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"])
+    ).select_columns(["o_orderkey", "rev_i", "o_orderdate", "o_orderpriority"])
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
-        # round BEFORE ranking so ties resolve exactly like the oracle's
-        # ORDER BY on the rounded alias
-        df = df.assign(revenue=df.revenue.round(2))
+        # rank on the exact integer (ties then break on orderkey, exactly
+        # like the oracle's ORDER BY on the exact-quotient alias)
         return df.sort_values(
-            ["revenue", "o_orderkey"], ascending=[False, True]
+            ["rev_i", "o_orderkey"], ascending=[False, True]
         ).head(k)
 
     # per-block top-k partials are ≤ k rows each — merge them driver-side
     # instead of paying a Repartition(1) stage round-trip
     parts = joined.map_batches(topk, batch_format="pandas").to_pandas()
-    return topk(parts).reset_index(drop=True)
+    out = topk(parts).reset_index(drop=True)
+    out["revenue"] = out.pop("rev_i") / 10000.0
+    return out[["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
 
 
 # ---------------------------------------------------------------------------
@@ -1705,11 +1756,26 @@ def r_semantic_dedup(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
-def q_event_windows_hourly(sf_dir: str):
+def _events_cents(sf_dir: str):
+    """events (ts, event_type, value_cents): value pre-scaled to exact
+    int64 cents (2-decimal by generation) so window sums are
+    order-of-association exact — the q_user_rolling_hour convention."""
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
-    out = tumbling_window(ds, "ts", "event_type", "value", window="1h").to_pandas()
+    return ds.map_batches(
+        lambda df: df.assign(
+            value=np.rint(df.value * 100).astype("int64")
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_event_windows_hourly(sf_dir: str):
+    out = tumbling_window(
+        _events_cents(sf_dir), "ts", "event_type", "value", window="1h"
+    ).to_pandas()
     for c in ("sum_value", "min_value", "max_value"):
-        out[c] = out[c].round(2)
+        # exact cents quotients (engine-wide money convention)
+        out[c] = out[c] / 100.0
     return out
 
 
@@ -1800,16 +1866,20 @@ def q_quantity_tier_revenue(sf_dir: str):
     tagged = broadcast_range_join(ds, "l_quantity", tiers)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            rev_i=np.rint(df.l_extendedprice.to_numpy() * 100).astype(np.int64)
+        )
         return df.groupby("tier", as_index=False).agg(
-            n=("l_quantity", "size"), revenue=("l_extendedprice", "sum")
+            n=("l_quantity", "size"), rev_i=("rev_i", "sum")
         )
 
     out = combine_partials(
         tagged.map_batches(partial, batch_format="pandas"),
         ["tier"],
-        {"n": "sum", "revenue": "sum"},
+        {"n": "sum", "rev_i": "sum"},
     ).to_pandas()
-    out["revenue"] = out["revenue"].round(2)
+    # exact cents quotient (engine-wide money convention)
+    out["revenue"] = out.pop("rev_i") / 100.0
     return out
 
 
@@ -1862,7 +1932,10 @@ def q_jaccard_neardup_docs(sf_dir: str):
     out = set_similarity_join(
         ds, "text", "doc_id", threshold=0.8, ngram_words=3
     ).to_pandas()
-    out["jaccard"] = out["jaccard"].round(4)
+    # EXACT |∩|/|∪| quotient, never rounded: Jaccard is rational, and
+    # quotients with power-of-two denominators (e.g. 27/32 = 0.84375) are
+    # exactly representable — rounding them hits the numpy-half-even vs
+    # SQL-half-away divergence
     return out.reset_index(drop=True)
 
 
@@ -2119,12 +2192,13 @@ def q_event_windows_sliding(sf_dir: str):
     """1-hour windows hopping every 30 minutes (each event lands in 2)."""
     from ..stages.windows import sliding_window
 
-    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
     out = sliding_window(
-        ds, "ts", "event_type", "value", window="1h", hop="30min"
+        _events_cents(sf_dir), "ts", "event_type", "value",
+        window="1h", hop="30min"
     ).to_pandas()
     for c in ("sum_value", "min_value", "max_value"):
-        out[c] = out[c].round(2)
+        # exact cents quotients (engine-wide money convention)
+        out[c] = out[c] / 100.0
     return out
 
 
