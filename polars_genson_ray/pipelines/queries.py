@@ -93,7 +93,11 @@ def q_pricing_summary(sf_dir: str):
     integer÷scale quotient: a ROUND(float_sum, 2) on both sides can
     straddle a rounding cliff when the two engines' float sums differ by
     an ulp around x.xx5 (found by the randomized-tables differential on
-    shipping_priority); identical integers divide to identical doubles."""
+    shipping_priority); identical integers divide to identical doubles.
+
+    int64 headroom: hundredths-of-cents saturate at ~9.2e18 = **$9.2e14
+    per GROUP** (≈10× world GDP) — beyond any physical revenue, so no
+    overflow guard; rescale the unit if a use case ever approaches it."""
     ds = _read(
         sf_dir,
         "lineitem",
@@ -412,17 +416,18 @@ def q_local_supplier_revenue(sf_dir: str, region: str = "ASIA"):
         out = df.assign(n_name=df.s_nationkey.map(nkn))
         return out.groupby("n_name", as_index=False).agg(rev_i=("rev_i", "sum"))
 
-    out = combine_partials(
-        joined.map_batches(same_nation, batch_format="pandas"),
-        ["n_name"],
-        {"rev_i": "sum"},
-    ).to_pandas()
-    if "rev_i" not in out.columns:
-        # empty result (e.g. no customer/supplier in the region): Ray
-        # loses the pandas block schema on zero-row combines — hand back
-        # the typed empty frame instead of KeyError'ing
-        return pd.DataFrame({"n_name": pd.Series([], dtype=object),
-                             "revenue": pd.Series([], dtype=np.float64)})
+    from ..stages.aggregate import collect_typed
+
+    # collect_typed: a region with no customers/suppliers legitimately
+    # yields an empty combine, where Ray loses the block schema
+    out = collect_typed(
+        combine_partials(
+            joined.map_batches(same_nation, batch_format="pandas"),
+            ["n_name"],
+            {"rev_i": "sum"},
+        ),
+        {"n_name": object, "rev_i": np.int64},
+    )
     # exact hundredths-of-cents quotient (engine-wide money convention)
     out["revenue"] = out.pop("rev_i") / 10000.0
     return out
@@ -1589,6 +1594,9 @@ def q_shipping_priority(sf_dir: str, segment: str = "BUILDING",
     ).select_columns(["o_orderkey", "rev_i", "o_orderdate", "o_orderpriority"])
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            # zero-match join: Ray hands the UDF a columnless empty frame
+            return df
         # rank on the exact integer (ties then break on orderkey, exactly
         # like the oracle's ORDER BY on the exact-quotient alias)
         return df.sort_values(
@@ -1597,7 +1605,13 @@ def q_shipping_priority(sf_dir: str, segment: str = "BUILDING",
 
     # per-block top-k partials are ≤ k rows each — merge them driver-side
     # instead of paying a Repartition(1) stage round-trip
-    parts = joined.map_batches(topk, batch_format="pandas").to_pandas()
+    from ..stages.aggregate import collect_typed
+
+    parts = collect_typed(
+        joined.map_batches(topk, batch_format="pandas"),
+        {"o_orderkey": np.int64, "rev_i": np.int64,
+         "o_orderdate": "datetime64[us]", "o_orderpriority": object},
+    )
     out = topk(parts).reset_index(drop=True)
     out["revenue"] = out.pop("rev_i") / 10000.0
     return out[["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]

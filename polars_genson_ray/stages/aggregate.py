@@ -34,6 +34,21 @@ import pandas as pd
 _AGG_FNS = {"sum", "min", "max"}
 
 
+def collect_typed(ds, cols: dict) -> pd.DataFrame:
+    """``to_pandas()`` of a combine/join result, schema-safe when EMPTY:
+    Ray drops the pandas block schema on zero-row outputs (a combine that
+    filtered everything, a join with no matches), so the collected frame
+    is columnless and the first column access raises KeyError. Rebuild
+    the typed empty frame instead. ``cols`` maps column → dtype."""
+    df = ds.to_pandas()
+    if not set(cols) <= set(df.columns):
+        assert df.empty, f"schema loss on non-empty frame: {list(df.columns)}"
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=t) for c, t in cols.items()}
+        )
+    return df
+
+
 def bucketed_groups(
     ds,
     keys: list[str],

@@ -32,18 +32,12 @@ from .sketches import hash64, hash_strings, re2_words
 
 
 def _typed_combine_frame(counts, cols: dict) -> pd.DataFrame:
-    """``to_pandas()`` of a bucketed combine result, schema-safe when the
-    combine filtered EVERY row out: Ray drops the pandas block schema on
-    zero-row outputs, so e.g. a corpus with no duplicated grams yields a
-    columnless empty frame — rebuild the typed empty frame instead of
-    KeyError'ing on the first column access."""
-    df = counts.to_pandas()
-    if not set(cols) <= set(df.columns):
-        assert df.empty, f"schema loss on non-empty frame: {df.columns}"
-        return pd.DataFrame(
-            {c: pd.Series([], dtype=t) for c, t in cols.items()}
-        )
-    return df
+    """Schema-safe collect of a bucketed combine result (a corpus with no
+    duplicated grams filters every row out and Ray loses the pandas block
+    schema) — delegates to the shared :func:`aggregate.collect_typed`."""
+    from .aggregate import collect_typed
+
+    return collect_typed(counts, cols)
 
 
 def _doc_words(texts) -> list[list[str]]:

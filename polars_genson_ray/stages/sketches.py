@@ -86,7 +86,13 @@ def re2_tokens(text) -> list:
 
 def re2_words(text) -> list:
     """Lowercased :func:`re2_tokens` — the canonical tokenizer for every
-    hash-emitting / oracle-compared operator."""
+    hash-emitting / oracle-compared operator.
+
+    Known, documented divergence: lowercasing uses Python ``str.lower``,
+    which differs from SQL/utf8proc on special casings (U+0130 'İ' →
+    'i̇' here vs 'i' in DuckDB; ditto Cherokee, ligatures). The oracle
+    contract is ASCII-exact; the comparison corpus is ASCII. The SPLIT
+    itself is contract-exact on any input (see :func:`re2_tokens`)."""
     return re2_tokens(text.lower()) if text else []
 
 

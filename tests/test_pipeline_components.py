@@ -2320,3 +2320,22 @@ def test_kmeans_fit_without_approx_rows_is_unbiased(ray_session):
     )
     assert purity == len(truth)
     assert len(np.unique(got)) == blobs
+
+def test_money_queries_empty_results(ray_session):
+    """A filter that matches nothing (unknown segment / region) must
+    return the typed empty frame, not KeyError on Ray's zero-row schema
+    loss (found by review after the exact-arithmetic migration)."""
+    from polars_genson_ray.pipelines.queries import (
+        q_local_supplier_revenue,
+        q_shipping_priority,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_shipping_priority(sf, segment="NO_SUCH_SEGMENT")
+    assert list(out.columns) == [
+        "o_orderkey", "revenue", "o_orderdate", "o_orderpriority"
+    ]
+    assert len(out) == 0
+    out2 = q_local_supplier_revenue(sf, region="NO_SUCH_REGION")
+    assert list(out2.columns) == ["n_name", "revenue"]
+    assert len(out2) == 0
