@@ -141,6 +141,16 @@ def boilerplate_ngrams(
     # the frequent set is small by construction (≤ total grams / min_df):
     # driver materialization here is the broadcast build, not a data scan
     freq = _typed_combine_frame(counts, {"gh": np.int64, "df": np.int64})
+    if freq.empty:
+        # no gram reaches min_df: short-circuit with a TYPED empty
+        # dataset — running the probe pass would emit zero blocks and the
+        # result Dataset would lose its schema entirely
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({
+            "gram": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+        }))
     order = np.argsort(freq["gh"].to_numpy().view(np.uint64))
     freq_h = freq["gh"].to_numpy().view(np.uint64)[order]
     freq_df = freq["df"].to_numpy()[order]
@@ -178,6 +188,13 @@ def boilerplate_ngrams(
         )
 
     def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        if "gram" not in df.columns:
+            # every block empty (no gram reaches min_df): the pandas
+            # conversion lost the schema — rebuild the typed empty frame
+            return pd.DataFrame({
+                "gram": pd.Series([], dtype=object),
+                "df": pd.Series([], dtype=np.int64),
+            })
         return df.drop_duplicates("gram")
 
     # per-batch recovery emits each frequent gram once per batch; the final

@@ -55,7 +55,19 @@ def _to_pandas(result):
     import ray.data
 
     if isinstance(result, ray.data.Dataset):
-        return result.to_pandas()
+        df = result.to_pandas()
+        if df.empty and len(df.columns) == 0:
+            # Ray's to_pandas() concatenates zero blocks into a
+            # columnless frame even when the Dataset schema IS known —
+            # rebuild the typed empty frame so empty results compare
+            # against the oracle's typed empty
+            sch = result.schema()
+            if sch is not None and sch.names:
+                return pa.table(
+                    {n: pa.array([], t)
+                     for n, t in zip(sch.names, sch.types)}
+                ).to_pandas()
+        return df
     if isinstance(result, pa.Table):
         return result.to_pandas()
     return result

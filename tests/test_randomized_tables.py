@@ -31,7 +31,8 @@ from tests.test_queries_oracle import (  # noqa: E402
 )
 
 SRC_DIR = "/root/testdata/sf0.001"
-SEED = 1729
+# default one seed (CI time); GRAFT_RAND_SEEDS="3,7,11" sweeps more
+SEED = int(os.environ.get("GRAFT_RAND_SEED", "1729"))
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(SRC_DIR), reason="testdata not available"
