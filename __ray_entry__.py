@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup_docs": Q.r_minhash_neardup_docs,
         "ann_topk_ivf": Q.r_ann_topk_ivf,
         "ann_topk_ivf_indexed": Q.r_ann_topk_ivf_indexed,
+        "ann_topk_pq": Q.r_ann_topk_pq,
         "embedding_neardup": Q.r_embedding_neardup,
         "embedding_kmeans": Q.r_embedding_kmeans,
         "semantic_dedup": Q.r_semantic_dedup,

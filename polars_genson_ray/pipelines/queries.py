@@ -1651,6 +1651,27 @@ def r_ann_topk_ivf(sf_dir: str, k: int = 10):
     return df.reset_index(drop=True)
 
 
+def r_ann_topk_pq(sf_dir: str, k: int = 10):
+    """Product-quantized ADC top-k (Jégou et al. 2011) — the COMPRESSED
+    scale path: codes are m bytes/vector (here 8 B for 64-d = 32×), so
+    the searchable representation of 10^12 vectors fits a cluster's
+    object store; search gathers each query's broadcast (m, 256) LUT over
+    the streaming code column, never re-reading floats. Rows-only:
+    approximate by construction; ADC exactness + recall are unit-pinned
+    (test_pq_adc_exact_and_deterministic / test_pq_recall...)."""
+    from ..stages.pq import pq_encode, pq_topk, pq_train
+
+    queries = _query_vectors(sf_dir, ids=(0, 1))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = _table_rows(sf_dir, "embeddings")
+    dim = len(queries[0])
+    cb = pq_train(ds, dim=dim, m=8, nbits=8, train_sample=65536,
+                  approx_rows=n, seed=11)
+    out = pq_topk(pq_encode(ds, cb), cb, np.asarray(queries), k=k)
+    out["adc_dist"] = out["adc_dist"].round(4)
+    return out.reset_index(drop=True)
+
+
 def r_embedding_neardup(sf_dir: str):
     """LSH-bucketed near-duplicate detection with exact in-bucket verify.
 

@@ -2339,3 +2339,91 @@ def test_money_queries_empty_results(ray_session):
     out2 = q_local_supplier_revenue(sf, region="NO_SUCH_REGION")
     assert list(out2.columns) == ["n_name", "revenue"]
     assert len(out2) == 0
+
+def test_pq_adc_exact_and_deterministic(ray_session):
+    """ADC via LUT gathers must equal the squared distance to the
+    reconstructed vector exactly (same float path), codes must be
+    rerun-deterministic, and codebooks block-layout-independent."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from polars_genson_ray.stages.pq import pq_encode, pq_topk, pq_train
+
+    rng = np.random.default_rng(5)
+    dim, n = 32, 1500
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl).repartition(4)
+    m = 8
+    cb = pq_train(ds, dim=dim, m=m, nbits=6, train_sample=1500,
+                  approx_rows=n, seed=3)
+    assert cb.shape == (m, 64, dim // m)
+    # layout independence: 1-block training gives the same codebooks
+    cb1 = pq_train(rd.from_arrow(tbl), dim=dim, m=m, nbits=6,
+                   train_sample=1500, approx_rows=n, seed=3)
+    assert np.array_equal(cb, cb1)
+
+    codes = pq_encode(ds, cb).to_pandas().set_index("vec_id").sort_index()
+    codes2 = pq_encode(ds, cb).to_pandas().set_index("vec_id").sort_index()
+    assert (codes.pq_code == codes2.pq_code).all()
+    assert len(codes.pq_code.iloc[0]) == m
+
+    q = rng.normal(size=(3, dim))
+    out = pq_topk(pq_encode(ds, cb), cb, q, k=7)
+    assert set(out.columns) == {"query_id", "vec_id", "adc_dist", "rank"}
+    assert (out.groupby("query_id").size() == 7).all()
+    for _, row in out.head(5).iterrows():
+        code = np.frombuffer(codes.loc[int(row.vec_id), "pq_code"],
+                             dtype=np.uint8)
+        recon = np.concatenate([cb[j][code[j]] for j in range(m)])
+        expect = float(((q[int(row.query_id)] - recon) ** 2).sum())
+        assert abs(row.adc_dist - expect) < 1e-9
+
+
+def test_pq_recall_and_cluster_retrieval(ray_session):
+    """Quality contract: with fine subspaces (dsub=2) a gaussian cloud
+    recalls every true top-10 neighbor inside the ADC top-20; on
+    well-separated blobs every retrieved candidate comes from the
+    query's own blob (PQ's coarse regime)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from polars_genson_ray.stages.pq import pq_encode, pq_topk, pq_train
+
+    rng = np.random.default_rng(7)
+    dim, n = 32, 4000
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl).repartition(4)
+    cb = pq_train(ds, dim=dim, m=16, nbits=8, train_sample=4000,
+                  approx_rows=n, seed=3)
+    q = rng.normal(size=(5, dim))
+    out = pq_topk(pq_encode(ds, cb), cb, q, k=20)
+    d2 = ((mat.astype(np.float64)[None, :, :] - q[:, None, :]) ** 2).sum(-1)
+    for i in range(5):
+        true10 = set(np.argsort(d2[i])[:10])
+        got20 = set(out[out.query_id == i].vec_id.astype(int))
+        assert len(true10 & got20) >= 9, (i, len(true10 & got20))
+
+    blobs, per = 10, 200
+    centers = rng.normal(size=(blobs, dim)) * 5
+    truth = np.repeat(np.arange(blobs), per)
+    mat2 = (centers[truth]
+            + rng.normal(scale=0.2, size=(len(truth), dim))).astype(np.float32)
+    t2 = pa.table({
+        "vec_id": pa.array(np.arange(len(mat2), dtype=np.int64)),
+        "embedding": pa.array(list(mat2), pa.list_(pa.float32())),
+    })
+    ds2 = rd.from_arrow(t2).repartition(4)
+    cb2 = pq_train(ds2, dim=dim, m=8, nbits=6, train_sample=2000,
+                   approx_rows=len(mat2), seed=3)
+    out2 = pq_topk(pq_encode(ds2, cb2), cb2,
+                   mat2[::per][:4].astype(np.float64), k=10)
+    assert all(truth[int(v)] == qi
+               for qi, v in zip(out2.query_id, out2.vec_id))

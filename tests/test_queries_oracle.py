@@ -256,6 +256,7 @@ _ROWS_ONLY_QUERIES = [
         "bloom_decontam",
         "ann_topk_ivf",
         "ann_topk_ivf_indexed",
+        "ann_topk_pq",
         "image_features",
         "image_resize",
         "aspect_buckets",
