@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": Q.r_ann_topk_ivf,
         "ann_topk_ivf_indexed": Q.r_ann_topk_ivf_indexed,
         "ann_topk_pq": Q.r_ann_topk_pq,
+        "ann_topk_ivfpq": Q.r_ann_topk_ivfpq,
         "embedding_neardup": Q.r_embedding_neardup,
         "embedding_kmeans": Q.r_embedding_kmeans,
         "semantic_dedup": Q.r_semantic_dedup,

@@ -1672,6 +1672,27 @@ def r_ann_topk_pq(sf_dir: str, k: int = 10):
     return out.reset_index(drop=True)
 
 
+def r_ann_topk_ivfpq(sf_dir: str, k: int = 10):
+    """IVF-PQ (IVFADC): coarse cells prune the scan to nprobe cells and
+    PQ encodes the RESIDUAL x − centroid, preserving the within-cell
+    neighbor structure plain PQ quantizes away — the literal 10^12-row
+    ANN layout (4 + m bytes searchable state per vector). Rows-only;
+    recall-vs-brute-force and residual-ADC exactness are unit-pinned."""
+    from ..stages.pq import ivfpq_build, ivfpq_topk
+
+    queries = _query_vectors(sf_dir, ids=(0, 1))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = _table_rows(sf_dir, "embeddings")
+    dim = len(queries[0])
+    coarse, cb, codes = ivfpq_build(
+        ds, dim=dim, n_cells=16, m=8, nbits=8, train_sample=65536,
+        approx_rows=n, seed=11,
+    )
+    out = ivfpq_topk(codes, coarse, cb, np.asarray(queries), k=k, nprobe=6)
+    out["adc_dist"] = out["adc_dist"].round(4)
+    return out.reset_index(drop=True)
+
+
 def r_embedding_neardup(sf_dir: str):
     """LSH-bucketed near-duplicate detection with exact in-bucket verify.
 

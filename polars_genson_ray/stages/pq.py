@@ -260,3 +260,196 @@ def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray, *,
     out = out.reset_index(drop=True)
     out["rank"] = out.groupby("query_id").cumcount()
     return out
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: residual-encoded PQ inside coarse cells — the trillion-scale
+# layout (IVFADC in Jégou et al. 2011): the coarse quantizer prunes the
+# scan to nprobe cells, and PQ encodes the RESIDUAL (x − centroid), which
+# captures within-cell structure plain PQ quantizes away.
+# ---------------------------------------------------------------------------
+
+
+class _IVFPQEncoder:
+    """map_batches: embedding → (id, cell, pq_code of the residual)."""
+
+    def __init__(self, state_ref, id_column: str, column: str):
+        self.state_ref = state_ref
+        self.id_column = id_column
+        self.column = column
+        self._st = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._st is None:
+            st = self.state_ref
+            coarse, cb = ray.get(st) if not isinstance(st, tuple) else st
+            self._st = (coarse, cb, (coarse**2).sum(axis=1),
+                        [(c**2).sum(axis=1) for c in cb])
+        coarse, cb, coarse_sq, cb_sq = self._st
+        emb = _embedding_matrix(batch[self.column])
+        n = len(batch)
+        m = len(cb)
+        cells = np.zeros(n, dtype=np.int32)
+        codes = np.zeros((n, m), dtype=np.uint8)
+        if n:
+            d = -2.0 * (emb @ coarse.T) + coarse_sq[None, :]
+            cells = np.argmin(d, axis=1).astype(np.int32)
+            resid = emb - coarse[cells]
+            dsub = cb[0].shape[1]
+            for j in range(m):
+                sub = resid[:, j * dsub:(j + 1) * dsub]
+                dj = -2.0 * (sub @ cb[j].T) + cb_sq[j][None, :]
+                codes[:, j] = np.argmin(dj, axis=1).astype(np.uint8)
+        code_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(m), n, [None, pa.py_buffer(codes.tobytes())]
+        )
+        return pa.table({
+            self.id_column: batch[self.id_column],
+            "cell": pa.array(cells, pa.int32()),
+            "pq_code": code_arr,
+        })
+
+
+def ivfpq_build(
+    ds,
+    *,
+    id_column: str = "vec_id",
+    column: str = "embedding",
+    dim: int,
+    n_cells: int = 64,
+    m: int = 8,
+    nbits: int = 8,
+    train_sample: int = 65536,
+    approx_rows: int | None = None,
+    iters: int = 12,
+    seed: int = 7,
+):
+    """Train coarse centroids + residual codebooks on one bounded sample,
+    then ONE streaming encode pass. Returns ``(coarse, codebooks,
+    codes_ds)`` where ``codes_ds`` holds (id, cell, pq_code) —
+    4 + M bytes of searchable state per vector."""
+    import ray
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    if approx_rows is None:
+        approx_rows = ds.count()
+    sample = sample_embedding_rows(ds, column=column, n=train_sample,
+                                   approx_rows=approx_rows, seed=seed)
+    x = np.asarray(sample, dtype=np.float64)
+    x = x[np.lexsort(x.T)]
+    coarse = _kmeans_euclid(x, n_cells, iters=iters, seed=seed)
+    d = -2.0 * (x @ coarse.T) + (coarse**2).sum(axis=1)[None, :]
+    resid = x - coarse[np.argmin(d, axis=1)]
+    k = 1 << nbits
+    dsub = dim // m
+    codebooks = np.zeros((m, min(k, len(x)), dsub))
+    for j in range(m):
+        codebooks[j] = _kmeans_euclid(
+            resid[:, j * dsub:(j + 1) * dsub], k, iters=iters, seed=seed + j
+        )
+    ref = ray.put((np.ascontiguousarray(coarse),
+                   np.ascontiguousarray(codebooks)))
+    codes_ds = ds.select_columns([id_column, column]).map_batches(
+        _IVFPQEncoder(ref, id_column, column), batch_format="pyarrow"
+    )
+    return coarse, codebooks, codes_ds
+
+
+class _IVFPQTopK:
+    """Per-batch probed-cell ADC: rows outside every query's probe set are
+    skipped; probed rows gather the (query, cell)-specific residual LUT."""
+
+    def __init__(self, state_ref, k: int, id_column: str):
+        self.state_ref = state_ref
+        self.k = k
+        self.id_column = id_column
+        self._st = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._st is None:
+            st = self.state_ref
+            self._st = ray.get(st) if not isinstance(st, tuple) else st
+        probed, luts = self._st  # probed (q, nprobe) cells; luts (q, nprobe, m, 256)
+        m = luts.shape[2]
+        codes = _codes_matrix(batch["pq_code"], m)
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
+        cols = np.arange(m)
+        q_out, id_out, d_out = [], [], []
+        for qi in range(probed.shape[0]):
+            for slot, cell in enumerate(probed[qi]):
+                mask = cells == cell
+                if not mask.any():
+                    continue
+                sub = codes[mask]
+                dist = luts[qi, slot][cols[None, :], sub].sum(axis=1)
+                kk = min(self.k, len(dist))
+                part = np.argpartition(dist, kk - 1)[:kk]
+                sel = np.flatnonzero(mask)[part]
+                q_out.append(np.full(kk, qi, dtype=np.int64))
+                id_out.append(ids[sel])
+                d_out.append(dist[part])
+        if not q_out:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                self.id_column: pa.array([], batch[self.id_column].type),
+                "adc_dist": pa.array([], pa.float64()),
+            })
+        return pa.table({
+            "query_id": pa.array(np.concatenate(q_out)),
+            self.id_column: pa.array(np.concatenate(id_out)),
+            "adc_dist": pa.array(np.concatenate(d_out).astype(np.float64)),
+        })
+
+
+def ivfpq_topk(codes_ds, coarse: np.ndarray, codebooks: np.ndarray,
+               queries: np.ndarray, *, id_column: str = "vec_id",
+               k: int = 10, nprobe: int = 4,
+               batch_size: int = 65536) -> pd.DataFrame:
+    """Probed-cell residual ADC top-k. Each query probes its ``nprobe``
+    nearest coarse cells; the LUT for (query, cell) quantizes
+    ``(q − centroid_cell)`` against the residual codebooks, so
+    ``LUT-sum ≡ ||q − (centroid + reconstructed residual)||²``. Broadcast
+    state is (q × nprobe × m × 256) doubles — KBs. Returns (query_id, id,
+    adc_dist, rank) with deterministic (adc_dist, id) tie-breaks."""
+    import ray
+
+    q = np.asarray(queries, dtype=np.float64)
+    m, kcb, dsub = codebooks.shape
+    dq = -2.0 * (q @ coarse.T) + (coarse**2).sum(axis=1)[None, :]
+    nprobe = min(nprobe, coarse.shape[0])
+    probed = np.argsort(dq, axis=1)[:, :nprobe].astype(np.int32)
+    luts = np.zeros((len(q), nprobe, m, 256))
+    for qi in range(len(q)):
+        for slot, cell in enumerate(probed[qi]):
+            r = q[qi] - coarse[cell]
+            for j in range(m):
+                sub = r[j * dsub:(j + 1) * dsub]
+                d = ((sub[None, :] - codebooks[j]) ** 2).sum(axis=1)
+                luts[qi, slot, j, :kcb] = d
+                if kcb < 256:
+                    luts[qi, slot, j, kcb:] = np.inf
+    ref = ray.put((probed, luts))
+    parts = codes_ds.map_batches(
+        _IVFPQTopK(ref, k, id_column),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "query_id": pd.Series([], dtype=np.int64),
+            id_column: pd.Series([], dtype=np.int64),
+            "adc_dist": pd.Series([], dtype=np.float64),
+            "rank": pd.Series([], dtype=np.int64),
+        })
+    parts = parts.sort_values(["query_id", "adc_dist", id_column],
+                              kind="mergesort")
+    out = parts.groupby("query_id", as_index=False, sort=True).head(k)
+    out = out.reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount()
+    return out

@@ -257,6 +257,7 @@ _ROWS_ONLY_QUERIES = [
         "ann_topk_ivf",
         "ann_topk_ivf_indexed",
         "ann_topk_pq",
+        "ann_topk_ivfpq",
         "image_features",
         "image_resize",
         "aspect_buckets",
