@@ -171,6 +171,36 @@ def _codes_matrix(col: "pa.ChunkedArray", m: int) -> np.ndarray:
     return np.concatenate(parts).reshape(-1, m)
 
 
+
+def _topk_tie_aware(dist: np.ndarray, ids: np.ndarray, k: int):
+    """Batch-local top-k by (dist, id) — lexsort, not argpartition: tied
+    distances (vectors sharing a code are EXACTLY tied under ADC) must
+    keep the smallest ids so results are block-layout deterministic."""
+    kk = min(k, len(dist))
+    if not kk:
+        return np.zeros(0, dtype=np.int64)
+    return np.lexsort((ids, dist))[:kk]
+
+
+def _merge_topk(parts: pd.DataFrame, id_column: str, k: int) -> pd.DataFrame:
+    """Driver-side merge of per-batch top-k partials → (query_id, id,
+    adc_dist, rank) with deterministic (adc_dist, id) tie-breaks; typed
+    empty frame when nothing matched."""
+    if parts.empty:
+        return pd.DataFrame({
+            "query_id": pd.Series([], dtype=np.int64),
+            id_column: pd.Series([], dtype=np.int64),
+            "adc_dist": pd.Series([], dtype=np.float64),
+            "rank": pd.Series([], dtype=np.int64),
+        })
+    parts = parts.sort_values(["query_id", "adc_dist", id_column],
+                              kind="mergesort")
+    out = parts.groupby("query_id", as_index=False, sort=True).head(k)
+    out = out.reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount()
+    return out
+
+
 class _ADCTopK:
     """Per-batch ADC scan: gather-sum each query's (m, 256) LUT over the
     code matrix, keep the batch-local top-k — partials merge driver-side
@@ -200,10 +230,9 @@ class _ADCTopK:
             # ONE fancy-gather per query: lut[j, codes[:, j]] summed over j
             dist = luts[qi][cols[None, :], codes].sum(axis=1) if n else \
                 np.zeros(0)
-            kk = min(self.k, n)
-            if kk:
-                part = np.argpartition(dist, kk - 1)[:kk]
-                q_out.append(np.full(kk, qi, dtype=np.int64))
+            part = _topk_tie_aware(dist, ids, self.k)
+            if len(part):
+                q_out.append(np.full(len(part), qi, dtype=np.int64))
                 id_out.append(ids[part])
                 d_out.append(dist[part])
         if not q_out:
@@ -228,7 +257,7 @@ def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray, *,
     (adc_dist, id) for rerun determinism."""
     import ray
 
-    q = np.asarray(queries, dtype=np.float64)
+    q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
     m, kcb, dsub = codebooks.shape
     if q.shape[1] != m * dsub:
         raise ValueError(f"query dim {q.shape[1]} != codebook dim {m * dsub}")
@@ -247,19 +276,7 @@ def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray, *,
         batch_format="pyarrow",
         batch_size=batch_size,
     ).to_pandas()
-    if parts.empty:
-        return pd.DataFrame({
-            "query_id": pd.Series([], dtype=np.int64),
-            id_column: pd.Series([], dtype=np.int64),
-            "adc_dist": pd.Series([], dtype=np.float64),
-            "rank": pd.Series([], dtype=np.int64),
-        })
-    parts = parts.sort_values(["query_id", "adc_dist", id_column],
-                              kind="mergesort")
-    out = parts.groupby("query_id", as_index=False, sort=True).head(k)
-    out = out.reset_index(drop=True)
-    out["rank"] = out.groupby("query_id").cumcount()
-    return out
+    return _merge_topk(parts, id_column, k)
 
 
 # ---------------------------------------------------------------------------
@@ -380,18 +397,27 @@ class _IVFPQTopK:
         cells = batch["cell"].to_numpy(zero_copy_only=False)
         ids = batch[self.id_column].to_numpy(zero_copy_only=False)
         cols = np.arange(m)
+        # bucketize the batch by cell ONCE (one argsort), instead of a
+        # full cells==cell scan per (query, probe slot)
+        order = np.argsort(cells, kind="stable")
+        sc = cells[order]
+        uniq_cells, starts = np.unique(sc, return_index=True)
+        bounds = np.append(starts, len(sc))
+        cell_rows = {
+            int(c): order[bounds[i]:bounds[i + 1]]
+            for i, c in enumerate(uniq_cells)
+        }
         q_out, id_out, d_out = [], [], []
         for qi in range(probed.shape[0]):
             for slot, cell in enumerate(probed[qi]):
-                mask = cells == cell
-                if not mask.any():
+                rows = cell_rows.get(int(cell))
+                if rows is None:
                     continue
-                sub = codes[mask]
+                sub = codes[rows]
                 dist = luts[qi, slot][cols[None, :], sub].sum(axis=1)
-                kk = min(self.k, len(dist))
-                part = np.argpartition(dist, kk - 1)[:kk]
-                sel = np.flatnonzero(mask)[part]
-                q_out.append(np.full(kk, qi, dtype=np.int64))
+                part = _topk_tie_aware(dist, ids[rows], self.k)
+                sel = rows[part]
+                q_out.append(np.full(len(part), qi, dtype=np.int64))
                 id_out.append(ids[sel])
                 d_out.append(dist[part])
         if not q_out:
@@ -419,8 +445,10 @@ def ivfpq_topk(codes_ds, coarse: np.ndarray, codebooks: np.ndarray,
     adc_dist, rank) with deterministic (adc_dist, id) tie-breaks."""
     import ray
 
-    q = np.asarray(queries, dtype=np.float64)
+    q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
     m, kcb, dsub = codebooks.shape
+    if q.shape[1] != m * dsub:
+        raise ValueError(f"query dim {q.shape[1]} != codebook dim {m * dsub}")
     dq = -2.0 * (q @ coarse.T) + (coarse**2).sum(axis=1)[None, :]
     nprobe = min(nprobe, coarse.shape[0])
     probed = np.argsort(dq, axis=1)[:, :nprobe].astype(np.int32)
@@ -440,16 +468,4 @@ def ivfpq_topk(codes_ds, coarse: np.ndarray, codebooks: np.ndarray,
         batch_format="pyarrow",
         batch_size=batch_size,
     ).to_pandas()
-    if parts.empty:
-        return pd.DataFrame({
-            "query_id": pd.Series([], dtype=np.int64),
-            id_column: pd.Series([], dtype=np.int64),
-            "adc_dist": pd.Series([], dtype=np.float64),
-            "rank": pd.Series([], dtype=np.int64),
-        })
-    parts = parts.sort_values(["query_id", "adc_dist", id_column],
-                              kind="mergesort")
-    out = parts.groupby("query_id", as_index=False, sort=True).head(k)
-    out = out.reset_index(drop=True)
-    out["rank"] = out.groupby("query_id").cumcount()
-    return out
+    return _merge_topk(parts, id_column, k)

@@ -17,7 +17,7 @@ m = importlib.util.module_from_spec(spec); spec.loader.exec_module(m)
 
 import duckdb, pandas as pd, numpy as np, pyarrow as pa
 
-SF = __import__("os").environ.get("MIMIC_SF", "/root/testdata/sf0.01")
+SF = os.environ.get("MIMIC_SF", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 con = duckdb.connect()
 for t in TABLES:
@@ -55,7 +55,7 @@ for name in win:
             for c in a.columns:
                 av, bv = a[c].to_numpy(), b[c].to_numpy()
                 if np.issubdtype(np.asarray(av).dtype, np.floating) or np.issubdtype(np.asarray(bv).dtype, np.floating):
-                    assert np.allclose(av.astype(float), bv.astype(float), atol=1e-9, equal_nan=True), f"values col {c}"
+                    assert np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=1e-9, equal_nan=True), f"values col {c}"
                 else:
                     assert (av == bv).all(), f"values col {c}"
             status = "oracle-match"
