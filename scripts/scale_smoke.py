@@ -458,6 +458,48 @@ def main() -> None:
     assert assigned.cluster.nunique() == km_blobs, assigned
     assert int(assigned.n.sum()) == km_rows
 
+    # --- round-4 leg: PQ / IVF-PQ at 2M vectors — encode streams (codes
+    # are 8 B/vector: 16 MB searchable state for 2M x 32-d = 256 MB of
+    # floats), ADC search scans codes only; planted blobs must be
+    # retrieved from the right blob
+    from polars_genson_ray.stages.pq import ivfpq_build, ivfpq_topk
+
+    pq_rows, pq_dim, pq_blobs = 2_000_000, 32, 8
+    rng_pq = np.random.default_rng(41)
+    pq_centers = rng_pq.normal(size=(pq_blobs, pq_dim)) * 6
+
+    def _pq_blob_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["id"].to_numpy()
+        lab = ids % pq_blobs
+        r = np.random.default_rng(103)
+        emb_ = pq_centers[lab] + r.normal(scale=0.2, size=(len(ids), pq_dim))
+        return pd.DataFrame({
+            "vec_id": ids,
+            "embedding": list(emb_.astype(np.float32)),
+        })
+
+    pq_ds = rd.range(pq_rows).map_batches(_pq_blob_batch, batch_format="pandas")
+    t0 = time.perf_counter()
+    coarse, cbk, pq_codes = ivfpq_build(
+        pq_ds, dim=pq_dim, n_cells=32, m=8, nbits=8,
+        train_sample=16384, approx_rows=pq_rows, seed=17,
+    )
+    pq_codes = pq_codes.materialize()
+    report["ivfpq_encode_2m_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    pq_q = (pq_centers[:4]
+            + rng_pq.normal(scale=0.2, size=(4, pq_dim)))
+    pq_out = ivfpq_topk(pq_codes, coarse, cbk, pq_q, k=10, nprobe=4)
+    report["ivfpq_search_2m_s"] = round(time.perf_counter() - t0, 2)
+    assert (pq_out.groupby("query_id").size() == 10).all()
+    # every hit's blob (vec_id % blobs) must equal the query's blob
+    ok_hits = sum(
+        int(v) % pq_blobs == qi
+        for qi, v in zip(pq_out.query_id, pq_out.vec_id)
+    )
+    assert ok_hits == len(pq_out), (ok_hits, len(pq_out))
+    report["ivfpq_hits_correct"] = int(ok_hits)
+
     print(json.dumps(report))
     ray.shutdown()
 
