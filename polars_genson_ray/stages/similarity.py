@@ -76,7 +76,11 @@ class BatchTopK:
         out_q, out_id, out_cos = [], [], []
         for qi in range(scores.shape[1]):
             col = scores[:, qi]
-            top = np.argpartition(-col, k - 1)[:k]
+            # tie-aware (cosine DESC, id ASC) selection: duplicated rows
+            # have EXACTLY equal cosines, and argpartition at the k
+            # boundary kept an arbitrary tied member — breaking both
+            # block-layout determinism and the oracle's ORDER BY tie-break
+            top = np.lexsort((ids, -col))[:k]
             for t in top:
                 out_q.append(qi)
                 out_id.append(ids[t])

@@ -30,8 +30,9 @@ from tests.test_queries_oracle import (  # noqa: E402
     _to_pandas,
 )
 
-SRC_DIR = "/root/testdata/sf0.001"
-# default one seed (CI time); GRAFT_RAND_SEEDS="3,7,11" sweeps more
+SRC_DIR = os.environ.get("GRAFT_RAND_SRC", "/root/testdata/sf0.001")
+# default one seed (CI time); GRAFT_RAND_SEED=<n> for other draws,
+# GRAFT_RAND_SRC=/root/testdata/sf0.01 for a bigger-table sweep
 SEED = int(os.environ.get("GRAFT_RAND_SEED", "1729"))
 
 pytestmark = pytest.mark.skipif(
