@@ -78,8 +78,10 @@ def top_k_keys(ds, key: str, k: int = 10, *, candidates_per_batch: int = 64,
     if df.empty:
         return df
     merged = df.groupby(key, as_index=False)["n"].sum()
+    # sort-then-head (not nlargest): count ties at the k boundary keep
+    # the smallest keys, so repeated runs agree
     return (
-        merged.nlargest(k, "n")
-        .sort_values(["n", key], ascending=[False, True])
+        merged.sort_values(["n", key], ascending=[False, True])
+        .head(k)
         .reset_index(drop=True)
     )
