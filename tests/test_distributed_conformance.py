@@ -166,3 +166,78 @@ def test_fragment_level_partial_merge_is_wire_mode():
     other = spb.compute(['{"a": 3}'])
     final = reduce_partials([frag, other], cfg).schema
     assert "required" not in final, final
+
+
+def test_partial_merge_invariance_hypothesis_random_json():
+    """Property fuzz of the merge monoid on ARBITRARY JSON documents
+    (nested dicts/lists, mixed scalar types, empty objects, unicode
+    keys): for every drawn corpus, ANY drawn split into partials reduced
+    in dataset order must equal single-pass inference byte-for-byte
+    (values + required sets; key order canonicalized by sort_keys).
+
+    Chunk ORDER is deliberately not permuted: root-level anyOf branch
+    order is first-seen by reference contract (C6/T9 — scalar unions are
+    rank-canonicalized, complex-type branches keep first-seen order), and
+    the engine's reduce is an ORDERED merge over take_all's
+    order-preserving rows, so order invariance is neither promised nor
+    required. This fuzz DID catch a real defect: the builder's
+    $schema-header leak made results depend on split boundaries for
+    root-mixed-type corpora (fixed by always stripping the header)."""
+    import json as _json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from polars_genson_ray.stages.infer import (
+        SchemaPartialBatch,
+        reduce_partials,
+    )
+
+    scalar = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(-10**6, 10**6),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(max_size=6),
+    )
+    value = st.recursive(
+        scalar,
+        lambda c: st.one_of(
+            st.lists(c, max_size=3),
+            st.dictionaries(st.text(max_size=5), c, max_size=3),
+        ),
+        max_leaves=10,
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        st.lists(value, min_size=1, max_size=5),
+        st.data(),
+    )
+    def check(values, data):
+        docs = [_json.dumps(v) for v in values]
+        config = SchemaInferenceConfig()
+        expected = infer_json_schema_from_strings(docs, config)
+        n = len(docs)
+        parts = data.draw(st.integers(1, min(3, n)))
+        cuts = sorted(
+            data.draw(
+                st.lists(st.integers(1, n - 1), min_size=parts - 1,
+                         max_size=parts - 1, unique=True)
+            )
+        ) if parts > 1 else []
+        bounds = (0, *cuts, n)
+        chunks = [docs[bounds[i]:bounds[i + 1]] for i in range(len(bounds) - 1)]
+        fn = SchemaPartialBatch("c", config)
+        rows = [fn.compute(c) for c in chunks]
+        res = reduce_partials(rows, config)
+        assert _json.dumps(res.schema, sort_keys=True) == _json.dumps(
+            expected.schema, sort_keys=True
+        ), (docs, chunks)
+        # processed_count is NOT asserted: the reference counts all docs
+        # on its sequential path but distinct schemas on its parallel
+        # path (C13), and random corpora hit both duplicate docs and
+        # distinct docs with identical schemas — the count conformance
+        # for distinct corpora is pinned by the fixed-corpus tests above.
+
+    check()
