@@ -209,6 +209,12 @@ def test_partial_merge_invariance_hypothesis_random_json():
         max_leaves=10,
     )
 
+    configs = [
+        {},
+        {"map_threshold": 2, "unify_maps": True},
+        {"avro": True, "map_threshold": 2, "unify_maps": True},
+    ]
+
     @settings(max_examples=80, deadline=None)
     @given(
         st.lists(value, min_size=1, max_size=5),
@@ -216,7 +222,9 @@ def test_partial_merge_invariance_hypothesis_random_json():
     )
     def check(values, data):
         docs = [_json.dumps(v) for v in values]
-        config = SchemaInferenceConfig()
+        config = SchemaInferenceConfig(
+            **data.draw(st.sampled_from(configs))
+        )
         expected = infer_json_schema_from_strings(docs, config)
         n = len(docs)
         parts = data.draw(st.integers(1, min(3, n)))
