@@ -93,8 +93,15 @@ class _Strategy:
         # here was 65% of inference runtime on map-heavy documents — the
         # "properties" subtree of every merged schema was copied despite
         # being overwritten at emission.)
+        # "$schema" is metadata, never a keyword (documented divergence
+        # from base.rs:27-40, which lets a second added schema's header
+        # survive as an extra keyword and leak into anyOf branches for
+        # root-mixed-type corpora — making the merge depend on which doc
+        # lands first in which builder, i.e. on chunk boundaries; the
+        # reference's own sequential and parallel paths disagree on such
+        # inputs, and all 217 replayed snapshots pass with the skip)
         for k, v in schema.items():
-            if k != "type" and k not in self.extra_keywords:
+            if k != "type" and k != "$schema" and k not in self.extra_keywords:
                 self.extra_keywords[k] = v
 
     def add_schema(self, schema: dict) -> None:
@@ -728,42 +735,25 @@ class SchemaBuilder:
             self.schema_uri = schema_uri
 
     def add_schema(self, schema: dict) -> None:
-        # Deliberate divergence from builder.rs:45-53 (documented): the
-        # reference strips "$schema" only while its URI is unset, so the
-        # SECOND added schema's header survives as an extra keyword and —
-        # for root-mixed-type corpora — leaks into an anyOf branch. That
-        # makes the merge depend on which document lands first in which
-        # builder: the reference's own sequential (<10 docs, one builder,
-        # no per-doc headers) and parallel (per-doc builders) paths
-        # DISAGREE on such inputs, and any chunked merge inherits the
-        # chunk boundaries. Stripping the header ALWAYS (still adopting
-        # the first URI) restores the merge monoid — sequential ==
-        # parallel == any distributed chunking — and is byte-identical to
-        # the reference everywhere the reference is self-consistent
-        # (all 217 replayed snapshots pass).
+        # URI adoption only — no copy/pop: "$schema" is ignored as a
+        # keyword at the strategy level (see add_extra_keywords), so the
+        # key may flow through unchanged. This keeps per-doc schema dicts
+        # identity-stable for the interning/identity-dedup fast paths.
         if not isinstance(schema, dict):
             raise ValueError("Invalid schema type - must be a valid JSON object")
-        if "$schema" in schema:
-            schema = dict(schema)
-            uri = schema.pop("$schema")
-            if self.schema_uri is None:
-                self.schema_uri = uri
+        if self.schema_uri is None and "$schema" in schema:
+            self.schema_uri = schema["$schema"]
         self.root_node.add_schema(schema)
 
     def add_schemas(self, schemas: list) -> None:
         """Batch variant of :func:`add_schema` (C4): same per-schema
         ``$schema`` handling in order, then one grouped root-node merge."""
-        cleaned = []
         for schema in schemas:
             if not isinstance(schema, dict):
                 raise ValueError("Invalid schema type - must be a valid JSON object")
-            if "$schema" in schema:
-                schema = dict(schema)
-                uri = schema.pop("$schema")
-                if self.schema_uri is None:
-                    self.schema_uri = uri
-            cleaned.append(schema)
-        self.root_node.add_schemas(cleaned)
+            if self.schema_uri is None and "$schema" in schema:
+                self.schema_uri = schema["$schema"]
+        self.root_node.add_schemas(schemas)
 
     def add_object(self, obj) -> None:
         self.root_node.add_object(obj)
