@@ -56,6 +56,8 @@ def bucketed_groups(
     *,
     approx_rows: int | None = None,
     num_buckets: int | None = None,
+    max_bucket_rows: int | None = None,
+    pre_reduce=None,
 ):
     """Hash-partition ``ds`` by a key-hash bucket and apply ``fn``
     (pandas → pandas) to each bucket's rows. A bucket holds WHOLE keys, so
@@ -68,7 +70,22 @@ def bucketed_groups(
     13k-key sum that this path does in <1 s) and ``groupby(key).map_groups``
     (one Python call per KEY; this makes it one call per BUCKET). Bucket
     count scales with data / cluster (``_derive_num_buckets``), keeping
-    per-bucket population ~constant as the dataset grows."""
+    per-bucket population ~constant as the dataset grows.
+
+    Skew safety (a bucket holds whole keys, so ONE pathological key — one
+    user owning 30% of all events — would land in one pandas task):
+
+    * ``max_bucket_rows`` — loud guard. A bucket whose row count exceeds the
+      cap raises with the hottest keys' populations instead of silently
+      building one giant frame (default ``PGR_MAX_BUCKET_ROWS`` env,
+      5,000,000 rows ≈ low-GB per task at typical widths).
+    * ``pre_reduce`` — the re-route for decomposable reductions: a pandas →
+      pandas per-batch combiner (keyed on ``keys``; must satisfy
+      ``fn(pre(a) ++ pre(b)) == fn(a ++ b)``) applied BEFORE the exchange,
+      so a hot key crosses it as ≤ 1 partial row per input block instead of
+      its full row population. Most call sites already feed pre-aggregated
+      partials or time-bucketed keys; this is for raw-row reductions.
+    """
     import numpy as np
     import pyarrow as pa
 
@@ -78,12 +95,33 @@ def bucketed_groups(
     if num_buckets is None:
         num_buckets = _derive_num_buckets(approx_rows)
     mask = np.uint64(num_buckets - 1)
+    if max_bucket_rows is None:
+        import os
+
+        max_bucket_rows = int(os.environ.get("PGR_MAX_BUCKET_ROWS", 5_000_000))
+
+    if pre_reduce is not None:
+        ds = ds.map_batches(pre_reduce, batch_format="pandas")
 
     def tag(batch: pa.Table) -> pa.Table:
         b = (key_hashes(batch, keys) & mask).astype(np.int32)
         return batch.append_column("__b", pa.array(b))
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) > max_bucket_rows:
+            hottest = (
+                df.groupby(keys, dropna=False, observed=True)
+                .size()
+                .nlargest(3)
+                .to_dict()
+            )
+            raise ValueError(
+                f"bucketed_groups: one bucket holds {len(df)} rows "
+                f"(> max_bucket_rows={max_bucket_rows}); hottest keys "
+                f"{hottest}. Pass pre_reduce= (per-batch combiner) for "
+                f"decomposable reductions, or raise max_bucket_rows / "
+                f"PGR_MAX_BUCKET_ROWS if the task can genuinely hold it."
+            )
         return fn(df.drop(columns="__b"))
 
     # coarse batches: the exchange is block-count-bound at narrow widths

@@ -84,3 +84,58 @@ def test_event_value_percentiles_has_no_global_sort(ray_session):
     ds = Q.q_event_value_percentiles(SF_DIR)
     assert "Sort" not in _plan(ds)
     assert ds.count() == 1000
+
+
+def test_bucketed_groups_hot_key_guard_fails_loudly(ray_session):
+    """A planted 30%-hot-key bucket must raise (naming the key), never
+    silently build one giant pandas frame."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from polars_genson_ray.stages.aggregate import bucketed_groups
+
+    n = 10_000
+    keys = np.where(np.arange(n) % 10 < 3, 7, np.arange(n))  # key 7 = 30%
+    df = pd.DataFrame({"k": keys.astype(np.int64), "v": 1.0})
+    ds = bucketed_groups(
+        rd.from_pandas(df, override_num_blocks=8),
+        ["k"],
+        lambda d: d.groupby("k", as_index=False)["v"].sum(),
+        max_bucket_rows=1000,
+    )
+    with pytest.raises(ray.exceptions.RayTaskError) as ei:
+        ds.take_all()
+    msg = str(ei.value)
+    assert "max_bucket_rows" in msg and "hottest keys" in msg
+
+
+def test_bucketed_groups_pre_reduce_reroutes_hot_key(ray_session):
+    """The same 30%-hot-key workload with a decomposable reduce passes a
+    pre_reduce combiner: the hot key crosses the exchange as ≤1 row per
+    block, so the tight cap is never hit and the result is exact."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from polars_genson_ray.stages.aggregate import bucketed_groups
+
+    n = 10_000
+    keys = np.where(np.arange(n) % 10 < 3, 7, np.arange(n))
+    df = pd.DataFrame({"k": keys.astype(np.int64), "v": 1.0})
+
+    def combiner(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("k", as_index=False)["v"].sum()
+
+    out = bucketed_groups(
+        rd.from_pandas(df, override_num_blocks=8),
+        ["k"],
+        combiner,
+        pre_reduce=combiner,
+        max_bucket_rows=1000,
+    ).to_pandas()
+    # key 7 = 3000 planted hot rows + row i=7 itself (7 % 10 >= 3 keeps it)
+    assert float(out.loc[out["k"] == 7, "v"].iloc[0]) == 3001.0
+    assert len(out) == n - 3000
+    assert float(out["v"].sum()) == float(n)
