@@ -86,7 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": Q.q_chunk_documents,
         "doc_fingerprints": Q.r_doc_fingerprints,
         "simhash_docs": Q.r_simhash_docs,
-        "dup_spans": Q.q_dup_spans,
+        "dup_spans_chars": Q.q_dup_spans_chars,
         "bm25_docs": Q.q_bm25_docs,
         # embedding similarity
         "ann_topk": Q.q_ann_topk,
@@ -134,7 +134,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_value": Q.q_user_running_value,
         "cumulative_new_users": Q.q_cumulative_new_users,
         "weekly_cohorts": Q.q_weekly_cohorts,
-        "dup_spans_chars": Q.q_dup_spans_chars,
+        # word-gram dup-span sibling rotated OUT of the window for round 5
+        # (char-level variant now holds the family's window slot); still
+        # SQL-oracled in-repo and in the bench suite
+        "dup_spans": Q.q_dup_spans,
         # rows-only extension ops
         "training_data_prep": Q.r_training_data_prep,
         "heavy_hitter_tokens": Q.r_heavy_hitter_tokens,
@@ -151,8 +154,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_drift": Q.r_events_value_drift,
         "bloom_decontam": Q.r_bloom_decontam,
         # multimodal stages (synthetic codec; rows-only; audio_features
-        # decodes REAL RIFF/WAVE PCM via stdlib wave)
+        # decodes REAL RIFF/WAVE PCM via stdlib wave + pure-struct
+        # IEEE-float/EXTENSIBLE parse; video_frames demuxes REAL RIFF/AVI
+        # containers via stdlib struct)
         "audio_features": Q.r_audio_features,
+        "video_frames": Q.r_video_frames,
         "phash_neardup_images": Q.r_phash_neardup_images,
         "image_features": Q.r_image_features,
         "image_resize": Q.r_image_resize,

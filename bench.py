@@ -54,6 +54,35 @@ BENCH_QUERIES = [
     "local_supplier_revenue",
 ]
 
+# Round-4/5 operators, benched as SEPARATE entries so the frozen-23 total
+# above stays comparable to BENCH_r03/r04 (reported under "queries_new" /
+# "value_new"). ivfpq_build is timed on its own below — build cost is the
+# number that matters at 10^12 rows, independent of search latency.
+NEW_BENCH_QUERIES = [
+    "dup_spans_chars",
+    "ann_topk_pq",
+    "ann_topk_ivfpq",
+    "audio_features",
+    "video_frames",
+]
+
+
+def _bench_ivfpq_build(sf_dir: str) -> int:
+    """Time the IVF-PQ index build (coarse+codebook train on a bounded
+    sample + ONE streaming residual-encode pass) over the embeddings
+    table; returns the number of encoded codes (consumes the lazy encode)."""
+    from polars_genson_ray.pipelines import queries as Q
+    from polars_genson_ray.stages.pq import ivfpq_build
+
+    qvecs = Q._query_vectors(sf_dir, ids=(0,))
+    ds = Q._read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = Q._table_rows(sf_dir, "embeddings")
+    _, _, codes = ivfpq_build(
+        ds, dim=len(qvecs[0]), n_cells=16, m=8, nbits=8,
+        train_sample=65536, approx_rows=n, seed=11,
+    )
+    return codes.count()
+
 
 def _consume(result):
     """Force execution of a lazy Dataset without materializing to the driver
@@ -86,6 +115,7 @@ def run_bench() -> dict:
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
+    timings_new: dict[str, float] = {}
 
     # warm EVERY input the suite touches (untimed): populates the one-time
     # reshard cache (functions/context.maybe_reshard) and the page cache,
@@ -143,12 +173,26 @@ def run_bench() -> dict:
             prev = timings.get(name)
             timings[name] = dt if prev is None else min(prev, dt)
 
+        for name in NEW_BENCH_QUERIES:
+            t0 = time.perf_counter()
+            _consume(qs[name](SF_DIR))
+            dt = time.perf_counter() - t0
+            prev = timings_new.get(name)
+            timings_new[name] = dt if prev is None else min(prev, dt)
+        t0 = time.perf_counter()
+        _bench_ivfpq_build(SF_DIR)
+        dt = time.perf_counter() - t0
+        prev = timings_new.get("ivfpq_build")
+        timings_new["ivfpq_build"] = dt if prev is None else min(prev, dt)
+
     total = sum(timings.values())
     out = {
         "metric": "headline pipeline suite wall time (validation + operator queries; per-query best-of-N interleaved passes)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
+        "value_new": round(sum(timings_new.values()), 3),
+        "queries_new": {k: round(v, 3) for k, v in timings_new.items()},
         "sf": sf_name,
         "num_cpus": NUM_CPUS,
         "images": images,

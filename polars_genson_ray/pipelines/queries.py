@@ -1303,6 +1303,49 @@ def r_audio_features(sf_dir: str, rows: int = 256):
     )
 
 
+def r_video_frames(sf_dir: str, rows: int = 48):
+    """Real RIFF/AVI demux over a deterministic planted video table
+    (``sources.synth.encode_avi`` — stdlib struct writer; ids drive frame
+    count / fps / frame size, so the table is reproducible without external
+    data). Frames are synth-codec images, so ``decode_ok=True`` end-to-end;
+    a real MJPEG AVI would demux identically and surface
+    ``decode_ok=False`` rows (no JPEG codec in this container). Rows-only:
+    container demux is not SQL-expressible; frame counts / timestamps are
+    unit-pinned in tests/test_pipeline_components.py."""
+    import ray.data as rd
+
+    from ..sources.synth import encode_avi, encode_image, reference_pixels
+    from ..stages.multimodal import VideoFrameSample
+
+    def synth(batch):
+        import pandas as pd
+
+        ids = batch["id"].to_numpy()
+        blobs = []
+        for i in ids:
+            n_frames = 6 + (i % 5) * 3
+            fps_num, fps_den = ((24, 1), (30, 1), (30000, 1001))[i % 3]
+            side = 8 + 4 * (i % 2)
+            frames = [
+                encode_image(reference_pixels(f"v{i}f{j}", side, side), "png")
+                for j in range(n_frames)
+            ]
+            blobs.append(
+                encode_avi(frames, fps_num=fps_num, fps_den=fps_den,
+                           width=side, height=side)
+            )
+        return pd.DataFrame({"video_id": ids.astype(np.int64),
+                             "video": blobs})
+
+    ds = rd.range(max(1, int(rows))).map_batches(synth, batch_format="pandas")
+    return ds.map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs={"id_column": "video_id", "every_n": 4},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).select_columns(["video_id", "frame_index", "timestamp_s", "decode_ok"])
+
+
 def r_minhash_neardup_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return minhash_lsh_pairs(ds, "text", "doc_id", min_jaccard=0.8,

@@ -239,3 +239,50 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0.0:
         return float("inf")
     return 10.0 * np.log10(255.0**2 / mse)
+
+
+def encode_avi(frames: list, fps_num: int = 30, fps_den: int = 1,
+               width: int = 8, height: int = 8,
+               handler: bytes = b"MJPG") -> bytes:
+    """Minimal valid RIFF/AVI writer (stdlib ``struct`` only): one video
+    stream, each element of ``frames`` becomes one ``00dc`` chunk in the
+    ``movi`` list. Frame timing is ``fps_num/fps_den`` (strh dwRate/dwScale).
+    Used to plant deterministic AVI payloads for the demux stage — the
+    sandbox has no container library to write them either."""
+    import struct
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        return (
+            fourcc
+            + struct.pack("<I", len(payload))
+            + payload
+            + (b"\x00" if len(payload) & 1 else b"")
+        )
+
+    def lst(listtype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", listtype + payload)
+
+    usec_per_frame = int(round(1_000_000 * fps_den / fps_num))
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        usec_per_frame, 0, 0, 0, len(frames), 0, 1, 0, width, height,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", handler, 0, 0, 0, 0,
+        fps_den, fps_num,  # dwScale, dwRate → fps = rate/scale
+        0, len(frames), 0, 0xFFFFFFFF, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, handler,
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

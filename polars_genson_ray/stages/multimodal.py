@@ -152,6 +152,90 @@ def decode_wav_pcm(blob: bytes):
     return x[:n].reshape(-1, nch), rate, nch
 
 
+def _pcm_to_float(raw: bytes, sampwidth: int) -> np.ndarray:
+    """Integer PCM bytes → float32 in [-1, 1] (shared with the stdlib path)."""
+    if sampwidth == 2:
+        return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if sampwidth == 1:
+        return (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    if sampwidth == 4:
+        return np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    if sampwidth == 3:
+        b3 = np.frombuffer(raw, dtype=np.uint8)
+        b3 = b3[: len(b3) - len(b3) % 3].reshape(-1, 3).astype(np.int32)
+        v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        return v.astype(np.float32) / 8388608.0
+    raise ValueError(f"unsupported PCM sample width {sampwidth}")
+
+
+def _iter_riff_chunks(blob: bytes, start: int = 12):
+    """Yield (fourcc, payload_offset, payload_size) for top-level RIFF
+    sub-chunks. Chunks are word-aligned (odd sizes carry a pad byte)."""
+    import struct
+
+    off = start
+    while off + 8 <= len(blob):
+        fourcc, size = struct.unpack_from("<4sI", blob, off)
+        off += 8
+        yield fourcc, off, size
+        off += size + (size & 1)
+
+
+def decode_wav_ext(blob: bytes):
+    """Pure-``struct`` RIFF/WAVE decode for the formats stdlib ``wave``
+    rejects: IEEE-float WAV (format tag 3, 32/64-bit) and
+    WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE — real format in the first two bytes
+    of the SubFormat GUID; covers extensible-wrapped PCM and float).
+    Plain PCM (tag 1) also decodes here, so this is a complete fallback
+    parser. Returns ``(samples, rate, channels)``, samples float32
+    (n_frames, channels) in [-1, 1]. Raises ``ValueError`` on anything
+    compressed (ADPCM, MP3-in-WAV, …) — those genuinely need a codec."""
+    import struct
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    for fourcc, off, size in _iter_riff_chunks(blob):
+        if fourcc == b"fmt " and fmt is None:
+            fmt = blob[off : off + size]
+        elif fourcc == b"data" and data is None:
+            data = blob[off : off + size]
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("truncated fmt chunk")
+    tag, nch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real tag leads the GUID
+        if len(fmt) < 26:
+            raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        (cb,) = struct.unpack_from("<H", fmt, 16)
+        if cb < 22 or len(fmt) < 18 + 22:
+            raise ValueError("truncated extensible extension")
+        (tag,) = struct.unpack_from("<H", fmt, 24)
+    if nch < 1 or rate < 1:
+        raise ValueError(f"bad fmt: channels={nch} rate={rate}")
+    if tag == 3:  # IEEE float
+        if bits == 32:
+            x = np.frombuffer(data[: len(data) - len(data) % 4], "<f4").astype(
+                np.float32
+            )
+        elif bits == 64:
+            x = np.frombuffer(data[: len(data) - len(data) % 8], "<f8").astype(
+                np.float32
+            )
+        else:
+            raise ValueError(f"IEEE-float WAV with {bits} bits")
+    elif tag == 1:  # integer PCM (extensible-wrapped or plain)
+        if bits % 8 or not 8 <= bits <= 32:
+            raise ValueError(f"PCM WAV with {bits} bits")
+        x = _pcm_to_float(data, bits // 8)
+    else:
+        raise ValueError(f"compressed WAV format tag 0x{tag:04x} needs a codec")
+    n = len(x) - len(x) % nch
+    return x[:n].reshape(-1, nch), rate, nch
+
+
 class AudioFeatures:
     """Audio ``binary`` column → (duration_s, rms, n_samples, n_channels,
     sample_rate, decode_ok).
@@ -180,9 +264,14 @@ class AudioFeatures:
             try:
                 return decode_wav_pcm(blob)
             except Exception:
-                # RIFF containers stdlib wave can't parse (IEEE-float WAV,
-                # WAVE_FORMAT_EXTENSIBLE, ADPCM): fall through to soundfile
-                # when available rather than shadowing it with the sniff
+                pass
+            try:
+                # stdlib wave rejects IEEE-float / EXTENSIBLE containers;
+                # the pure-struct parser handles those (and plain PCM)
+                return decode_wav_ext(blob)
+            except Exception:
+                # genuinely compressed WAV (ADPCM, MP3-in-WAV): fall
+                # through to soundfile when available
                 if not _HAVE_AUDIO:
                     raise
         if _HAVE_AUDIO:
@@ -226,17 +315,86 @@ class AudioFeatures:
         return batch.append_column("decode_ok", pa.array(oks, pa.bool_()))
 
 
-class VideoFrameSample:
-    """STUB: video ``binary`` column → every-Nth-frame sample.
+def demux_avi(blob: bytes):
+    """REAL RIFF/AVI demux via stdlib ``struct`` (same pattern as the WAV
+    decode — no container library needed): returns ``(frames, fps)`` where
+    ``frames`` is the ordered list of the FIRST video stream's chunk
+    payloads (``##dc``/``##db`` — MJPEG JPEGs, uncompressed DIBs, …) and
+    ``fps`` is ``strh.dwRate/dwScale`` (falling back to
+    ``avih.dwMicroSecPerFrame``; 0.0 when neither is usable).
 
-    With no container demuxer available, the payload is interpreted as the
-    deterministic fake used in tests: a concatenation of equally-sized
-    encoded frames (4-byte length prefix + synth-codec image each). Emits
-    one row per sampled frame: (parent id, frame_index, frame_bytes) —
-    the flat_map layout a real av/ffmpeg demuxer stage would produce."""
+    Handles ``LIST rec `` interleave groups inside ``movi``. Frame DECODE
+    still needs a codec the frames' format requires — callers surface
+    undecodable payloads as ``decode_ok=False`` rows, not failures."""
+    import struct
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    fps = 0.0
+    usec_per_frame = 0
+    vids_stream = None
+    stream_idx = 0
+    frames = []
+
+    def walk_movi(payload: bytes, want: bytes):
+        for fourcc, off, size in _iter_riff_chunks(payload, 0):
+            body = payload[off : off + size]
+            if fourcc == b"LIST" and body[:4] == b"rec ":
+                walk_movi(body[4:], want)
+            elif fourcc[:2] == want and fourcc[2:4] in (b"dc", b"db"):
+                frames.append(body)
+
+    hdrl_seen = False
+    for fourcc, off, size in _iter_riff_chunks(blob):
+        body = blob[off : off + size]
+        if fourcc != b"LIST":
+            continue
+        if body[:4] == b"hdrl" and not hdrl_seen:
+            hdrl_seen = True
+            # iterate strl lists with a correct per-stream counter
+            for fc2, o2, s2 in _iter_riff_chunks(body, 4):
+                b2 = body[o2 : o2 + s2]
+                if fc2 == b"avih" and s2 >= 4:
+                    (usec_per_frame,) = struct.unpack_from("<I", b2, 0)
+                elif fc2 == b"LIST" and b2[:4] == b"strl":
+                    for fc3, o3, s3 in _iter_riff_chunks(b2, 4):
+                        if fc3 == b"strh" and s3 >= 28:
+                            if b2[o3 : o3 + 4] == b"vids" and vids_stream is None:
+                                vids_stream = stream_idx
+                                scale, rate = struct.unpack_from(
+                                    "<II", b2, o3 + 20
+                                )
+                                if scale and rate:
+                                    fps = rate / scale
+                        break
+                    stream_idx += 1
+        elif body[:4] == b"movi":
+            want = b"%02d" % (vids_stream if vids_stream is not None else 0)
+            walk_movi(body[4:], want)
+    if not fps and usec_per_frame:
+        fps = 1_000_000.0 / usec_per_frame
+    return frames, fps
+
+
+class VideoFrameSample:
+    """Video ``binary`` column → every-Nth-frame sample (flat_map layout:
+    one row per sampled frame).
+
+    RIFF/AVI containers are demuxed FOR REAL via :func:`demux_avi` (stdlib
+    ``struct`` — MJPEG/DIB chunk payloads of the first video stream, frame
+    timestamps from the stream header's dwRate/dwScale). Other payloads
+    keep the deterministic fake container used by tests (4-byte
+    length-prefixed synth-codec frames; no timing → NaN timestamps).
+
+    Output columns: (parent id, frame_index, timestamp_s, frame_bytes,
+    decode_ok). ``decode_ok`` reports whether the repo's synth codec can
+    decode the frame — real MJPEG JPEGs surface as ``decode_ok=False``
+    violation rows (this container has no JPEG decoder), matching the
+    audio stage's honest codec gate."""
 
     def __init__(self, id_column: str, column: str = "video", every_n: int = 10):
         self.id_column, self.column, self.every_n = id_column, column, every_n
+        self._decode = decode_image
 
     def _frames(self, blob: bytes):
         import struct
@@ -251,18 +409,30 @@ class VideoFrameSample:
             off += ln
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids_out, idxs, frames = [], [], []
+        ids_out, idxs, tss, frames, oks = [], [], [], [], []
         ids = batch[self.id_column].to_pylist()
         for row, blob in enumerate(batch[self.column].to_pylist()):
-            for i, frame in enumerate(self._frames(blob)):
+            if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+                all_frames, fps = demux_avi(blob)
+            else:
+                all_frames, fps = list(self._frames(blob)), 0.0
+            for i, frame in enumerate(all_frames):
                 if i % self.every_n == 0:
                     ids_out.append(ids[row])
                     idxs.append(i)
+                    tss.append(i / fps if fps else float("nan"))
                     frames.append(frame)
+                    try:
+                        self._decode(frame)
+                        oks.append(True)
+                    except Exception:
+                        oks.append(False)
         return pa.table(
             {
                 self.id_column: pa.array(ids_out, batch[self.id_column].type),
                 "frame_index": pa.array(idxs, pa.int64()),
+                "timestamp_s": pa.array(tss, pa.float64()),
                 "frame_bytes": pa.array(frames, pa.binary()),
+                "decode_ok": pa.array(oks, pa.bool_()),
             }
         )

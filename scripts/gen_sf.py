@@ -1,0 +1,87 @@
+"""Deterministic scale-up of the driver's testdata: replicate a source sf
+directory K× with per-replica key offsets, producing an sf-one-decade-up
+table set under /tmp for scale evidence (the sandbox's testdata tops out at
+sf0.1; TESTDATA.md forbids writing there).
+
+Semantics of the upsample (replica r ∈ [0, K)):
+  * fixed-size dimensions (region, nation) copy through unchanged — their
+    cardinality does not scale with SF in TPC-H either;
+  * every scaling table's primary key gets ``+ r * OFFSET`` so PKs stay
+    unique; every foreign key gets the SAME offset as its target's PK, so
+    referential structure replicates exactly (orphan sets, join fan-outs
+    and key-overlap patterns are K identical copies);
+  * event timestamps get ``+ r`` microseconds — keeps ordering realistic
+    instead of manufacturing K-way exact ties on every ts;
+  * document text / embeddings replicate byte-identically: a 10× upsample
+    of web data IS mostly duplicates, which is exactly what the dedup
+    operators should absorb.
+
+OFFSET = 10^9 stays clear of the engine's planted-id convention
+(embedding/phash near-dup queries plant copies at id + 10^7).
+
+Usage: python scripts/gen_sf.py [SRC=/root/testdata/sf0.1] [DST=/tmp/pgr_sf1] [K=10]
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+OFFSET = 1_000_000_000
+
+# table → (int64 key columns to offset, timestamp columns to perturb)
+PLAN = {
+    "region": None,  # fixed-size dimension: copy
+    "nation": None,
+    "customer": (["c_custkey"], []),
+    "supplier": (["s_suppkey"], []),
+    "part": (["p_partkey"], []),
+    "orders": (["o_orderkey", "o_custkey"], []),
+    "lineitem": (["l_orderkey", "l_partkey", "l_suppkey"], []),
+    "events": (["event_id", "user_id"], ["ts"]),
+    "documents": (["doc_id"], []),
+    "embeddings": (["vec_id"], []),
+}
+
+
+def upsample(src: str, dst: str, k: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for name, spec in PLAN.items():
+        src_path = os.path.join(src, f"{name}.parquet")
+        dst_path = os.path.join(dst, f"{name}.parquet")
+        t = pq.read_table(src_path)
+        if spec is None:
+            pq.write_table(t, dst_path)
+            print(f"{name}: copied {t.num_rows}")
+            continue
+        key_cols, ts_cols = spec
+        reps = []
+        for r in range(k):
+            rep = t
+            if r:
+                for c in key_cols:
+                    idx = rep.schema.get_field_index(c)
+                    shifted = pc.add(rep[c], pa.scalar(r * OFFSET, rep.schema.field(c).type))
+                    rep = rep.set_column(idx, rep.schema.field(c), shifted)
+                for c in ts_cols:
+                    idx = rep.schema.get_field_index(c)
+                    typ = rep.schema.field(c).type
+                    ticks = rep[c].cast(pa.int64())
+                    rep = rep.set_column(
+                        idx, rep.schema.field(c),
+                        pc.add(ticks, pa.scalar(r, pa.int64())).cast(typ),
+                    )
+            reps.append(rep)
+        out = pa.concat_tables(reps)
+        pq.write_table(out, dst_path, row_group_size=1 << 17)
+        print(f"{name}: {t.num_rows} -> {out.num_rows}")
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/pgr_sf1"
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    upsample(src, dst, k)

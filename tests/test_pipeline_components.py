@@ -2524,3 +2524,121 @@ def test_ivfpq_adc_matches_reconstruction(ray_session):
         )
         expect = float(((q[int(row.query_id)] - recon) ** 2).sum())
         assert abs(row.adc_dist - expect) < 1e-9
+
+
+def test_audio_features_ieee_float_and_extensible_wav(ray_session):
+    """decode_wav_ext handles what stdlib wave rejects: IEEE-float WAV
+    (format tag 3, 32/64-bit) and WAVE_FORMAT_EXTENSIBLE (0xFFFE wrapping
+    PCM or float). Features unit-pinned (sine rms = amp/√2, DC); compressed
+    tags still raise (honest codec gate)."""
+    import struct
+
+    import ray.data as rd
+
+    from polars_genson_ray.stages.multimodal import AudioFeatures, decode_wav_ext
+
+    def make_wav_raw(raw, *, tag, nch, rate, bits, extensible=False):
+        block = nch * (bits // 8)
+        if extensible:
+            sub = struct.pack("<H", tag) + bytes.fromhex(
+                "0000000000100080 00aa00389b71".replace(" ", "")
+            )
+            fmt = struct.pack(
+                "<HHIIHHHHI", 0xFFFE, nch, rate, rate * block, block, bits,
+                22, bits, 3 if nch == 2 else 1,  # mask is a 4-byte dword
+            ) + sub
+        else:
+            fmt = struct.pack("<HHIIHH", tag, nch, rate, rate * block, block, bits)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt + (b"\x00" if len(fmt) & 1 else b"")
+        chunks += b"data" + struct.pack("<I", len(raw)) + raw + (b"\x00" if len(raw) & 1 else b"")
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    t = np.linspace(0, 2 * np.pi * 440, 8000, endpoint=False)
+    sine = (0.5 * np.sin(t)).astype(np.float64)
+    rows = [
+        {"id": "f32", "audio": make_wav_raw(
+            sine.astype("<f4").tobytes(), tag=3, nch=1, rate=8000, bits=32)},
+        {"id": "f64dc", "audio": make_wav_raw(
+            np.full(4000, 0.25, "<f8").tobytes(), tag=3, nch=1, rate=16000, bits=64)},
+        {"id": "ext_pcm16", "audio": make_wav_raw(
+            (sine * 32767).astype("<i2").tobytes(), tag=1, nch=1, rate=8000,
+            bits=16, extensible=True)},
+        {"id": "ext_f32_stereo", "audio": make_wav_raw(
+            np.repeat(sine, 2).astype("<f4").tobytes(), tag=3, nch=2,
+            rate=8000, bits=32, extensible=True)},
+        {"id": "adpcm", "audio": make_wav_raw(
+            b"\x00" * 256, tag=2, nch=1, rate=8000, bits=16)},  # compressed
+    ]
+    out = {
+        r["id"]: r
+        for r in rd.from_items(rows)
+        .map_batches(AudioFeatures, batch_format="pyarrow", concurrency=1)
+        .take_all()
+    }
+    rms = 0.5 / np.sqrt(2)
+    f = out["f32"]
+    assert f["decode_ok"] and f["sample_rate"] == 8000 and f["n_channels"] == 1
+    assert abs(f["duration_s"] - 1.0) < 1e-9 and abs(f["rms"] - rms) < 1e-3
+    d = out["f64dc"]
+    assert d["decode_ok"] and abs(d["rms"] - 0.25) < 1e-6
+    assert abs(d["duration_s"] - 0.25) < 1e-9
+    e = out["ext_pcm16"]
+    assert e["decode_ok"] and abs(e["rms"] - rms) < 1e-3
+    s = out["ext_f32_stereo"]
+    assert s["decode_ok"] and s["n_channels"] == 2 and s["n_samples"] == 8000
+    assert not out["adpcm"]["decode_ok"]  # violation row, not job failure
+
+    # direct kernel: float32 samples survive bit-exact
+    x, rate, nch = decode_wav_ext(rows[0]["audio"])
+    assert rate == 8000 and nch == 1
+    assert np.array_equal(x[:, 0], sine.astype(np.float32))
+
+
+def test_video_frame_sample_real_avi_demux(ray_session):
+    """VideoFrameSample demuxes genuine RIFF/AVI containers (stdlib struct
+    writer + demuxer): frame counts, sampled indexes and timestamps are
+    unit-pinned against the planted stream headers; payloads round-trip
+    byte-exact; non-decodable frame payloads surface as decode_ok=False."""
+    import ray.data as rd
+
+    from polars_genson_ray.sources.synth import (
+        encode_avi,
+        encode_image,
+        reference_pixels,
+    )
+    from polars_genson_ray.stages.multimodal import VideoFrameSample, demux_avi
+
+    frames = [
+        encode_image(reference_pixels(f"f{i}", 8, 8), "png") for i in range(13)
+    ]
+    avi24 = encode_avi(frames, fps_num=24, fps_den=1)
+    # NTSC-style rational fps + undecodable (raw JPEG-ish) frame payloads
+    avi_ntsc = encode_avi([b"\xff\xd8 fake jpeg" * 3] * 7,
+                          fps_num=30000, fps_den=1001)
+
+    out = (
+        rd.from_items([
+            {"vid": "a", "video": avi24},
+            {"vid": "b", "video": avi_ntsc},
+        ])
+        .map_batches(
+            VideoFrameSample,
+            fn_constructor_kwargs={"id_column": "vid", "every_n": 5},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .take_all()
+    )
+    a = [r for r in out if r["vid"] == "a"]
+    b = [r for r in out if r["vid"] == "b"]
+    assert [r["frame_index"] for r in a] == [0, 5, 10]
+    assert [r["timestamp_s"] for r in a] == [0.0, 5 / 24.0, 10 / 24.0]
+    assert all(r["decode_ok"] for r in a)
+    assert [r["frame_bytes"] for r in a] == [frames[0], frames[5], frames[10]]
+    assert [r["frame_index"] for r in b] == [0, 5]
+    assert abs(b[1]["timestamp_s"] - 5 * 1001 / 30000.0) < 1e-12
+    assert not any(r["decode_ok"] for r in b)  # violation rows, no failure
+
+    # direct demux: all 13 frames byte-exact, fps from dwRate/dwScale
+    fr, fps = demux_avi(avi24)
+    assert fr == frames and fps == 24.0

@@ -251,6 +251,7 @@ _ROWS_ONLY_QUERIES = [
         "semantic_dedup",
         "training_data_prep",
         "audio_features",
+        "video_frames",
         "phash_neardup_images",
         "events_value_drift",
         "bloom_decontam",
