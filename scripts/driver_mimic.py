@@ -6,8 +6,8 @@ Usage: [MIMIC_SF=/root/testdata/sf0.1] python scripts/driver_mimic.py"""
 import os, sys, time
 os.environ.setdefault("RAY_DATA_DISABLE_PROGRESS_BARS", "1")
 import ray
-ray.init(address="local", num_cpus=8, include_dashboard=False,
-         logging_level="ERROR", log_to_driver=False)
+ray.init(address="local", num_cpus=int(os.environ.get("MIMIC_CPUS", "8")),
+         include_dashboard=False, logging_level="ERROR", log_to_driver=False)
 from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
 sys.path.insert(0, "/root/repo")

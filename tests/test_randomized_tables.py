@@ -82,6 +82,16 @@ def _build_tables(out_dir: str, seed: int) -> None:
                 "one two\xa0two three three",
                 "word",
                 "a b a b a b a b a b a b",
+                # hostile whitespace classes (NOTES.md): VT is NOT in
+                # DuckDB's RE2 \s; FS/GS/RS/US are str.split() whitespace
+                # but not RE2 \s; ideographic/Unicode spaces are neither
+                "alpha\x0bbeta gamma",
+                "fs\x1cgs\x1drs\x1eus\x1f end",
+                "wide　space line sep",
+                # sub-word perturbation target for the char-span family:
+                # long shared prefix, one codepoint flipped mid-word
+                "the quick brown foxhound jumped over the lazy dogsbody kennel",
+                "the quick brown foxhoünd jumped over the lazy dogsbody kennel",
             ]
             for i, s in enumerate(specials):
                 if i < len(df):
@@ -132,3 +142,45 @@ def test_query_matches_oracle_on_randomized_tables(
     ray_df = _to_pandas(qs[name](rand_sf))
     oracle_df = rand_duck.execute(sql).fetchdf()
     _compare(ray_df, oracle_df, name)
+
+
+# ---- round-4/5 families on resampled + hostile-Unicode tables ----------
+# The parametrized oracle replay above covers every SQL-oracled query
+# (including dup_spans_chars) at ONE seed; this sweep drives the char-span
+# and PQ / IVF-PQ families across several seeds — resampling duplicates
+# embedding rows byte-identically under fresh ids (exact ADC-distance
+# ties) and the specials plant hostile whitespace + sub-word
+# perturbations through the rolling-hash char windows.
+_R4_SEEDS = [SEED + 101, SEED + 202, SEED + 303]
+
+
+@pytest.mark.parametrize("seed", _R4_SEEDS)
+def test_char_spans_and_pq_on_randomized_tables(
+    entry_module, tmp_path_factory, seed
+):
+    import duckdb
+
+    out_dir = str(tmp_path_factory.mktemp(f"pgr_randsf4_{seed}"))
+    _build_tables(out_dir, seed)
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(out_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    qs = entry_module.queries()
+    # char-level dup spans: full oracle compare per seed
+    for name in ("dup_spans_chars", "dup_spans"):
+        sql = entry_module.oracle_sql()[name]
+        _compare(
+            _to_pandas(qs[name](out_dir)), con.execute(sql).fetchdf(), name
+        )
+
+    # PQ / IVF-PQ: approximate by construction (no SQL oracle), but must be
+    # DETERMINISTIC under exact distance ties (duplicated embeddings) and
+    # complete (k rows per query, finite distances)
+    for name in ("ann_topk_pq", "ann_topk_ivfpq"):
+        a = _to_pandas(qs[name](out_dir)).reset_index(drop=True)
+        b = _to_pandas(qs[name](out_dir)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0
+        assert np.isfinite(a["adc_dist"].to_numpy(dtype=float)).all()
