@@ -141,10 +141,13 @@ def run_bench() -> dict:
 
     # headline: flagship validation over the synthetic image table
     sf_name = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
-    try:
-        images = max(1000, int(float(sf_name) * 200_000))
-    except ValueError:
-        images = 2000
+    if os.environ.get("GRAFT_BENCH_IMAGES"):
+        images = int(os.environ["GRAFT_BENCH_IMAGES"])
+    else:
+        try:
+            images = max(1000, int(float(sf_name) * 200_000))
+        except ValueError:
+            images = 2000
     img_dir = Q._image_table_dir(images)  # generation is cached & untimed
     from polars_genson_ray.pipelines.validation import run_validation
     import shutil

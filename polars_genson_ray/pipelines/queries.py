@@ -2190,6 +2190,13 @@ def q_day_retention(sf_dir: str):
             ["day", "user_id"]
         ].drop_duplicates()
 
+    # OBJECT-STORE (not driver) materialization of the distinct-pair set,
+    # reused by both join sides below. 100-TB note: distinct (day, user)
+    # pairs are bounded by days × MAU — orders of magnitude below the raw
+    # event stream — and the blocks spill; if even that is too large,
+    # restrict `ds` to a day-range window first (the operator composes:
+    # retention for day D needs only days D and D+1), which keeps the
+    # pinned set to two days of actives per task wave.
     active = bucketed_groups(
         ds.map_batches(pair_partial, batch_format="pandas"),
         ["day", "user_id"],
@@ -2244,6 +2251,11 @@ def q_weekly_cohorts(sf_dir: str):
             )
         )[["wk", "user_id"]].drop_duplicates()
 
+    # OBJECT-STORE materialization (spillable, two consumers: cohort min
+    # + join left side). 100-TB note: distinct (week, user) pairs ≈ weeks
+    # × WAU, far below raw events; for a longer horizon, compute the
+    # matrix per cohort-week partition (each cohort's row needs only that
+    # cohort's users' pairs) instead of holding all pairs at once.
     pairs = bucketed_groups(
         ds.map_batches(week_pairs, batch_format="pandas"),
         ["wk", "user_id"],

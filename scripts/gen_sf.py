@@ -12,9 +12,19 @@ Semantics of the upsample (replica r ∈ [0, K)):
     and key-overlap patterns are K identical copies);
   * event timestamps get ``+ r`` microseconds — keeps ordering realistic
     instead of manufacturing K-way exact ties on every ts;
-  * document text / embeddings replicate byte-identically: a 10× upsample
-    of web data IS mostly duplicates, which is exactly what the dedup
-    operators should absorb.
+  * document TOKENS are salted per replica (``word`` → ``wordqr<r>``, so
+    replicas have disjoint token sets): the corpus becomes K independent
+    shards, each with the original's duplicate/near-dup structure. This is
+    deliberate — byte-identical replicas were tried first and make the
+    near-dup SQL *oracles* quadratic per identical group (every pair
+    shares every token: the DuckDB inverted-index self-join grew past
+    50 GB at K=10 before being killed), while the engine side collapses
+    identical docs up front and never sees the blow-up. Oracle cost must
+    scale linearly for a tractable side-by-side sweep; the engine still
+    sees the full 10× volume;
+  * embeddings replicate byte-identically (K-way exact cosine/ADC ties —
+    the brute-force oracle cost is linear in rows, so ties are free to
+    keep and exercise the deterministic tie-breaking).
 
 OFFSET = 10^9 stays clear of the engine's planted-id convention
 (embedding/phash near-dup queries plant copies at id + 10^7).
@@ -61,6 +71,27 @@ def upsample(src: str, dst: str, k: int) -> None:
         reps = []
         for r in range(k):
             rep = t
+            if r and name == "documents":
+                # salt every token: replicas get disjoint token sets (see
+                # module docstring). str.split() whitespace collapse is
+                # fine here — this is a synthetic scale table, not the
+                # hostile-whitespace corpus (tests/test_randomized_tables
+                # owns that axis).
+                salt = f"qr{r}"
+                texts = [
+                    " ".join(w + salt for w in s.split()) if s else s
+                    for s in rep["text"].to_pylist()
+                ]
+                idx = rep.schema.get_field_index("text")
+                rep = rep.set_column(
+                    idx, rep.schema.field("text"), pa.array(texts, pa.string())
+                )
+                nidx = rep.schema.get_field_index("n_chars")
+                rep = rep.set_column(
+                    nidx,
+                    rep.schema.field("n_chars"),
+                    pa.array([len(s) for s in texts], pa.int64()),
+                )
             if r:
                 for c in key_cols:
                     idx = rep.schema.get_field_index(c)
