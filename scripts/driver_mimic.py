@@ -2,7 +2,12 @@
 
 Mirrors the external graft driver contract (fresh process, ray.init owned
 here, hash-exact compare for oracled queries, rows-only otherwise).
-Usage: [MIMIC_SF=/root/testdata/sf0.1] python scripts/driver_mimic.py"""
+Usage: [MIMIC_SF=/root/testdata/sf0.1] python scripts/driver_mimic.py
+
+Resume/record knobs (for the long sf1 sweeps, where one DuckDB oracle can
+take 20+ min and the host can die mid-run):
+  MIMIC_SKIP=N    skip the first N window entries (already verified)
+  MIMIC_JSON=path append one JSON line per query {name,status,rows,sec}"""
 import os, sys, time
 os.environ.setdefault("RAY_DATA_DISABLE_PROGRESS_BARS", "1")
 import ray
@@ -42,6 +47,17 @@ ent = m.entry()
 print(f"entry(): {len(ent)} rows, cols={list(ent.columns)[:6]}...")
 qs, oracles = m.queries(), m.oracle_sql()
 win = list(qs)[:50]
+skip = int(os.environ.get("MIMIC_SKIP", "0"))
+if skip:
+    print(f"(skipping first {skip} window entries, already verified)")
+    win = win[skip:]
+jpath = os.environ.get("MIMIC_JSON")
+def record(name, status, rows, sec):
+    if jpath:
+        import json
+        with open(jpath, "a") as f:
+            f.write(json.dumps({"name": name, "status": status,
+                                "rows": rows, "sec": round(sec, 2)}) + "\n")
 fails = []
 for name in win:
     t0 = time.time()
@@ -62,10 +78,12 @@ for name in win:
         else:
             assert rdf is not None and len(rdf.columns) > 0
             status = "rows-only"
-        print(f"  {name}: {status} ({len(rdf)} rows, {time.time()-t0:.1f}s)")
+        print(f"  {name}: {status} ({len(rdf)} rows, {time.time()-t0:.1f}s)", flush=True)
+        record(name, status, len(rdf), time.time() - t0)
     except Exception as ex:
         fails.append((name, str(ex)[:200]))
-        print(f"  {name}: FAIL {str(ex)[:200]}")
+        print(f"  {name}: FAIL {str(ex)[:200]}", flush=True)
+        record(name, "FAIL", -1, time.time() - t0)
 print(f"\n{len(win)-len(fails)}/{len(win)} pass; fails={fails}")
 ray.shutdown()
 sys.exit(1 if fails else 0)
