@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_range_partition": Q.q_events_value_range_partition,
         "sample_events": Q.q_sample_events,
         "events_from_ndjson": Q.q_events_from_ndjson,
+        "orders_from_orc": Q.q_orders_from_orc,
         "parts_never_bulk_ordered": Q.q_parts_never_bulk_ordered,
         "upsample_sources": Q.q_upsample_sources,
         "event_windows_sliding": Q.q_event_windows_sliding,
@@ -268,6 +269,14 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0
                        AS sum_value
             FROM events GROUP BY event_type
+        """,
+        # oracle on the PARQUET view — hash-match proves the ORC
+        # round-trip (stripe-streaming read, pruned columns) lossless
+        "orders_from_orc": """
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+                       AS sum_total
+            FROM orders GROUP BY o_orderpriority
         """,
         "salted_user_counts": """
             SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id

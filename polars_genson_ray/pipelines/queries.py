@@ -859,11 +859,13 @@ def q_events_from_ndjson(sf_dir: str):
 
 
 def _export_cache(sf_dir: str, table: str, tag: str, copy_sql: str,
-                  filename: str) -> str:
-    """One-time DuckDB export of a testdata table to /tmp, keyed on the
-    SOURCE PARQUET's identity (path + mtime + size): regenerating the
-    testdata in place gets a fresh export instead of silently serving a
-    stale one, and the two-phase rename tolerates concurrent first runs."""
+                  filename: str, writer=None) -> str:
+    """One-time export of a testdata table to /tmp (DuckDB COPY by
+    default, or a ``writer(src, out)`` callable for formats DuckDB can't
+    write, e.g. ORC), keyed on the SOURCE PARQUET's identity (path +
+    mtime + size): regenerating the testdata in place gets a fresh export
+    instead of silently serving a stale one, and the two-phase rename
+    tolerates concurrent first runs."""
     import duckdb
 
     import hashlib
@@ -878,7 +880,12 @@ def _export_cache(sf_dir: str, table: str, tag: str, copy_sql: str,
     if not os.path.isdir(cache):
         tmp = cache + f".tmp{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
-        duckdb.sql(copy_sql.format(src=src, out=os.path.join(tmp, filename)))
+        if writer is not None:
+            writer(src, os.path.join(tmp, filename))
+        else:
+            duckdb.sql(
+                copy_sql.format(src=src, out=os.path.join(tmp, filename))
+            )
         try:
             os.rename(tmp, cache)
         except OSError:
@@ -924,6 +931,50 @@ def q_lineitem_from_csv(sf_dir: str):
     # exact integer-unit quotients (engine-wide money convention)
     out["sum_qty"] = out.pop("qty_i").astype(np.float64)
     out["sum_price"] = out.pop("price_i") / 100.0
+    return out
+
+
+def q_orders_from_orc(sf_dir: str):
+    """Source-format coverage: orders exported once to a multi-stripe ORC
+    file (cached under /tmp; Ray 2.49 has no ORC support — this drives
+    ``sources/orc_io.read_orc``, our stripe-streaming FileBasedDatasource),
+    read back with READER-SIDE column pruning (3 columns in the file, 2
+    decoded), and aggregated. The oracle runs on the PARQUET view, so a
+    hash-match proves the ORC round-trip lossless for these columns."""
+    from ..sources.orc_io import read_orc
+
+    def _write_orc(src: str, out: str) -> None:
+        import pyarrow.parquet as pq
+        from pyarrow import orc
+
+        t = pq.read_table(
+            src, columns=["o_orderpriority", "o_totalprice", "o_orderstatus"]
+        )
+        # small stripes force the multi-stripe streaming path
+        orc.write_table(t, out, stripe_size=1 << 20, compression="zstd")
+
+    path = _export_cache(
+        sf_dir, "orders", "orders_orc", "", "orders.orc", writer=_write_orc
+    )
+    ds = read_orc(path, columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            total_i=np.rint(
+                df.o_totalprice.to_numpy() * 100
+            ).astype(np.int64)
+        )
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            n=("o_totalprice", "size"), total_i=("total_i", "sum")
+        )
+
+    out = combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["o_orderpriority"],
+        {"n": "sum", "total_i": "sum"},
+    ).to_pandas()
+    # exact integer-cent quotient (engine-wide money convention)
+    out["sum_total"] = out.pop("total_i") / 100.0
     return out
 
 

@@ -214,6 +214,7 @@ _ORACLED_QUERIES = [
         "salted_user_counts",
         "events_value_range_partition",
         "events_from_ndjson",
+        "orders_from_orc",
         "hourly_active_users",
         "cumulative_new_users",
         "day_retention",
