@@ -160,6 +160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # containers via stdlib struct)
         "audio_features": Q.r_audio_features,
         "video_frames": Q.r_video_frames,
+        # REAL stdlib PNG/BMP decode (functions/imagecodec) through the
+        # flagship DecodeValidator's magic dispatch
+        "image_formats_real": Q.r_image_formats_real,
         "phash_neardup_images": Q.r_phash_neardup_images,
         "image_features": Q.r_image_features,
         "image_resize": Q.r_image_resize,

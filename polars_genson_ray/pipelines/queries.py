@@ -1397,6 +1397,62 @@ def r_video_frames(sf_dir: str, rows: int = 48):
     ).select_columns(["video_id", "frame_index", "timestamp_s", "decode_ok"])
 
 
+def r_image_formats_real(sf_dir: str, rows: int = 256):
+    """REAL PNG/BMP decode validation over a deterministic planted table
+    (``functions/imagecodec`` — stdlib zlib/struct decoders, all five PNG
+    filter types, CRC-verified chunks; ids drive size, format, filter type
+    and a planted truncation class so ``decode_ok=False`` rows are
+    exercised). The flagship ``DecodeValidator`` dispatches on container
+    magic, so this drives the same actor-pool stage the synthetic bench
+    table uses. Rows-only: binary decode is not SQL-expressible; codec
+    round-trips and corruption handling are unit-pinned in
+    tests/test_imagecodec.py."""
+    import ray.data as rd
+
+    from ..functions.imagecodec import encode_bmp, encode_png
+    from ..sources.synth import reference_pixels
+    from ..stages.image import DecodeValidator
+
+    def synth(batch):
+        ids = batch["id"].to_numpy()
+        recs = []
+        for i in ids:
+            w = 8 + 4 * (int(i) % 5)
+            h = 8 + 4 * ((int(i) // 5) % 5)
+            image_id = f"img{int(i)}"
+            px = reference_pixels(image_id, w, h)
+            kind = int(i) % 8
+            if kind < 4:  # PNG, rotating through all five filter types
+                blob, fmt = encode_png(px, filter_type=int(i) % 5), "png"
+            elif kind < 7:
+                blob, fmt = encode_bmp(px), "bmp"
+            else:  # planted corruption: truncated PNG -> decode_ok=False
+                blob, fmt = encode_png(px)[:30], "png"
+            recs.append((image_id, blob, w, h, fmt))
+        return pd.DataFrame(
+            recs, columns=["image_id", "bytes", "w", "h", "fmt"]
+        )
+
+    ds = rd.range(max(1, int(rows))).map_batches(synth, batch_format="pandas")
+    val = ds.map_batches(
+        DecodeValidator, batch_format="pyarrow", concurrency=2
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("fmt", as_index=False).agg(
+            n=("decode_ok", "size"),
+            n_decoded=("decode_ok", "sum"),
+            n_pixel_exact=("pixels_ok", "sum"),
+        )
+
+    out = combine_partials(
+        val.map_batches(partial, batch_format="pandas"),
+        ["fmt"],
+        {"n": "sum", "n_decoded": "sum", "n_pixel_exact": "sum"},
+    ).to_pandas()
+    return out.sort_values("fmt").reset_index(drop=True)
+
+
 def r_minhash_neardup_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return minhash_lsh_pairs(ds, "text", "doc_id", min_jaccard=0.8,

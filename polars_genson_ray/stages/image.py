@@ -6,10 +6,13 @@ A stateful ``map_batches`` class: decoder context is built once per actor in
 never leave the stage (never shuffled) — only booleans/metrics are appended
 (SURVEY.md §7.4 "Very wide binary rows").
 
-The container has no image codec libraries, so decoding uses the repo's
-deterministic synthetic codec (sources/synth.py). A real PIL/turbojpeg
-decoder would replace ``self._decode`` only; batch plumbing, schema and
-violation semantics are identical and are what's under test.
+Decoding dispatches on container magic: REAL stdlib codecs for PNG and BMP
+(``functions/imagecodec.py`` — zlib + struct + numpy, all five PNG filters,
+palette, CRC-verified), falling back to the repo's deterministic synthetic
+codec (sources/synth.py) for its own format. JPEG remains undecodable
+without a codec library (none in this container — verified); JPEG payloads
+surface as honest ``decode_ok=False`` violation rows, exactly like the
+compressed-audio gate in ``stages/multimodal.py``.
 """
 
 from __future__ import annotations
@@ -17,7 +20,29 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..functions.imagecodec import (
+    decode_bmp,
+    decode_png,
+    sniff_format,
+    to_rgb3,
+)
 from ..sources.synth import LOSSLESS_FMTS, decode_image, psnr, reference_pixels
+
+# real lossless containers validate pixel-exact, same as the synthetic png
+_LOSSLESS = LOSSLESS_FMTS | {"bmp"}
+
+
+def decode_any(data: bytes) -> tuple[np.ndarray, str]:
+    """((h, w, 3) uint8, fmt) for PNG / BMP / synthetic payloads.
+
+    Raises ValueError on corruption or an unrecognized container (e.g.
+    JPEG) — the validator converts that into a ``decode_error`` row."""
+    fmt = sniff_format(data)
+    if fmt == "png":
+        return to_rgb3(decode_png(data)), "png"
+    if fmt == "bmp":
+        return to_rgb3(decode_bmp(data)), "bmp"
+    return decode_image(data)
 
 PSNR_THRESHOLD_DB = 40.0
 
@@ -37,7 +62,7 @@ class DecodeValidator:
 
     def __init__(self, psnr_threshold: float = PSNR_THRESHOLD_DB):
         self.psnr_threshold = psnr_threshold
-        self._decode = decode_image  # decoder context (stub codec; see module doc)
+        self._decode = decode_any  # magic-dispatch: real PNG/BMP + synth codec
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["image_id"].to_pylist()
@@ -68,7 +93,7 @@ class DecodeValidator:
                 continue
             dims_ok[i] = True
             ref = reference_pixels(ids[i], w_dec, h_dec)
-            if fmts[i] in LOSSLESS_FMTS:
+            if fmts[i] in _LOSSLESS:
                 ok = bool(np.array_equal(px, ref))
                 psnr_db[i] = float("inf") if ok else psnr(px, ref)
             else:

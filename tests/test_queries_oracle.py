@@ -253,6 +253,7 @@ _ROWS_ONLY_QUERIES = [
         "training_data_prep",
         "audio_features",
         "video_frames",
+        "image_formats_real",
         "phash_neardup_images",
         "events_value_drift",
         "bloom_decontam",
