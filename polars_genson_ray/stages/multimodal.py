@@ -387,14 +387,17 @@ class VideoFrameSample:
     length-prefixed synth-codec frames; no timing → NaN timestamps).
 
     Output columns: (parent id, frame_index, timestamp_s, frame_bytes,
-    decode_ok). ``decode_ok`` reports whether the repo's synth codec can
-    decode the frame — real MJPEG JPEGs surface as ``decode_ok=False``
-    violation rows (this container has no JPEG decoder), matching the
-    audio stage's honest codec gate."""
+    decode_ok). ``decode_ok`` reports whether any available codec decodes
+    the frame — REAL stdlib PNG/BMP (``functions/imagecodec`` via
+    ``stages.image.decode_any``) or the synth codec; real MJPEG JPEGs
+    surface as ``decode_ok=False`` violation rows (this container has no
+    JPEG decoder), matching the audio stage's honest codec gate."""
 
     def __init__(self, id_column: str, column: str = "video", every_n: int = 10):
+        from .image import decode_any
+
         self.id_column, self.column, self.every_n = id_column, column, every_n
-        self._decode = decode_image
+        self._decode = decode_any
 
     def _frames(self, blob: bytes):
         import struct

@@ -2642,3 +2642,34 @@ def test_video_frame_sample_real_avi_demux(ray_session):
     # direct demux: all 13 frames byte-exact, fps from dwRate/dwScale
     fr, fps = demux_avi(avi24)
     assert fr == frames and fps == 24.0
+
+
+def test_video_frames_real_png_decode(ray_session):
+    """An AVI carrying REAL PNG frames now decodes (functions/imagecodec
+    through stages.image.decode_any) — decode_ok=True without the synth
+    codec ever seeing the payload."""
+    import ray.data as rd
+
+    from polars_genson_ray.functions.imagecodec import encode_png
+    from polars_genson_ray.sources.synth import encode_avi, reference_pixels
+    from polars_genson_ray.stages.multimodal import VideoFrameSample
+
+    png_frames = [
+        encode_png(reference_pixels(f"pf{i}", 10, 6)) for i in range(6)
+    ]
+    avi = encode_avi(png_frames, fps_num=12, fps_den=1)
+    out = (
+        rd.from_items([{"vid": "p", "video": avi}])
+        .map_batches(
+            VideoFrameSample,
+            fn_constructor_kwargs={"id_column": "vid", "every_n": 2},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .take_all()
+    )
+    assert [r["frame_index"] for r in out] == [0, 2, 4]
+    assert all(r["decode_ok"] for r in out)
+    assert [r["frame_bytes"] for r in out] == [
+        png_frames[0], png_frames[2], png_frames[4]
+    ]
