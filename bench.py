@@ -64,6 +64,10 @@ NEW_BENCH_QUERIES = [
     "ann_topk_ivfpq",
     "audio_features",
     "video_frames",
+    # round-5: real stdlib PNG/BMP decode through the flagship validator;
+    # ORC source round-trip (stripe-streaming datasource)
+    "image_formats_real",
+    "orders_from_orc",
 ]
 
 
