@@ -46,8 +46,13 @@ class ImageResize:
     with ``resize_ok=False`` (violation-row semantics, not job failure)."""
 
     def __init__(self, out_w: int = 32, out_h: int = 32, fmt: str = "png"):
+        from .image import decode_any
+
         self.out_w, self.out_h, self.fmt = out_w, out_h, fmt
-        self._decode, self._encode = decode_image, encode_image
+        # decode dispatches on magic (real PNG/BMP + synth); re-encode
+        # stays in the synth codec (fmt arg) — the metadata round-trip
+        # the downstream validator expects
+        self._decode, self._encode = decode_any, encode_image
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch["bytes"].to_pylist()
@@ -86,7 +91,9 @@ class ImageFeatures:
     DIM = 14
 
     def __init__(self):
-        self._decode = decode_image
+        from .image import decode_any
+
+        self._decode = decode_any  # real PNG/BMP + synth, by magic
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []

@@ -172,6 +172,32 @@ def test_decode_validator_dispatches_real_formats():
     )
 
 
+def test_resize_and_features_accept_real_png():
+    """ImageResize / ImageFeatures run on real-PNG payloads via the same
+    magic dispatch (in-process, plain callables)."""
+    from polars_genson_ray.sources.synth import decode_image, reference_pixels
+    from polars_genson_ray.stages.multimodal import ImageFeatures, ImageResize
+
+    px = reference_pixels("rf0", 20, 14)
+    batch = pa.table(
+        {
+            "image_id": ["rf0", "bad"],
+            "bytes": [encode_png(px), b"\xff\xd8 not decodable"],
+            "w": [20, 20],
+            "h": [14, 14],
+        }
+    )
+    rz = ImageResize(out_w=8, out_h=8)(batch)
+    assert rz["resize_ok"].to_pylist() == [True, False]
+    dec, _ = decode_image(rz["bytes"].to_pylist()[0])
+    assert dec.shape == (8, 8, 3)
+    ft = ImageFeatures()(batch)
+    vals = ft["features"].to_pylist()
+    assert len(vals[0]) == ImageFeatures.DIM
+    assert not any(np.isnan(vals[0]))
+    assert all(np.isnan(vals[1]))
+
+
 def test_image_formats_real_query_counts(ray_session):
     """Planted-table query: per-format outcome counts are fully determined
     by the id -> (format, corruption) rule."""
