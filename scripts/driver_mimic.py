@@ -7,6 +7,8 @@ Usage: [MIMIC_SF=/root/testdata/sf0.1] python scripts/driver_mimic.py
 Resume/record knobs (for the long sf1 sweeps, where one DuckDB oracle can
 take 20+ min and the host can die mid-run):
   MIMIC_SKIP=N    skip the first N window entries (already verified)
+  MIMIC_LIMIT=N   run at most N entries after the skip (slice the window
+                  across processes / survive host restarts)
   MIMIC_JSON=path append one JSON line per query {name,status,rows,sec}"""
 import os, sys, time
 os.environ.setdefault("RAY_DATA_DISABLE_PROGRESS_BARS", "1")
@@ -51,6 +53,10 @@ skip = int(os.environ.get("MIMIC_SKIP", "0"))
 if skip:
     print(f"(skipping first {skip} window entries, already verified)")
     win = win[skip:]
+limit = int(os.environ.get("MIMIC_LIMIT", "0"))
+if limit:
+    print(f"(running {limit} entries: slice [{skip}, {skip + limit}))")
+    win = win[:limit]
 jpath = os.environ.get("MIMIC_JSON")
 def record(name, status, rows, sec):
     if jpath:
