@@ -12,16 +12,22 @@ Semantics of the upsample (replica r ∈ [0, K)):
     and key-overlap patterns are K identical copies);
   * event timestamps get ``+ r`` microseconds — keeps ordering realistic
     instead of manufacturing K-way exact ties on every ts;
-  * document TOKENS are salted per replica (``word`` → ``wordqr<r>``, so
-    replicas have disjoint token sets): the corpus becomes K independent
-    shards, each with the original's duplicate/near-dup structure. This is
-    deliberate — byte-identical replicas were tried first and make the
-    near-dup SQL *oracles* quadratic per identical group (every pair
-    shares every token: the DuckDB inverted-index self-join grew past
-    50 GB at K=10 before being killed), while the engine side collapses
-    identical docs up front and never sees the blow-up. Oracle cost must
-    scale linearly for a tractable side-by-side sweep; the engine still
-    sees the full 10× volume;
+  * document LETTERS are Caesar-shifted per replica (shift = r): a
+    bijection on char sequences, so each replica reproduces the original's
+    duplicate/near-dup structure EXACTLY at both word and char-gram
+    granularity while replica token sets stay disjoint — the corpus
+    becomes K independent shards. This is deliberate — byte-identical
+    replicas were tried first and make the near-dup SQL *oracles*
+    quadratic per identical group (every pair shares every token: the
+    DuckDB inverted-index self-join grew past 50 GB at K=10 before being
+    killed), while the engine side collapses identical docs up front and
+    never sees the blow-up. A suffix salt (``word`` → ``wordqr<r>``) was
+    tried second: word oracles stayed linear, but the shared per-word
+    suffix added identical boundary char-grams to every doc and pushed all
+    within-replica pairs of this tiny-vocab corpus over char-5-gram
+    minhash's 0.8 threshold (256 → 27.6M pairs). Oracle cost must scale
+    linearly for a tractable side-by-side sweep; the engine still sees the
+    full 10× volume;
   * embeddings replicate byte-identically (K-way exact cosine/ADC ties —
     the brute-force oracle cost is linear in rows, so ties are free to
     keep and exercise the deterministic tie-breaking).
@@ -72,14 +78,26 @@ def upsample(src: str, dst: str, k: int) -> None:
         for r in range(k):
             rep = t
             if r and name == "documents":
-                # salt every token: replicas get disjoint token sets (see
-                # module docstring). str.split() whitespace collapse is
-                # fine here — this is a synthetic scale table, not the
-                # hostile-whitespace corpus (tests/test_randomized_tables
-                # owns that axis).
-                salt = f"qr{r}"
+                # salt by CAESAR-SHIFTING letters per replica, not by
+                # appending a suffix: a shift is a bijection on char
+                # sequences, so within-replica WORD and CHAR-GRAM
+                # similarity is preserved EXACTLY (replica r's dup/near-dup
+                # structure == the original's at every granularity), while
+                # replica token sets stay disjoint (word-level oracles stay
+                # linear). The first scheme (word -> word+"qr<r>") added
+                # the SAME boundary char-grams to every word of every doc,
+                # which pushed ALL within-replica pairs of this tiny-vocab
+                # synthetic corpus over char-5-gram minhash's 0.8 threshold
+                # (256 -> 27.6M pairs at K=10 — an upsampler artifact, not
+                # an engine behavior).
+                lo = "abcdefghijklmnopqrstuvwxyz"
+                hi = lo.upper()
+                shift = r % 26 or 13
+                table = str.maketrans(
+                    lo + hi, lo[shift:] + lo[:shift] + hi[shift:] + hi[:shift]
+                )
                 texts = [
-                    " ".join(w + salt for w in s.split()) if s else s
+                    s.translate(table) if s else s
                     for s in rep["text"].to_pylist()
                 ]
                 idx = rep.schema.get_field_index("text")
