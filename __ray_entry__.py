@@ -119,6 +119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_events": Q.q_sample_events,
         "events_from_ndjson": Q.q_events_from_ndjson,
         "orders_from_orc": Q.q_orders_from_orc,
+        "returned_items_report": Q.q_returned_items_report,
+        "events_union_by_name": Q.q_events_union_by_name,
+        "lineitem_unpivot": Q.q_lineitem_unpivot,
         "parts_never_bulk_ordered": Q.q_parts_never_bulk_ordered,
         "upsample_sources": Q.q_upsample_sources,
         "event_windows_sliding": Q.q_event_windows_sliding,
@@ -280,6 +283,58 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
                        AS sum_total
             FROM orders GROUP BY o_orderpriority
+        """,
+        # TPC-H Q10 shape: top-20 customers by exact integer revenue of
+        # returned items in one quarter (ties broken by c_custkey)
+        "returned_items_report": """
+            WITH rev AS (
+                SELECT o_custkey,
+                       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                           AS rev_i
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1996-04-01'
+                GROUP BY o_custkey
+            )
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   rev_i / 10000.0 AS revenue
+            FROM rev
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        # schema-evolution union-by-name: the null-filled projection's
+        # measures must be typed nulls (COUNT skips them)
+        "events_union_by_name": """
+            WITH u AS (
+                SELECT event_id, event_type, NULL::DOUBLE AS value
+                FROM events
+                UNION ALL
+                SELECT event_id, event_type, value FROM events
+            )
+            SELECT event_type, COUNT(*) AS n,
+                   COUNT(value) AS n_with_value,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0
+                       AS sum_value
+            FROM u GROUP BY event_type
+        """,
+        # wide->long melt as the UNION ALL formulation
+        "lineitem_unpivot": """
+            WITH long AS (
+                SELECT l_returnflag, 'l_quantity' AS measure,
+                       l_quantity AS v FROM lineitem
+                UNION ALL
+                SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+                FROM lineitem
+                UNION ALL
+                SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+            )
+            SELECT l_returnflag, measure, COUNT(*) AS n,
+                   SUM(CAST(ROUND(v * 100) AS BIGINT)) / 100.0 AS sum_v
+            FROM long GROUP BY l_returnflag, measure
         """,
         "salted_user_counts": """
             SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id

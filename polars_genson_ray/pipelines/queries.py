@@ -308,6 +308,114 @@ def q_nation_revenue(sf_dir: str):
     return out
 
 
+def q_returned_items_report(sf_dir: str, k: int = 20):
+    """TPC-H-Q10 shape: top-k customers by revenue lost to returned items
+    in one quarter. Distribution plan: lineitem (largest) filters
+    ``l_returnflag='R'`` and pre-aggregates exact integer revenue per
+    orderkey INSIDE the scan; orders filters the date window in-scan; the
+    two join through the co-partitioned ``hash_join``; per-customer totals
+    reduce via bucketed groups; the global top-k is per-batch partials +
+    one tiny merge (never an all-to-all sort); only the FINAL k customer
+    rows are looked up — a k-row parquet read, not a broadcast of the
+    customer table."""
+    from ..stages.aggregate import bucketed_groups
+    from ..stages.join import hash_join
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1996-04-01")
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.l_returnflag == "R"]
+        if df.empty:
+            return pd.DataFrame({
+                "l_orderkey": pd.Series([], dtype=np.int64),
+                "rev_i": pd.Series([], dtype=np.int64),
+            })
+        cents = np.rint(df.l_extendedprice.to_numpy() * 100).astype(np.int64)
+        dpct = np.rint(df.l_discount.to_numpy() * 100).astype(np.int64)
+        out = df[["l_orderkey"]].copy()
+        # exact hundredths-of-cents (engine-wide money convention)
+        out["rev_i"] = cents * (100 - dpct)
+        return out.groupby("l_orderkey", as_index=False).agg(
+            rev_i=("rev_i", "sum")
+        )
+
+    def orders_window(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df.o_orderdate.to_numpy()
+        return df.loc[(ts >= lo) & (ts < hi), ["o_orderkey", "o_custkey"]]
+
+    line = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).map_batches(line_partial, batch_format="pandas")
+    ords = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_window, batch_format="pandas")
+
+    line_schema = pa.schema(
+        [pa.field("l_orderkey", pa.int64()), pa.field("rev_i", pa.int64())]
+    )
+    ords_schema = pa.schema(
+        [pa.field("o_orderkey", pa.int64()), pa.field("o_custkey", pa.int64())]
+    )
+    joined = hash_join(
+        line, ords, on="l_orderkey", right_on="o_orderkey",
+        right_values=["o_custkey"], how="inner",
+        left_schema=line_schema, right_schema=ords_schema,
+        approx_rows=_table_rows(sf_dir, "lineitem"),
+    )
+
+    per_cust = bucketed_groups(
+        joined.map_batches(
+            lambda df: df.groupby("o_custkey", as_index=False).agg(
+                rev_i=("rev_i", "sum")
+            ),
+            batch_format="pandas",
+        ),
+        ["o_custkey"],
+        lambda df: df.groupby("o_custkey", as_index=False).agg(
+            rev_i=("rev_i", "sum")
+        ),
+        approx_rows=_table_rows(sf_dir, "customer"),
+    )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["rev_i", "o_custkey"], ascending=[False, True]
+        ).head(k)
+
+    top = (
+        per_cust.map_batches(local_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(local_topk, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+
+    # k-row dimension lookups (never a full-table broadcast)
+    keys = set(top.o_custkey.tolist())
+    import pyarrow.compute as pc
+
+    cust = pq.read_table(
+        _t(sf_dir, "customer"),
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    cust = cust.filter(
+        pc.is_in(cust["c_custkey"], value_set=pa.array(keys, pa.int64()))
+    ).to_pandas()
+    nation = pq.read_table(
+        _t(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
+    )
+    nk_name = dict(zip(nation["n_nationkey"].to_pylist(),
+                       nation["n_name"].to_pylist()))
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["n_name"] = out.c_nationkey.map(nk_name)
+    out["revenue"] = out.pop("rev_i") / 10000.0
+    out = out.sort_values(
+        ["revenue", "c_custkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+    return out[["c_custkey", "c_name", "c_acctbal", "n_name", "revenue"]]
+
+
 def q_local_supplier_revenue(sf_dir: str, region: str = "ASIA"):
     """TPC-H-Q5 shape — the 6-table composition: revenue by nation for
     orders whose customer and line-supplier sit in the SAME nation of one
@@ -975,6 +1083,77 @@ def q_orders_from_orc(sf_dir: str):
     ).to_pandas()
     # exact integer-cent quotient (engine-wide money convention)
     out["sum_total"] = out.pop("total_i") / 100.0
+    return out
+
+
+def q_events_union_by_name(sf_dir: str):
+    """Schema-evolution concat: two projections of events with DIFFERENT
+    column sets union BY NAME (``stages.reshape.union_by_name`` — Ray's
+    own ``Dataset.union`` is positional and breaks on evolved schemas);
+    missing columns surface as typed nulls. Aggregated per event_type so
+    the oracle compare is order-free; null-filled measures prove the
+    fill is typed (COUNT skips them) not zero-filled."""
+    from ..stages.reshape import union_by_name
+
+    old_gen = _read(sf_dir, "events", ["event_id", "event_type"])
+    new_gen = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    ds = union_by_name([old_gen, new_gen])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        val_i = np.rint(df.value.to_numpy(dtype=np.float64,
+                                          na_value=np.nan) * 100)
+        present = ~np.isnan(val_i)
+        out = df[["event_type"]].copy()
+        out["n"] = 1
+        out["n_with_value"] = present.astype(np.int64)
+        out["val_i"] = np.where(present, val_i, 0).astype(np.int64)
+        return out.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), n_with_value=("n_with_value", "sum"),
+            val_i=("val_i", "sum"),
+        )
+
+    out = combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type"],
+        {"n": "sum", "n_with_value": "sum", "val_i": "sum"},
+    ).to_pandas()
+    out["sum_value"] = out.pop("val_i") / 100.0
+    return out
+
+
+def q_lineitem_unpivot(sf_dir: str):
+    """Wide→long melt (``stages.reshape.unpivot``): lineitem's three
+    measure columns become (variable, value) rows — one zero-shuffle
+    map transform. Aggregated per (returnflag, variable) with exact
+    integer units so the oracle compare is order-free and float-safe."""
+    from ..stages.reshape import unpivot
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_quantity", "l_extendedprice", "l_tax"],
+    )
+    long = unpivot(
+        ds,
+        id_columns=["l_returnflag"],
+        value_columns=["l_quantity", "l_extendedprice", "l_tax"],
+        variable_column="measure",
+        value_column="v",
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            v_i=np.rint(df.v.to_numpy() * 100).astype(np.int64)
+        )
+        return df.groupby(["l_returnflag", "measure"], as_index=False).agg(
+            n=("v", "size"), v_i=("v_i", "sum")
+        )
+
+    out = combine_partials(
+        long.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "measure"],
+        {"n": "sum", "v_i": "sum"},
+    ).to_pandas()
+    out["sum_v"] = out.pop("v_i") / 100.0
     return out
 
 

@@ -215,6 +215,9 @@ _ORACLED_QUERIES = [
         "events_value_range_partition",
         "events_from_ndjson",
         "orders_from_orc",
+        "returned_items_report",
+        "events_union_by_name",
+        "lineitem_unpivot",
         "hourly_active_users",
         "cumulative_new_users",
         "day_retention",
