@@ -65,9 +65,13 @@ NEW_BENCH_QUERIES = [
     "audio_features",
     "video_frames",
     # round-5: real stdlib PNG/BMP decode through the flagship validator;
-    # ORC source round-trip (stripe-streaming datasource)
+    # ORC source round-trip (stripe-streaming datasource); Q10-shape
+    # join composition; schema-evolution union; melt
     "image_formats_real",
     "orders_from_orc",
+    "returned_items_report",
+    "events_union_by_name",
+    "lineitem_unpivot",
 ]
 
 
