@@ -133,24 +133,41 @@ def decode_png(data: bytes) -> np.ndarray:
         elif ft == 1:  # Sub — per-channel prefix sum mod 256
             rec = np.cumsum(cur.reshape(w, ch), axis=0, dtype=np.int64)
             rec = rec.reshape(stride)
-        else:  # Average (3) / Paeth (4): sequential left-dependence
-            cur2 = cur.reshape(w, ch)
-            prev2 = prev.reshape(w, ch)
-            rec2 = np.empty((w, ch), np.int32)
-            left = np.zeros(ch, np.int32)
-            upleft = np.zeros(ch, np.int32)
+        else:  # Average (3) / Paeth (4): sequential left-dependence.
+            # Pure-python int inner loop: per-pixel numpy ops on
+            # 3-element arrays cost ~3 µs each (139 ms for an 80×80
+            # image); plain int arithmetic with list indexing runs the
+            # same row in ~1/20th the time. Filters 0/1/2 (incl. our own
+            # encoder's output) never take this path.
+            cur_l = cur.tolist()
+            prev_l = prev.tolist()
+            rec_l = [0] * stride
             if ft == 3:
-                for x in range(w):
-                    left = (cur2[x] + ((left + prev2[x]) >> 1)) & 0xFF
-                    rec2[x] = left
+                for x in range(stride):
+                    left = rec_l[x - ch] if x >= ch else 0
+                    rec_l[x] = (cur_l[x] + ((left + prev_l[x]) >> 1)) & 0xFF
             else:
-                for x in range(w):
-                    left = (
-                        cur2[x] + _paeth(left, prev2[x], upleft)
-                    ) & 0xFF
-                    rec2[x] = left
-                    upleft = prev2[x]
-            rec = rec2.reshape(stride)
+                for x in range(stride):
+                    if x >= ch:
+                        a = rec_l[x - ch]
+                        c = prev_l[x - ch]
+                    else:
+                        a = 0
+                        c = 0
+                    b = prev_l[x]
+                    pb = a - c if a >= c else c - a     # |p - b|
+                    pa = b - c if b >= c else c - b     # |p - a|
+                    s = a + b - c
+                    pc = s - c if s >= c else c - s     # |p - c|
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    rec_l[x] = (cur_l[x] + pred) & 0xFF
+            out[i] = rec_l
+            continue
         out[i] = rec & 0xFF
     px = out.reshape(h, w, ch)
     if ctype == 3:  # palette
