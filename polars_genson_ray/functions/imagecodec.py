@@ -82,6 +82,10 @@ def decode_png(data: bytes) -> np.ndarray:
     idat: list[bytes] = []
     for typ, body in _iter_chunks(data):
         if typ == b"IHDR":
+            if len(body) != 13:
+                # keep the error a ValueError (the validator's violation-
+                # row contract), not a struct.error
+                raise ValueError(f"bad IHDR length {len(body)}")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif typ == b"PLTE":
             if len(body) % 3:

@@ -93,9 +93,18 @@ def read_orc(
 
     ``columns`` prunes at the stripe reader (decode-side projection), not
     via a downstream ``select_columns`` — the unselected columns are never
-    decoded.
+    decoded. Directory reads skip non-``.orc`` files (success markers,
+    sidecars) — the base class applies extension filtering only when
+    passed explicitly.
     """
-    return rd.read_datasource(ORCDatasource(paths, columns=columns), **read_kwargs)
+    return rd.read_datasource(
+        ORCDatasource(
+            paths,
+            columns=columns,
+            file_extensions=ORCDatasource._FILE_EXTENSIONS,
+        ),
+        **read_kwargs,
+    )
 
 
 def write_orc(ds: "rd.Dataset", path: str, **kwargs) -> None:

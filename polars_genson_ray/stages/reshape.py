@@ -32,7 +32,12 @@ def union_by_name(datasets: Sequence["rd.Dataset"]) -> "rd.Dataset":
     schemas (permissive promotion, so int32/int64 or null-typed columns
     reconcile); each input is aligned per batch — missing columns filled
     with typed nulls, present columns cast — then the aligned datasets
-    union. Raises on truly incompatible duplicate column types."""
+    union. Raises on truly incompatible duplicate column types.
+
+    NB: ``ds.schema()`` is footer-derived (free) for plain reads; for
+    map-derived inputs Ray may execute a limit-1 probe per dataset to
+    learn it — declare schemas upstream (the hash_join convention) if a
+    caller unions hot map outputs."""
     if not datasets:
         raise ValueError("union_by_name needs at least one dataset")
     schemas = []

@@ -92,6 +92,12 @@ def test_png_corruption_classes_raise():
     ihdr_i = _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
     with pytest.raises(ValueError, match="interlaced"):
         decode_png(PNG_SIG + ihdr_i + _chunk(b"IEND", b""))
+    # malformed IHDR length must stay a ValueError (the validator's
+    # violation-row contract), never a struct.error
+    with pytest.raises(ValueError, match="IHDR length"):
+        decode_png(
+            PNG_SIG + _chunk(b"IHDR", b"\x00" * 7) + _chunk(b"IEND", b"")
+        )
 
 
 @pytest.mark.parametrize("shape", [(1, 1), (3, 5), (16, 31), (33, 2)])

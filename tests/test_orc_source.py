@@ -62,6 +62,15 @@ def test_multi_stripe_streams_as_blocks(ray_session, tmp_path, table):
     assert mat.count() == len(table)
 
 
+def test_directory_read_skips_stray_files(ray_session, tmp_path, table):
+    out = str(tmp_path / "dirty")
+    write_orc(rd.from_arrow(table).repartition(2), out)
+    (tmp_path / "dirty" / "_SUCCESS").write_text("")
+    (tmp_path / "dirty" / "notes.txt").write_text("not orc")
+    back = read_orc(out)
+    assert back.count() == len(table)
+
+
 def test_schema_metadata_stripped(ray_session, tmp_path, table):
     # a pandas-metadata blob on the schema makes pyarrow>=16 schemas
     # unhashable -> slow Ray shuffle schema unification; the source strips it
