@@ -100,6 +100,36 @@ def test_png_corruption_classes_raise():
         )
 
 
+def test_png_corruption_fuzz_never_escapes_valueerror():
+    """Flip/truncate random bytes of valid PNGs: decode must return
+    (CRC catches most flips → ValueError) or raise ValueError — never a
+    struct.error / IndexError / hang that would kill a validator task
+    instead of producing a violation row."""
+    fuzz = np.random.default_rng(1234)
+    base = [
+        encode_png(
+            fuzz.integers(0, 256, (h, w, c), dtype=np.uint8),
+            filter_type=int(f),
+        )
+        for (h, w, c, f) in [(5, 7, 3, 0), (4, 4, 4, 4), (6, 3, 1, 3)]
+    ]
+    for _ in range(300):
+        blob = bytearray(base[int(fuzz.integers(len(base)))])
+        kind = fuzz.integers(3)
+        if kind == 0:  # flip 1-4 bytes
+            for p in fuzz.integers(0, len(blob), size=int(fuzz.integers(1, 5))):
+                blob[p] ^= int(fuzz.integers(1, 256))
+        elif kind == 1:  # truncate
+            blob = blob[: int(fuzz.integers(0, len(blob)))]
+        else:  # garbage tail
+            blob = blob + bytes(fuzz.integers(0, 256, size=16, dtype=np.uint8))
+        try:
+            out = decode_png(bytes(blob))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except ValueError:
+            pass  # the violation-row path
+
+
 @pytest.mark.parametrize("shape", [(1, 1), (3, 5), (16, 31), (33, 2)])
 def test_bmp_round_trip(shape):
     px = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
