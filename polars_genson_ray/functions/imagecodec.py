@@ -111,14 +111,22 @@ def decode_png(data: bytes) -> np.ndarray:
     if not idat:
         raise ValueError("PNG missing IDAT")
     ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    expected = (stride + 1) * h
+    # bound the inflate to the IHDR-derived size: a few-KB crafted IDAT
+    # can otherwise inflate to GBs and OOM the worker before the length
+    # check runs (decompression bomb); max_length stops at expected+1,
+    # which the length check below converts into a loud ValueError
+    dec = zlib.decompressobj()
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw = dec.decompress(b"".join(idat), expected + 1)
     except zlib.error as e:
         raise ValueError(f"corrupt PNG stream: {e}") from None
-    stride = w * ch
-    if len(raw) != (stride + 1) * h:
+    if dec.unconsumed_tail:
+        raise ValueError("PNG payload exceeds expected size")
+    if len(raw) != expected:
         raise ValueError(
-            f"PNG payload {len(raw)} != {(stride + 1) * h} expected"
+            f"PNG payload {len(raw)} != {expected} expected"
         )
     rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
     ftypes = rows[:, 0]

@@ -141,20 +141,7 @@ def decode_wav_pcm(blob: bytes):
         sw = w.getsampwidth()
         rate = w.getframerate()
         raw = w.readframes(w.getnframes())
-    if sw == 2:
-        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
-    elif sw == 1:
-        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
-    elif sw == 4:
-        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
-    elif sw == 3:
-        b3 = np.frombuffer(raw, dtype=np.uint8)
-        b3 = b3[: len(b3) - len(b3) % 3].reshape(-1, 3).astype(np.int32)
-        v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
-        v = np.where(v >= 1 << 23, v - (1 << 24), v)
-        x = v.astype(np.float32) / 8388608.0
-    else:
-        raise ValueError(f"unsupported PCM sample width {sw}")
+    x = _pcm_to_float(raw, sw)
     n = len(x) - len(x) % max(1, nch)
     return x[:n].reshape(-1, nch), rate, nch
 
@@ -361,11 +348,15 @@ def demux_avi(blob: bytes):
             # iterate strl lists with a correct per-stream counter
             for fc2, o2, s2 in _iter_riff_chunks(body, 4):
                 b2 = body[o2 : o2 + s2]
-                if fc2 == b"avih" and s2 >= 4:
+                # guard on the ACTUAL slice length, not the declared chunk
+                # size — a truncated blob silently shortens b2 and a
+                # declared-size check would let unpack_from read past it
+                # (struct.error escaping the violation-row contract)
+                if fc2 == b"avih" and len(b2) >= 4:
                     (usec_per_frame,) = struct.unpack_from("<I", b2, 0)
                 elif fc2 == b"LIST" and b2[:4] == b"strl":
                     for fc3, o3, s3 in _iter_riff_chunks(b2, 4):
-                        if fc3 == b"strh" and s3 >= 28:
+                        if fc3 == b"strh" and len(b2) >= o3 + 28:
                             if b2[o3 : o3 + 4] == b"vids" and vids_stream is None:
                                 vids_stream = stream_idx
                                 scale, rate = struct.unpack_from(
@@ -421,9 +412,21 @@ class VideoFrameSample:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids_out, idxs, tss, frames, oks = [], [], [], [], []
         ids = batch[self.id_column].to_pylist()
+        import struct as _struct
+
         for row, blob in enumerate(batch[self.column].to_pylist()):
             if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
-                all_frames, fps = demux_avi(blob)
+                try:
+                    all_frames, fps = demux_avi(blob)
+                except (ValueError, _struct.error):
+                    # corrupt container -> ONE visible violation row
+                    # (frame_index=-1, decode_ok=False), never a task kill
+                    ids_out.append(ids[row])
+                    idxs.append(-1)
+                    tss.append(float("nan"))
+                    frames.append(b"")
+                    oks.append(False)
+                    continue
             else:
                 all_frames, fps = list(self._frames(blob)), 0.0
             for i, frame in enumerate(all_frames):

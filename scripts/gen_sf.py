@@ -104,12 +104,8 @@ def upsample(src: str, dst: str, k: int) -> None:
                 rep = rep.set_column(
                     idx, rep.schema.field("text"), pa.array(texts, pa.string())
                 )
-                nidx = rep.schema.get_field_index("n_chars")
-                rep = rep.set_column(
-                    nidx,
-                    rep.schema.field("n_chars"),
-                    pa.array([len(s) for s in texts], pa.int64()),
-                )
+                # n_chars needs no recompute: translate preserves length
+                # (and len(None) on a null text row would crash)
             if r:
                 for c in key_cols:
                     idx = rep.schema.get_field_index(c)

@@ -130,6 +130,16 @@ def test_png_corruption_fuzz_never_escapes_valueerror():
             pass  # the violation-row path
 
 
+def test_png_decompression_bomb_raises_not_ooms():
+    """A few-KB IDAT that inflates to MBs must raise ValueError after at
+    most expected+1 inflated bytes (max_length bound), not materialize
+    the whole bomb before the length check."""
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 16, 16, 8, 0, 0, 0, 0))
+    bomb = _chunk(b"IDAT", zlib.compress(b"\x00" * (16 << 20), 9))
+    with pytest.raises(ValueError, match="exceeds|expected"):
+        decode_png(PNG_SIG + ihdr + bomb + _chunk(b"IEND", b""))
+
+
 @pytest.mark.parametrize("shape", [(1, 1), (3, 5), (16, 31), (33, 2)])
 def test_bmp_round_trip(shape):
     px = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)

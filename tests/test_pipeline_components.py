@@ -2644,6 +2644,42 @@ def test_video_frame_sample_real_avi_demux(ray_session):
     assert fr == frames and fps == 24.0
 
 
+def test_video_frame_sample_truncated_avi_is_violation_row(ray_session):
+    """Every truncation of a valid AVI must yield a violation row
+    (frame_index=-1, decode_ok=False) or a clean partial demux — never a
+    struct.error that kills the map_batches task."""
+    import ray.data as rd
+
+    from polars_genson_ray.sources.synth import (
+        encode_avi,
+        encode_image,
+        reference_pixels,
+    )
+    from polars_genson_ray.stages.multimodal import VideoFrameSample
+
+    frames = [
+        encode_image(reference_pixels(f"t{i}", 8, 8), "png") for i in range(4)
+    ]
+    blob = encode_avi(frames, fps_num=24, fps_den=1)
+    cuts = [
+        {"vid": f"c{cut}", "video": blob[:cut]}
+        for cut in range(12, len(blob), 7)
+    ]
+    out = (
+        rd.from_items(cuts)
+        .map_batches(
+            VideoFrameSample,
+            fn_constructor_kwargs={"id_column": "vid", "every_n": 1},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .take_all()
+    )
+    # no task death; corrupt rows surface as frame_index=-1 violations
+    bad = [r for r in out if r["frame_index"] == -1]
+    assert all(not r["decode_ok"] and r["frame_bytes"] == b"" for r in bad)
+
+
 def test_video_frames_real_png_decode(ray_session):
     """An AVI carrying REAL PNG frames now decodes (functions/imagecodec
     through stages.image.decode_any) — decode_ok=True without the synth
