@@ -379,41 +379,60 @@ def q_returned_items_report(sf_dir: str, k: int = 20):
         approx_rows=_table_rows(sf_dir, "customer"),
     )
 
+    # customer + nation eligibility must attach BEFORE the top-k: the
+    # report's LIMIT runs AFTER the inner joins, so a top-revenue custkey
+    # with a dangling customer/nation FK must not occupy a slot (found by
+    # the randomized-tables harness at seed 777 — top-k-then-lookup kept
+    # dangling customers and could not backfill the dropped ranks).
+    # customer joins co-partitioned (it is data-scaled); nation is a
+    # 25-row broadcast map.
+    nation = pq.read_table(
+        _t(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
+    )
+    nk_name = dict(zip(nation["n_nationkey"].to_pylist(),
+                       nation["n_name"].to_pylist()))
+    nk_ref = ray.put(nk_name)
+    percust_schema = pa.schema(
+        [pa.field("o_custkey", pa.int64()), pa.field("rev_i", pa.int64())]
+    )
+    cust_schema = _footer_schema(
+        sf_dir, "customer",
+        ["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    labeled = hash_join(
+        per_cust,
+        _read(sf_dir, "customer",
+              ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]),
+        on="o_custkey", right_on="c_custkey",
+        right_values=["c_name", "c_acctbal", "c_nationkey"], how="inner",
+        left_schema=percust_schema, right_schema=cust_schema,
+        approx_rows=_table_rows(sf_dir, "customer"),
+    )
+
+    def attach_nation(df: pd.DataFrame) -> pd.DataFrame:
+        nm = df.c_nationkey.map(ray.get(nk_ref))
+        keep = nm.notna()
+        out = df.loc[keep].copy()
+        out["n_name"] = nm[keep]
+        return out.drop(columns="c_nationkey")
+
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(
             ["rev_i", "o_custkey"], ascending=[False, True]
         ).head(k)
 
     top = (
-        per_cust.map_batches(local_topk, batch_format="pandas")
+        labeled.map_batches(attach_nation, batch_format="pandas")
+        .map_batches(local_topk, batch_format="pandas")
         .repartition(1)
         .map_batches(local_topk, batch_format="pandas", batch_size=None)
         .to_pandas()
     )
-
-    # k-row dimension lookups (never a full-table broadcast)
-    keys = set(top.o_custkey.tolist())
-    import pyarrow.compute as pc
-
-    cust = pq.read_table(
-        _t(sf_dir, "customer"),
-        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
-    )
-    cust = cust.filter(
-        pc.is_in(cust["c_custkey"], value_set=pa.array(keys, pa.int64()))
-    ).to_pandas()
-    nation = pq.read_table(
-        _t(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
-    )
-    nk_name = dict(zip(nation["n_nationkey"].to_pylist(),
-                       nation["n_name"].to_pylist()))
-    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
-    out["n_name"] = out.c_nationkey.map(nk_name)
-    out["revenue"] = out.pop("rev_i") / 10000.0
-    out = out.sort_values(
+    top["revenue"] = top.pop("rev_i") / 10000.0
+    top = top.rename(columns={"o_custkey": "c_custkey"}).sort_values(
         ["revenue", "c_custkey"], ascending=[False, True]
     ).reset_index(drop=True)
-    return out[["c_custkey", "c_name", "c_acctbal", "n_name", "revenue"]]
+    return top[["c_custkey", "c_name", "c_acctbal", "n_name", "revenue"]]
 
 
 def q_local_supplier_revenue(sf_dir: str, region: str = "ASIA"):
