@@ -17,7 +17,10 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = "/root/testdata/sf0.001"
+# default sf0.001 for CI time; GRAFT_ORACLE_SF=/root/testdata/sf0.01 runs
+# the same 71-query oracle compare one scale up (the driver-mimic covers
+# the 50-entry window at sf0.01 — this covers the NON-window queries too)
+SF_DIR = os.environ.get("GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(SF_DIR), reason="testdata not available"
